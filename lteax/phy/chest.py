@@ -1,0 +1,151 @@
+"""Channel estimation and equalization (LS + interpolation, SFBC combining).
+
+(reference capability: ``liblte/src/liblte_phy.cc ::
+liblte_phy_get_dl_subframe_and_ce`` — per-RE scalar interpolation loops —
+and ``de_pre_coder`` for TX-diversity combining.)
+
+TPU-native design: LS estimates at CRS positions are lifted to the full
+grid by TWO dense matmuls — a (n_sc x 2*n_rb) frequency interpolator and a
+(n_sym x n_pilot_sym) time interpolator — both precomputed host-side.
+Dense little matmuls beat scatter/loop interpolation on the MXU and batch
+over (subframe, port) for free.  Equalization/SFBC are fused elementwise
+VPU work.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from lteax.phy.config import PhyConfig
+from lteax.phy import seq
+from lteax.phy.grid import crs_flat_idx, crs_symbols, _crs_v
+
+
+@lru_cache(maxsize=None)
+def _freq_interp_matrix(cfg: PhyConfig, shift: int) -> np.ndarray:
+    """(n_sc, 2*n_rb) linear interpolation from the CRS comb (spacing 6,
+    offset ``shift``) to all subcarriers, edge-extrapolated."""
+    n_p = 2 * cfg.n_rb_dl
+    pk = shift + 6 * np.arange(n_p)
+    w = np.zeros((cfg.n_sc, n_p), dtype=np.float32)
+    for k in range(cfg.n_sc):
+        j = np.searchsorted(pk, k)
+        if j == 0:
+            # extrapolate from first two pilots
+            a, b = 0, 1
+        elif j >= n_p:
+            a, b = n_p - 2, n_p - 1
+        else:
+            a, b = j - 1, j
+        t = (k - pk[a]) / (pk[b] - pk[a])
+        w[k, a] = 1 - t
+        w[k, b] = t
+    return w
+
+
+@lru_cache(maxsize=None)
+def _time_interp_matrix(cfg: PhyConfig, pilot_syms: tuple[int, ...]) -> np.ndarray:
+    """(n_sym, n_pilot_syms) linear-in-time interpolation with edge hold."""
+    ps = np.asarray(pilot_syms, dtype=np.float64)
+    w = np.zeros((cfg.n_sym_subframe, len(ps)), dtype=np.float32)
+    for s in range(cfg.n_sym_subframe):
+        j = np.searchsorted(ps, s)
+        if j == 0:
+            w[s, 0] = 1.0
+        elif j >= len(ps):
+            w[s, -1] = 1.0
+        else:
+            a, b = j - 1, j
+            t = (s - ps[a]) / (ps[b] - ps[a])
+            w[s, a] = 1 - t
+            w[s, b] = t
+    return w
+
+
+@lru_cache(maxsize=None)
+def _crs_ref_values(cfg: PhyConfig, n_cell_id: int, port: int,
+                    subframe: int) -> np.ndarray:
+    """(n_pilot_syms, 2*n_rb) complex64 expected CRS values."""
+    syms = crs_symbols(port, cfg)
+    vals = []
+    for sym in syms:
+        slot = sym // cfg.n_sym_slot
+        ns = 2 * subframe + slot
+        l = sym % cfg.n_sym_slot
+        vals.append(seq.crs_values(n_cell_id, ns, l, cfg.n_rb_dl, cfg.extended_cp))
+    return np.stack(vals)
+
+
+def estimate_channel(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
+                     subframe: int, port: int) -> jnp.ndarray:
+    """LS + 2D linear interpolation.  grid (..., n_sym, n_sc) -> H same shape."""
+    syms = crs_symbols(port, cfg)
+    flat = grid.reshape(*grid.shape[:-2], -1)
+    pidx = jnp.asarray(crs_flat_idx(cfg, n_cell_id, port)
+                       .reshape(len(syms), 2 * cfg.n_rb_dl))
+    rx = flat[..., pidx]                                  # (..., n_ps, 2n_rb)
+    ref = jnp.asarray(_crs_ref_values(cfg, n_cell_id, port, subframe))
+    h_ls = rx * jnp.conj(ref)                             # |ref|^2 == 1
+    # frequency interpolation per pilot symbol — shift differs per symbol
+    vs = n_cell_id % 6
+    cols = []
+    for i, sym in enumerate(syms):
+        slot = sym // cfg.n_sym_slot
+        l = sym % cfg.n_sym_slot
+        shift = (_crs_v(port, l, slot) + vs) % 6
+        w = jnp.asarray(_freq_interp_matrix(cfg, shift))
+        cols.append(h_ls[..., i, :] @ w.T.astype(jnp.complex64))
+    h_f = jnp.stack(cols, axis=-2)                        # (..., n_ps, n_sc)
+    wt = jnp.asarray(_time_interp_matrix(cfg, syms)).astype(jnp.complex64)
+    h = jnp.einsum("sp,...pk->...sk", wt, h_f)
+    return h
+
+
+def equalize_siso(grid: jnp.ndarray, h: jnp.ndarray, noise_var):
+    """MMSE single-port equalizer.
+
+    Returns (x_hat, eff_noise_var) where llr scaling uses eff_noise_var =
+    noise_var / |h|^2 (post-equalization effective noise for max-log LLRs).
+    """
+    p = jnp.abs(h) ** 2
+    x = grid * jnp.conj(h) / (p + noise_var)
+    scale = p / (p + noise_var)            # bias correction
+    x = x / jnp.maximum(scale, 1e-12)
+    eff_nv = noise_var / jnp.maximum(p, 1e-12)
+    return x, eff_nv
+
+
+def combine_sfbc(y: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, noise_var):
+    """Alamouti (SFBC, 2 TX ports, 36.211 §6.3.4.3) combining.
+
+    y, h0, h1: (..., n_re) with n_re even; RE pairs (2i, 2i+1) carry
+    (x0, x1) as  y0 = h0·x0 - h1·x1*,  y1 = h0·x1 + h1·x0*   (up to the
+    standard 1/sqrt(2) precoder scaling).
+    Returns (x_hat (..., n_re), eff_noise_var).
+    """
+    y0, y1 = y[..., 0::2], y[..., 1::2]
+    g0, g1 = h0[..., 0::2], h1[..., 0::2]   # channel ~constant over the pair
+    p = jnp.abs(g0) ** 2 + jnp.abs(g1) ** 2
+    x0 = (jnp.conj(g0) * y0 + g1 * jnp.conj(y1)) / jnp.maximum(p, 1e-12)
+    x1 = (jnp.conj(g0) * y1 - g1 * jnp.conj(y0)) / jnp.maximum(p, 1e-12)
+    x = jnp.stack([x0, x1], axis=-1).reshape(*y.shape[:-1], -1)
+    eff = noise_var / jnp.maximum(p, 1e-12)
+    eff_nv = jnp.stack([eff, eff], axis=-1).reshape(*y.shape[:-1], -1)
+    # undo the sqrt(2) SFBC precoder normalization so constellation scale is 1
+    return x * jnp.sqrt(2.0), eff_nv * 2.0
+
+
+def precode_sfbc(x: jnp.ndarray):
+    """TX side: map symbol pairs to 2 ports (36.211 §6.3.4.3).
+
+    x (..., n) with n even -> (y_p0, y_p1) each (..., n):
+      port0 carries [x0, x1]/sqrt(2); port1 carries [-x1*, x0*]/sqrt(2).
+    """
+    x0, x1 = x[..., 0::2], x[..., 1::2]
+    s = 1.0 / np.sqrt(2.0)
+    p0 = jnp.stack([x0, x1], axis=-1).reshape(*x.shape[:-1], -1) * s
+    p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(*x.shape[:-1], -1) * s
+    return p0, p1
