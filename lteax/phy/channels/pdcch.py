@@ -1,0 +1,149 @@
+"""PDCCH: control channel — CCE/REG multiplexing, interleaving, blind decode
+(36.212 §5.3.3, 36.211 §6.8).
+
+(reference capability: ``liblte/src/liblte_phy.cc ::
+liblte_phy_pdcch_channel_encode`` / ``liblte_phy_pdcch_channel_decode`` with
+serial blind search over candidates.)
+
+TPU-native design: the REG quadruplet interleaver + cell-ID cyclic shift is
+ONE precomputed permutation; blind decoding batches all search-space
+candidates through a single vmapped Viterbi (the reference retries serially).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from lteax.phy.config import PhyConfig
+from lteax.phy.fec.crc import attach_crc, check_crc
+from lteax.phy.fec.conv import conv_encode
+from lteax.phy.fec.viterbi import viterbi_decode_tb_batch
+from lteax.phy.fec.ratematch import (conv_rm_indices, rate_match, rate_unmatch,
+                                     PERM_CONV, _subblock_col_read)
+from lteax.phy.mod import modulate, demodulate_maxlog
+from lteax.phy import seq
+from lteax.phy.grid import pdcch_reg_list
+from lteax.phy.channels.dci import dci_1a_size, dci_1a_unpack, Dci1A, dci_1a_pack
+
+REG_PER_CCE = 9
+BITS_PER_REG = 8  # 4 REs x QPSK
+
+
+def rnti_mask(rnti: int) -> np.ndarray:
+    return np.array([(rnti >> (15 - i)) & 1 for i in range(16)], dtype=np.int32)
+
+
+@lru_cache(maxsize=None)
+def quad_permutation(m: int, n_cell_id: int) -> np.ndarray:
+    """perm (m,): physical REG j carries logical quadruplet perm[j]
+    (36.211 §6.8.5: §5.1.4.2.1 sub-block interleaver on quadruplets + cyclic
+    shift by N_cell_ID)."""
+    r = -(-m // 32)
+    nd = r * 32 - m
+    v = _subblock_col_read(m, PERM_CONV)
+    order = np.asarray([x - nd for x in v if x >= nd], dtype=np.int64)
+    assert len(order) == m
+    j = np.arange(m)
+    return order[(j + n_cell_id) % m].astype(np.int32)
+
+
+def _c_init(n_cell_id: int, subframe: int) -> int:
+    return subframe * 512 + n_cell_id
+
+
+def n_cce(cfg: PhyConfig, n_cell_id: int, cfi: int, ng: float) -> int:
+    """(reference capability: liblte_phy_get_n_cce)"""
+    return len(pdcch_reg_list(cfg, n_cell_id, cfi, ng)) // REG_PER_CCE
+
+
+def common_search_candidates(n_cces: int) -> list[tuple[int, int]]:
+    """(cce_start, L) pairs of the common search space (36.213 §9.1.1)."""
+    cands = []
+    for l_agg, n_cand in ((4, 4), (8, 2)):
+        for i in range(n_cand):
+            start = i * l_agg
+            if start + l_agg <= n_cces:
+                cands.append((start, l_agg))
+    return cands
+
+
+def pdcch_encode(dcis: list[tuple[np.ndarray, int, int, int]],
+                 cfg: PhyConfig, n_cell_id: int, cfi: int, ng: float,
+                 subframe: int) -> jnp.ndarray:
+    """Encode DCIs into physical-REG-order QPSK symbols.
+
+    dcis: list of (dci_bits, rnti, cce_start, L_aggregation).
+    Returns (n_regs*4,) complex symbols to scatter at pdcch_flat_idx
+    (flattened REG-major).  Unused CCEs carry zero energy (<NIL>).
+    """
+    m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
+    n_bits_total = m * BITS_PER_REG
+    bits = np.zeros(n_bits_total, dtype=np.int32)
+    used = np.zeros(n_bits_total, dtype=bool)
+    for dci_bits, rnti, cce_start, l_agg in dcis:
+        b = np.asarray(attach_crc(jnp.asarray(dci_bits), "16",
+                                  mask_bits=rnti_mask(rnti)))
+        d = np.asarray(conv_encode(jnp.asarray(b)))
+        e_len = l_agg * REG_PER_CCE * BITS_PER_REG
+        e = np.asarray(rate_match(jnp.asarray(d),
+                                  conv_rm_indices(d.shape[-1], e_len)))
+        lo = cce_start * REG_PER_CCE * BITS_PER_REG
+        bits[lo:lo + e_len] = e
+        used[lo:lo + e_len] = True
+    c = seq.gold_sequence_np(_c_init(n_cell_id, subframe), n_bits_total)
+    scr = (bits + c) % 2
+    sym = np.asarray(modulate(jnp.asarray(scr), "qpsk"))
+    sym = np.where(used.reshape(-1, 2)[:, 0], sym, 0.0)   # NIL -> no energy
+    # logical quadruplet q carries symbols [4q, 4q+4)
+    perm = quad_permutation(m, n_cell_id)
+    phys = sym.reshape(m, 4)[perm].reshape(-1)
+    return jnp.asarray(phys.astype(np.complex64))
+
+
+def pdcch_llrs_to_logical(llrs_phys: jnp.ndarray, cfg: PhyConfig,
+                          n_cell_id: int, cfi: int, ng: float,
+                          subframe: int) -> jnp.ndarray:
+    """(m*8,) physical-REG-order LLRs -> descrambled logical-CCE-order LLRs."""
+    m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
+    perm = quad_permutation(m, n_cell_id)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(m, dtype=np.int32)
+    logical = llrs_phys.reshape(m, BITS_PER_REG)[jnp.asarray(inv)].reshape(-1)
+    sgn = jnp.asarray((1.0 - 2.0 * seq.gold_sequence_np(
+        _c_init(n_cell_id, subframe), m * BITS_PER_REG)).astype(np.float32))
+    return logical * sgn
+
+
+def pdcch_blind_decode_1a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int) -> list[tuple[Dci1A, int, int]]:
+    """Blind-decode DCI format 1A in the common search space.
+
+    Returns list of (dci, cce_start, L) that passed CRC for ``rnti``.
+    All candidates are decoded in ONE batched Viterbi call.
+    """
+    size = dci_1a_size(n_rb)
+    d_len = size + 16
+    cands = common_search_candidates(n_cces)
+    if not cands:
+        return []
+    stacks = []
+    for start, l_agg in cands:
+        e_len = l_agg * REG_PER_CCE * BITS_PER_REG
+        lo = start * REG_PER_CCE * BITS_PER_REG
+        e = logical_llrs[lo:lo + e_len]
+        stacks.append(np.asarray(rate_unmatch(e, conv_rm_indices(d_len, e_len),
+                                              d_len)))
+    bits = np.asarray(viterbi_decode_tb_batch(jnp.asarray(np.stack(stacks)),
+                                              d_len))
+    out = []
+    mask = rnti_mask(rnti)
+    for (start, l_agg), b in zip(cands, bits):
+        payload, ok = check_crc(jnp.asarray(b), "16", mask_bits=mask)
+        if bool(ok):
+            dci = dci_1a_unpack(np.asarray(payload), n_rb)
+            if dci is not None:
+                out.append((dci, start, l_agg))
+    return out

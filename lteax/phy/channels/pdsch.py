@@ -1,0 +1,131 @@
+"""PDSCH: downlink shared channel codec (36.212 §5.3.2, 36.211 §6.4).
+
+(reference capability: ``liblte/src/liblte_phy.cc ::
+liblte_phy_pdsch_channel_encode`` / ``liblte_phy_pdsch_channel_decode`` —
+the end-to-end hot loop of the whole framework, per SURVEY.md §3.5.)
+
+TPU-native design: segmentation/rate-matching collapse into ONE precomputed
+global index vector (per transport-block geometry) so encode is a single
+gather and soft de-matching a single scatter-add over all codeblocks;
+scrambling is a sign flip with a matmul-generated Gold sequence; the turbo
+decoder batches codeblocks.  Everything after the host-computed geometry is
+jittable with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from lteax.phy.fec.crc import attach_crc, check_crc
+from lteax.phy.fec.segmentation import segment_info, segment_bits, desegment_bits, SegmentInfo
+from lteax.phy.fec.turbo import turbo_encode_batch, turbo_decode_batch
+from lteax.phy.fec.ratematch import turbo_rm_indices
+from lteax.phy.mod import modulate, demodulate_maxlog, BITS_PER_SYM
+from lteax.phy import seq
+
+
+@dataclasses.dataclass(frozen=True)
+class PdschGeometry:
+    """Static per-(TBS, n_re, Qm, rv) geometry."""
+    tbs: int
+    n_re: int
+    qm: int
+    rv: int
+    info: SegmentInfo
+    e_list: tuple[int, ...]
+
+    @property
+    def k(self) -> int:
+        return self.info.k_plus
+
+    @property
+    def g(self) -> int:
+        return self.n_re * self.qm
+
+
+@lru_cache(maxsize=None)
+def pdsch_geometry(tbs: int, n_re: int, qm: int, rv: int) -> PdschGeometry:
+    info = segment_info(tbs + 24)
+    if not info.uniform:
+        raise NotImplementedError("non-uniform codeblock segmentation")
+    g = n_re * qm
+    c = info.c
+    gp = g // qm
+    gamma = gp % c
+    e_small = qm * (gp // c)
+    e_big = qm * (-(-gp // c))
+    e_list = tuple([e_small] * (c - gamma) + [e_big] * gamma)
+    assert sum(e_list) == g, (sum(e_list), g)
+    return PdschGeometry(tbs=tbs, n_re=n_re, qm=qm, rv=rv, info=info,
+                         e_list=e_list)
+
+
+@lru_cache(maxsize=None)
+def _global_rm_idx(geom: PdschGeometry) -> np.ndarray:
+    """(G,) indices into flattened per-CB d streams (C * 3*(K+4))."""
+    d_len = geom.k + 4
+    parts = []
+    for c, e in enumerate(geom.e_list):
+        idx = turbo_rm_indices(d_len, e, geom.rv)
+        parts.append(c * 3 * d_len + idx.astype(np.int64))
+    return np.concatenate(parts).astype(np.int32)
+
+
+def _c_init(rnti, subframe, n_cell_id, codeword: int = 0):
+    return (jnp.asarray(rnti, dtype=jnp.int32) * (2 ** 14)
+            + codeword * (2 ** 13)
+            + jnp.asarray(subframe, dtype=jnp.int32) * 512
+            + jnp.asarray(n_cell_id, dtype=jnp.int32))
+
+
+def pdsch_encode_bits(tb_bits: np.ndarray, geom: PdschGeometry) -> jnp.ndarray:
+    """TB payload (TBS,) -> (G,) rate-matched codeword bits (pre-scrambling)."""
+    b = np.asarray(attach_crc(jnp.asarray(tb_bits), "24A"))
+    cbs = segment_bits(b, geom.info)
+    cbs_j = jnp.asarray(cbs)
+    if geom.info.cb_crc:
+        cbs_j = attach_crc(cbs_j, "24B")
+    d = turbo_encode_batch(cbs_j, geom.k)            # (C, 3, K+4)
+    flat = d.reshape(-1)
+    return flat[jnp.asarray(_global_rm_idx(geom))]
+
+
+def pdsch_encode(tb_bits: np.ndarray, geom: PdschGeometry, rnti, subframe,
+                 n_cell_id, scheme: str) -> jnp.ndarray:
+    """-> (n_re,) modulated symbols in RE-mapping order."""
+    e = pdsch_encode_bits(tb_bits, geom)
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    return modulate((e + c) % 2, scheme)
+
+
+def pdsch_decode_llrs(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
+                      n_cell_id, n_iter: int = 6):
+    """Descramble + de-match + turbo decode + CRC.
+
+    llrs: (G,) channel LLRs in codeword bit order (post-demapper).
+    Returns (tb_bits (TBS,) np.ndarray | None, crc_ok, cb_crc_oks).
+    """
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    sgn = (1.0 - 2.0 * c).astype(llrs.dtype)
+    d_len = geom.k + 4
+    buf = jnp.zeros((geom.info.c * 3 * d_len,), dtype=llrs.dtype)
+    buf = buf.at[jnp.asarray(_global_rm_idx(geom))].add(llrs * sgn)
+    d_llr = buf.reshape(geom.info.c, 3, d_len)
+    bits = turbo_decode_batch(d_llr, geom.k, n_iter=n_iter)   # (C, K)
+    if geom.info.cb_crc:
+        payload, cb_ok = check_crc(bits, "24B")
+        cb_oks = np.asarray(cb_ok)
+    else:
+        payload, cb_oks = bits, np.array([True])
+    tb_with_crc = desegment_bits(np.asarray(payload), geom.info)
+    tb, ok = check_crc(jnp.asarray(tb_with_crc), "24A")
+    return np.asarray(tb), bool(ok), cb_oks
+
+
+def pdsch_symbols_to_llrs(x_eq: jnp.ndarray, eff_nv, scheme: str) -> jnp.ndarray:
+    """Equalized symbols (..., n_re) -> LLRs (..., G)."""
+    return demodulate_maxlog(x_eq, scheme, noise_var=eff_nv)

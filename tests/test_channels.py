@@ -1,0 +1,117 @@
+"""Physical-channel codec loopbacks (bit level, no OFDM)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lteax.phy.config import PhyConfig
+from lteax.phy.channels import pbch, pcfich, pdcch, pdsch
+from lteax.phy.channels.dci import (Dci1A, dci_1a_pack, dci_1a_unpack,
+                                    riv_encode, riv_decode, dci_1a_size)
+from lteax.phy.mod import demodulate_maxlog
+from lteax.phy.tables.tbs import get_tbs_for_mcs
+
+CFG = PhyConfig(n_rb_dl=6)
+NID = 214
+
+
+def test_pbch_loopback_all_ant_and_quarters():
+    rng = np.random.default_rng(0)
+    mib = rng.integers(0, 2, size=24).astype(np.int32)
+    for n_ant in (1, 2):
+        quarters = np.asarray(pbch.pbch_encode_40ms(jnp.asarray(mib), n_ant, NID))
+        for q in range(4):
+            # LLRs straight from bits (perfect channel)
+            llr = (1.0 - 2.0 * quarters[q]).astype(np.float32) * 5.0
+            got, ant, qq, ok = pbch.pbch_blind_decode({1: llr, 2: llr, 4: llr},
+                                                      NID)
+            # note: with perfect llrs the first passing hypothesis must be
+            # the true (ant, q)
+            assert ok
+            assert ant == n_ant and qq == q
+            np.testing.assert_array_equal(got, mib)
+
+
+def test_pcfich_loopback():
+    for sf in (0, 3):
+        for cfi in (1, 2, 3):
+            sym = pcfich.pcfich_encode(cfi, NID, sf)
+            llr = demodulate_maxlog(sym, "qpsk")
+            got, _ = pcfich.pcfich_decode(llr, NID, sf)
+            assert int(got) == cfi
+
+
+def test_riv_roundtrip():
+    for n_rb in (6, 25, 50, 100):
+        for start in range(0, n_rb, 3):
+            for l in range(1, n_rb - start + 1, 2):
+                riv = riv_encode(n_rb, start, l)
+                s2, l2 = riv_decode(n_rb, riv)
+                assert (s2, l2) == (start, l), (n_rb, start, l, riv, s2, l2)
+
+
+def test_dci_1a_roundtrip():
+    d = Dci1A(rb_start=0, l_crb=6, mcs=5, rv=1, tpc=1)
+    for n_rb in (6, 50):
+        bits = dci_1a_pack(d, n_rb)
+        assert len(bits) == dci_1a_size(n_rb)
+        back = dci_1a_unpack(bits, n_rb)
+        assert back is not None
+        assert (back.rb_start, back.l_crb, back.mcs, back.rv) == (0, 6, 5, 1)
+        assert back.n_prb_1a == 3
+
+
+def test_pdcch_loopback():
+    cfg = CFG
+    ng = 1.0
+    cfi = 3
+    sf = 5
+    si_rnti = 0xFFFF
+    ncce = pdcch.n_cce(cfg, NID, cfi, ng)
+    assert ncce >= 4, ncce
+    d = Dci1A(rb_start=0, l_crb=6, mcs=4, rv=0, tpc=0)
+    bits = dci_1a_pack(d, cfg.n_rb_dl)
+    sym = pdcch.pdcch_encode([(bits, si_rnti, 0, 4)], cfg, NID, cfi, ng, sf)
+    # perfect channel -> LLRs; NIL REs give 0 LLR
+    llr = np.asarray(demodulate_maxlog(sym, "qpsk"))
+    logical = pdcch.pdcch_llrs_to_logical(jnp.asarray(llr), cfg, NID, cfi, ng, sf)
+    found = pdcch.pdcch_blind_decode_1a(logical, cfg.n_rb_dl, si_rnti, ncce)
+    assert len(found) >= 1
+    dci, start, l_agg = found[0]
+    assert (start, l_agg) == (0, 4)
+    assert (dci.rb_start, dci.l_crb, dci.mcs, dci.rv) == (0, 6, 4, 0)
+
+
+def test_pdsch_loopback_small_and_segmented():
+    rng = np.random.default_rng(1)
+    cases = [
+        (152, 100, 2),      # 1.4 MHz MCS0-ish, single CB
+        (4392, 4000, 4),    # single CB 16QAM
+        (12960, 8000, 6),   # multi-codeblock 64QAM
+    ]
+    for tbs, n_re, qm in cases:
+        geom = pdsch.pdsch_geometry(tbs, n_re, qm, rv=0)
+        tb = rng.integers(0, 2, size=tbs).astype(np.int32)
+        scheme = {2: "qpsk", 4: "16qam", 6: "64qam"}[qm]
+        sym = pdsch.pdsch_encode(tb, geom, 0xFFFF, 5, NID, scheme)
+        assert sym.shape == (n_re,)
+        llr = pdsch.pdsch_symbols_to_llrs(sym, 0.1, scheme)
+        got, ok, cb_oks = pdsch.pdsch_decode_llrs(llr, geom, 0xFFFF, 5, NID,
+                                                  n_iter=4)
+        assert ok, (tbs, n_re, qm)
+        np.testing.assert_array_equal(got, tb)
+        assert cb_oks.all()
+
+
+def test_tbs_tables_sane():
+    # anchors
+    assert get_tbs_for_mcs(0, 6) == (152, "qpsk")
+    assert get_tbs_for_mcs(28, 100) == (75376, "64qam")
+    # uniform segmentation for all entries (static-shape invariant)
+    from lteax.phy.tables.tbs import TBS_COLUMNS
+    from lteax.phy.fec.segmentation import segment_info
+    for col, vals in TBS_COLUMNS.items():
+        assert len(vals) == 27
+        assert all(b > a for a, b in zip(vals, vals[1:])), col
+        for t in vals:
+            info = segment_info(t + 24)
+            assert info.uniform, (col, t, info)
