@@ -1,0 +1,165 @@
+"""DL frame generator: synthesize baseband LTE FDD downlink IQ captures.
+
+(reference capability: ``LTE_fdd_dl_file_gen/src/LTE_fdd_dl_fg_samp_buf.cc ::
+work`` + ``python/LTE_fdd_dl_file_gen.py`` — SURVEY.md §3.2.)
+
+Builds PSS/SSS/CRS/PBCH(MIB)/PCFICH/PDCCH(DCI 1A)/PDSCH(SIB1, SIB2) frames
+and writes an IQ file.  SIB1 goes in subframe 5 of even frames, SIB2 in
+subframe 5 of odd frames (its SI window).  All subframes of a batch are
+OFDM-modulated in one device call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from lteax.phy.config import PhyConfig
+from lteax.phy import seq
+from lteax.phy.grid import (crs_flat_idx, crs_symbols, sync_sc, pss_sym,
+                            sss_sym, pbch_flat_idx, pcfich_flat_idx,
+                            pdcch_flat_idx, pdsch_flat_idx)
+from lteax.phy.ofdm import subframe_to_samples
+from lteax.phy.channels import pbch, pcfich, pdcch as pdcch_mod, pdsch as pdsch_mod
+from lteax.phy.channels.dci import Dci1A, dci_1a_pack
+from lteax.phy.tables.tbs import tbs_1a, get_tbs_for_mcs
+from lteax.stack import rrc
+from lteax.io.iq import write_iq
+
+SI_RNTI = 0xFFFF
+
+
+@dataclasses.dataclass
+class GenConfig:
+    n_rb_dl: int = 6
+    n_cell_id: int = 0
+    n_ant: int = 1
+    n_frames: int = 4
+    mcc: tuple[int, int, int] = (0, 0, 1)
+    mnc: tuple[int, ...] = (0, 1)
+    tac: int = 0x1234
+    cell_identity: int = 0x0050800
+    phich_resource: float = 1.0
+    cfi: int = 2
+    sib1_mcs: int = 4          # I_TBS for the N_PRB_1A column
+    band: int = 1
+
+    @property
+    def phy(self) -> PhyConfig:
+        return PhyConfig(n_rb_dl=self.n_rb_dl, n_ant=self.n_ant)
+
+    @property
+    def ctrl_syms(self) -> int:
+        return self.cfi + 1 if self.n_rb_dl <= 10 else self.cfi
+
+
+def _si_alloc(gc: GenConfig) -> tuple[int, int]:
+    """(rb_start, l_crb) used for SIB PDSCH allocations."""
+    return 0, min(gc.n_rb_dl, 6)
+
+
+def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
+                        pbch_quarters: np.ndarray,
+                        sib1_bits: np.ndarray, sib2_bits: np.ndarray
+                        ) -> np.ndarray:
+    cfg = gc.phy
+    cid = gc.n_cell_id
+    grid = np.zeros(cfg.n_sym_subframe * cfg.n_sc, dtype=np.complex64)
+
+    # CRS (port 0; multi-port TX diversity generation is a later phase)
+    vals = []
+    for sym in crs_symbols(0, cfg):
+        slot = sym // cfg.n_sym_slot
+        vals.append(seq.crs_values(cid, 2 * sf + slot, sym % cfg.n_sym_slot,
+                                   cfg.n_rb_dl))
+    grid[crs_flat_idx(cfg, cid, 0)] = np.concatenate(vals)
+
+    # sync signals
+    if sf in (0, 5):
+        scs = sync_sc(cfg)
+        grid[pss_sym(cfg) * cfg.n_sc + scs] = seq.pss_sequence(cid % 3)
+        grid[sss_sym(cfg) * cfg.n_sc + scs] = seq.sss_sequence(
+            cid // 3, cid % 3, sf == 5)
+
+    # PBCH quarter
+    if sf == 0:
+        q = sfn % 4
+        sym = np.asarray(pbch.pbch_quarter_to_grid(
+            jnp.asarray(pbch_quarters[q]), cfg, cid, 1)[0])
+        grid[pbch_flat_idx(cfg, cid)] = sym
+
+    # PCFICH
+    grid[pcfich_flat_idx(cfg, cid)] = np.asarray(
+        pcfich.pcfich_encode(gc.cfi, cid, sf))
+
+    # SI on PDSCH in subframe 5
+    if sf == 5:
+        sib_bits = sib1_bits if sfn % 2 == 0 else sib2_bits
+        tbs = tbs_1a(gc.sib1_mcs, 2)   # TPC LSB 0 -> N_PRB_1A = 2
+        rb_start, l_crb = _si_alloc(gc)
+        rv = int(np.ceil(1.5 * ((sfn // 2) % 4))) % 4 if sfn % 2 == 0 else 0
+        d = Dci1A(rb_start=rb_start, l_crb=l_crb, mcs=gc.sib1_mcs, rv=rv,
+                  tpc=0)
+        dci_bits = dci_1a_pack(d, cfg.n_rb_dl)
+        ng = gc.phich_resource
+        grid[pdcch_flat_idx(cfg, cid, gc.ctrl_syms, ng).reshape(-1)] = \
+            np.asarray(pdcch_mod.pdcch_encode(
+                [(dci_bits, SI_RNTI, 0, 4)], cfg, cid, gc.ctrl_syms, ng, sf))
+        prbs = tuple(range(rb_start, rb_start + l_crb))
+        re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
+        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, rv)
+        tb = rrc.pad_to(sib_bits, tbs)
+        grid[re_idx] = np.asarray(pdsch_mod.pdsch_encode(
+            tb, geom, SI_RNTI, sf, cid, "qpsk"))
+
+    return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
+
+
+def generate(gc: GenConfig) -> np.ndarray:
+    """-> (n_frames * 10 * n_samps_subframe,) complex64 baseband."""
+    cfg = gc.phy
+    mib = rrc.Mib(n_rb_dl=gc.n_rb_dl, phich_duration_extended=False,
+                  phich_resource=gc.phich_resource, sfn=0)
+    sib1 = rrc.Sib1(mcc=gc.mcc, mnc=gc.mnc, tac=gc.tac,
+                    cell_identity=gc.cell_identity,
+                    freq_band_indicator=gc.band,
+                    scheduling=(rrc.SchedulingInfo(8, (3,)),))
+    sib1_bits = rrc.pack_sib1(sib1)
+    sib2_bits = rrc.pack_sib2(rrc.Sib2())
+
+    grids = []
+    pbch_q = None
+    for sfn in range(gc.n_frames):
+        if sfn % 4 == 0:
+            mib.sfn = sfn
+            pbch_q = np.asarray(pbch.pbch_encode_40ms(
+                jnp.asarray(rrc.pack_mib(mib)), gc.n_ant, gc.n_cell_id))
+        for sf in range(10):
+            grids.append(build_subframe_grid(gc, sfn, sf, pbch_q,
+                                             sib1_bits, sib2_bits))
+    batch = jnp.asarray(np.stack(grids))
+    x = np.asarray(subframe_to_samples(batch, cfg))
+    return x.reshape(-1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="LTE DL IQ file generator")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-rb", type=int, default=6)
+    p.add_argument("--cell-id", type=int, default=0)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--fmt", choices=("fc32", "sc8"), default="fc32")
+    p.add_argument("--tac", type=lambda s: int(s, 0), default=0x1234)
+    a = p.parse_args(argv)
+    gc = GenConfig(n_rb_dl=a.n_rb, n_cell_id=a.cell_id, n_frames=a.frames,
+                   tac=a.tac)
+    x = generate(gc)
+    write_iq(a.out, x, a.fmt)
+    print(f"wrote {len(x)} samples ({a.frames} frames, {gc.phy.fs/1e6:.2f} Msps) to {a.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""File scanner: full cell search + MIB + SIB decode from an IQ capture.
+
+(reference capability: ``LTE_fdd_dl_file_scan/src/LTE_fdd_dl_fs_samp_buf.cc
+:: work`` state machine COARSE_TIMING_SEARCH → PSS_AND_FINE_TIMING_SEARCH →
+SSS_SEARCH → BCH_DECODE → PDSCH_DECODE_SIB1 → PDSCH_DECODE_SI_GENERIC —
+SURVEY.md §3.1, the first path the new framework replicates.)
+
+TPU-native design: instead of a sample-driven state machine, the capture is
+processed in whole-capture batched stages — one PSS correlation over the full
+buffer, then ALL subframes OFDM-demodulated/channel-estimated in one batched
+device call, then per-SI-subframe control+shared channel decoding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from lteax.phy.config import PhyConfig
+from lteax.phy import sync, chest
+from lteax.phy.grid import (sync_sc, pss_sym, sss_sym, pbch_flat_idx,
+                            pcfich_flat_idx, pdcch_flat_idx, pdsch_flat_idx)
+from lteax.phy.ofdm import samples_to_subframe
+from lteax.phy.channels import pbch, pcfich, pdcch as pdcch_mod, pdsch as pdsch_mod
+from lteax.phy.channels.dci import Dci1A
+from lteax.phy.tables.tbs import tbs_1a
+from lteax.phy.mod import demodulate_maxlog
+from lteax.stack import rrc
+from lteax.io.iq import read_iq, chunk_subframes
+
+SI_RNTI = 0xFFFF
+
+
+@dataclasses.dataclass
+class ScanResult:
+    n_cell_id: int = -1
+    n_id_1: int = -1
+    n_id_2: int = -1
+    cfo_hz: float = 0.0
+    frame_start: int = -1
+    mib: rrc.Mib | None = None
+    n_ant: int = 0
+    sfn: int = -1
+    sib1: rrc.Sib1 | None = None
+    sib2: rrc.Sib2 | None = None
+    sib_crc_fails: int = 0
+
+    def to_json(self) -> str:
+        d = {
+            "n_cell_id": self.n_cell_id,
+            "n_id_1": self.n_id_1,
+            "n_id_2": self.n_id_2,
+            "cfo_hz": round(self.cfo_hz, 1),
+            "frame_start": self.frame_start,
+            "sfn": self.sfn,
+            "n_ant": self.n_ant,
+            "mib": dataclasses.asdict(self.mib) if self.mib else None,
+            "sib1": dataclasses.asdict(self.sib1) if self.sib1 else None,
+            "sib2": dataclasses.asdict(self.sib2) if self.sib2 else None,
+            "sib_crc_fails": self.sib_crc_fails,
+        }
+        return json.dumps(d)
+
+
+def _ctrl_syms(cfi: int, n_rb: int) -> int:
+    return cfi + 1 if n_rb <= 10 else cfi
+
+
+def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
+         cfi_hint: int | None = None, ng: float = 1.0,
+         max_si_subframes: int = 64) -> ScanResult:
+    res = ScanResult()
+    xj = jnp.asarray(x)
+
+    # 1. coarse CFO
+    if correct_cfo and len(x) >= 3 * cfg.n_samps_subframe:
+        _, cfo = sync.coarse_timing_and_cfo(xj, cfg)
+        res.cfo_hz = float(cfo)
+        xj = sync.apply_cfo(xj, cfo, cfg.fs)
+
+    # 2. PSS
+    nid2, pss_idx, _ = sync.find_pss(xj, cfg)
+    n_id_2 = int(nid2)
+    sf_start = int(pss_idx) - cfg.symbol_starts_subframe[pss_sym(cfg)]
+    if sf_start < 0:
+        sf_start += 5 * cfg.n_samps_subframe  # use the next PSS occurrence
+    res.n_id_2 = n_id_2
+
+    # 3. SSS — demod the PSS-bearing subframe
+    sf_grid = samples_to_subframe(
+        xj[sf_start:sf_start + cfg.n_samps_subframe], cfg)
+    scs = jnp.asarray(sync_sc(cfg))
+    pss_re = sf_grid[pss_sym(cfg), scs]
+    sss_re = sf_grid[sss_sym(cfg), scs]
+    nid1, half5, _ = sync.sss_detect(sss_re, pss_re, n_id_2)
+    n_id_1 = int(nid1)
+    res.n_id_1 = n_id_1
+    res.n_cell_id = cid = 3 * n_id_1 + n_id_2
+    frame_start = sf_start - (5 if bool(half5) else 0) * cfg.n_samps_subframe
+    if frame_start < 0:
+        frame_start += 10 * cfg.n_samps_subframe
+    res.frame_start = frame_start
+
+    # 4. batch-demodulate all whole subframes from frame_start
+    sfs = chunk_subframes(np.asarray(xj), cfg.n_samps_subframe, frame_start)
+    if len(sfs) < 1:
+        return res
+    grids = samples_to_subframe(jnp.asarray(sfs), cfg)   # (n_sf, 14, n_sc)
+
+    # 5. MIB from the first subframe 0
+    g0 = grids[0]
+    h0 = chest.estimate_channel(g0, cfg, cid, 0, port=0)
+    nv0 = chest.estimate_noise_var(g0, cfg, cid, 0)
+    x_eq, eff_nv = chest.equalize_siso(g0.reshape(-1), h0.reshape(-1), nv0)
+    pb_idx = jnp.asarray(pbch_flat_idx(cfg, cid))
+    pb_llr = demodulate_maxlog(x_eq[pb_idx], "qpsk", eff_nv[pb_idx])
+    mib_bits, n_ant, quarter, ok = pbch.pbch_blind_decode({1: pb_llr, 2: pb_llr},
+                                                          cid)
+    if not ok:
+        return res
+    res.n_ant = n_ant
+    mib = rrc.unpack_mib(mib_bits, sfn_mod4=quarter)
+    res.mib = mib
+    res.sfn = mib.sfn
+    if mib.n_rb_dl != cfg.n_rb_dl:
+        # capture decoded at a different bandwidth than the cell's: report MIB
+        return res
+
+    # 6. SI decode over subframe-5s
+    ng = mib.phich_resource
+    for i in range(len(sfs)):
+        sf = i % 10
+        sfn = mib.sfn + i // 10
+        if sf != 5 or res.sib_crc_fails > 8:
+            continue
+        if res.sib1 is not None and res.sib2 is not None:
+            break
+        if i >= max_si_subframes:
+            break
+        g = grids[i]
+        h = chest.estimate_channel(g, cfg, cid, sf, port=0)
+        nv = chest.estimate_noise_var(g, cfg, cid, sf)
+        x_eq, eff_nv = chest.equalize_siso(g.reshape(-1), h.reshape(-1), nv)
+        cfi_idx = jnp.asarray(pcfich_flat_idx(cfg, cid))
+        cfi_llr = demodulate_maxlog(x_eq[cfi_idx], "qpsk", eff_nv[cfi_idx])
+        cfi = int(pcfich.pcfich_decode(cfi_llr, cid, sf)[0]) if cfi_hint is None else cfi_hint
+        ctrl = _ctrl_syms(cfi, cfg.n_rb_dl)
+        pd_idx = jnp.asarray(pdcch_flat_idx(cfg, cid, ctrl, ng).reshape(-1))
+        pd_llr = demodulate_maxlog(x_eq[pd_idx], "qpsk", eff_nv[pd_idx])
+        logical = pdcch_mod.pdcch_llrs_to_logical(pd_llr, cfg, cid, ctrl, ng, sf)
+        found = pdcch_mod.pdcch_blind_decode_1a(
+            logical, cfg.n_rb_dl, SI_RNTI,
+            pdcch_mod.n_cce(cfg, cid, ctrl, ng))
+        if not found:
+            continue
+        dci, _, _ = found[0]
+        prbs = tuple(range(dci.rb_start, dci.rb_start + dci.l_crb))
+        tbs = tbs_1a(dci.mcs, dci.n_prb_1a)
+        re_idx = pdsch_flat_idx(cfg, cid, ctrl, prbs, sf)
+        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, dci.rv)
+        ridx = jnp.asarray(re_idx)
+        llr = demodulate_maxlog(x_eq[ridx], "qpsk", eff_nv[ridx])
+        tb, okc, _ = pdsch_mod.pdsch_decode_llrs(llr, geom, SI_RNTI, sf, cid)
+        if not okc:
+            res.sib_crc_fails += 1
+            continue
+        sib1 = rrc.unpack_sib1(tb)
+        if sib1 is not None and res.sib1 is None:
+            res.sib1 = sib1
+            continue
+        si = rrc.unpack_si(tb)
+        if si is not None and si[0] == "sib2":
+            res.sib2 = si[1]
+    return res
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="LTE DL IQ file scanner")
+    p.add_argument("path")
+    p.add_argument("--n-rb", type=int, default=6,
+                   help="bandwidth of the capture (sets sample rate)")
+    p.add_argument("--fmt", choices=("fc32", "sc8"), default="fc32")
+    p.add_argument("--no-cfo", action="store_true")
+    a = p.parse_args(argv)
+    cfg = PhyConfig(n_rb_dl=a.n_rb)
+    x = read_iq(a.path, a.fmt)
+    res = scan(x, cfg, correct_cfo=not a.no_cfo)
+    print(res.to_json())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""IQ file readers/writers.
+
+(reference capability: the GNU Radio ``file_source``/``file_sink`` blocks and
+the int8→complex conversion path of ``LTE_fdd_dl_file_scan`` — SURVEY.md C2:
+"gnuradio file-scanner frontends become jax.numpy stream readers".)
+
+Formats:
+  fc32 — interleaved float32 I/Q (GNU Radio gr_complex)
+  sc8  — interleaved int8 I/Q (rtl-sdr style, scaled by 1/128)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_iq(path: str, samples: np.ndarray, fmt: str = "fc32") -> None:
+    x = np.asarray(samples).astype(np.complex64)
+    inter = np.empty(2 * len(x), dtype=np.float32)
+    inter[0::2] = x.real
+    inter[1::2] = x.imag
+    if fmt == "fc32":
+        inter.tofile(path)
+    elif fmt == "sc8":
+        np.clip(np.round(inter * 127.0), -128, 127).astype(np.int8).tofile(path)
+    else:
+        raise ValueError(f"unknown IQ format {fmt}")
+
+
+def read_iq(path: str, fmt: str = "fc32", count: int = -1,
+            offset_samples: int = 0) -> np.ndarray:
+    itemsize = 8 if fmt == "fc32" else 2
+    if fmt == "fc32":
+        raw = np.fromfile(path, dtype=np.float32, count=-1 if count < 0 else 2 * count,
+                          offset=offset_samples * itemsize)
+    elif fmt == "sc8":
+        raw = np.fromfile(path, dtype=np.int8, count=-1 if count < 0 else 2 * count,
+                          offset=offset_samples * itemsize).astype(np.float32) / 128.0
+    else:
+        raise ValueError(f"unknown IQ format {fmt}")
+    raw = raw[: (len(raw) // 2) * 2]
+    return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+
+
+def chunk_subframes(x: np.ndarray, n_samps_subframe: int,
+                    start: int = 0) -> np.ndarray:
+    """Trim+reshape a capture into whole subframes from ``start``:
+    (n_subframes, n_samps_subframe)."""
+    x = x[start:]
+    n = len(x) // n_samps_subframe
+    return x[: n * n_samps_subframe].reshape(n, n_samps_subframe)

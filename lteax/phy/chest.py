@@ -104,6 +104,24 @@ def estimate_channel(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
     return h
 
 
+def estimate_noise_var(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
+                       subframe: int, port: int = 0) -> jnp.ndarray:
+    """Noise variance from CRS second differences across frequency.
+
+    For white noise the second difference of LS estimates has variance
+    6*sigma^2 (and cancels linear channel variation)."""
+    syms = crs_symbols(port, cfg)
+    flat = grid.reshape(*grid.shape[:-2], -1)
+    pidx = jnp.asarray(crs_flat_idx(cfg, n_cell_id, port)
+                       .reshape(len(syms), 2 * cfg.n_rb_dl))
+    rx = flat[..., pidx]
+    ref = jnp.asarray(_crs_ref_values(cfg, n_cell_id, port, subframe))
+    h_ls = rx * jnp.conj(ref)
+    d2 = h_ls[..., :-2] - 2 * h_ls[..., 1:-1] + h_ls[..., 2:]
+    nv = jnp.mean(jnp.abs(d2) ** 2, axis=(-2, -1)) / 6.0
+    return jnp.maximum(nv, 1e-6)
+
+
 def equalize_siso(grid: jnp.ndarray, h: jnp.ndarray, noise_var):
     """MMSE single-port equalizer.
 

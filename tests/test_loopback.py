@@ -1,0 +1,67 @@
+"""Config #1 regression anchor: file_gen → file_scan loopback at 1.4 MHz
+(the reference's LTE_fdd_dl_file_gen → LTE_fdd_dl_file_scan path)."""
+
+import numpy as np
+
+from lteax.apps.file_gen import GenConfig, generate
+from lteax.apps.file_scan import scan
+from lteax.io.iq import write_iq, read_iq
+
+
+def test_loopback_clean():
+    gc = GenConfig(n_rb_dl=6, n_cell_id=214, n_frames=4, tac=0x1234)
+    x = generate(gc)
+    assert len(x) == 4 * 10 * gc.phy.n_samps_subframe
+    r = scan(x, gc.phy)
+    assert r.n_cell_id == 214
+    assert r.mib is not None and r.mib.n_rb_dl == 6
+    # scan may lock onto any frame's PSS; SFN must match the frame offset
+    assert r.sfn == r.frame_start // gc.phy.n_samps_frame
+    assert r.sib1 is not None and r.sib1.tac == 0x1234
+    assert r.sib1.mcc == (0, 0, 1) and r.sib1.mnc == (0, 1)
+    assert r.sib2 is not None
+    assert r.sib_crc_fails == 0
+
+
+def test_loopback_offset_cfo_noise():
+    rng = np.random.default_rng(3)
+    gc = GenConfig(n_rb_dl=6, n_cell_id=101, n_frames=6)
+    x = generate(gc)
+    cfg = gc.phy
+    snr_db = 12.0
+    nv = np.mean(np.abs(x) ** 2) / 10 ** (snr_db / 10)
+    off = 4321
+    buf = np.concatenate([
+        np.sqrt(nv / 2) * (rng.standard_normal(off)
+                           + 1j * rng.standard_normal(off)),
+        x]).astype(np.complex64)
+    n = np.arange(len(buf))
+    buf = (buf * np.exp(2j * np.pi * 200.0 * n / cfg.fs)).astype(np.complex64)
+    buf += (np.sqrt(nv / 2) * (rng.standard_normal(len(buf))
+                               + 1j * rng.standard_normal(len(buf)))
+            ).astype(np.complex64)
+    r = scan(buf, cfg)
+    assert r.n_cell_id == 101
+    assert r.sib1 is not None and r.sib2 is not None
+    assert abs(r.cfo_hz - 200.0) < 60.0
+
+
+def test_loopback_iq_file_roundtrip(tmp_path):
+    gc = GenConfig(n_rb_dl=6, n_cell_id=7, n_frames=2)
+    x = generate(gc)
+    for fmt in ("fc32", "sc8"):
+        p = str(tmp_path / f"cap.{fmt}")
+        write_iq(p, x, fmt)
+        back = read_iq(p, fmt)
+        r = scan(back, gc.phy)
+        assert r.n_cell_id == 7, fmt
+        assert r.mib is not None, fmt
+
+
+def test_scan_graceful_on_noise():
+    rng = np.random.default_rng(5)
+    cfg = GenConfig(n_rb_dl=6).phy
+    noise = (rng.standard_normal(60000)
+             + 1j * rng.standard_normal(60000)).astype(np.complex64)
+    r = scan(noise, cfg)
+    assert r.mib is None
