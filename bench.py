@@ -1,0 +1,112 @@
+"""Headline benchmark: decoded DL-SCH Mbit/s per chip at 20 MHz.
+
+Runs the full PDSCH receive chain (OFDM demod -> CRS channel estimation ->
+MMSE equalization -> max-log 64QAM demap -> descramble -> rate de-match ->
+6-iteration windowed max-log-MAP turbo decode -> CRC24B/A) on batches of
+20 MHz subframes carrying TBS-75376 transport blocks (MCS 28, 100 PRB) —
+the reference's maximum single-codeword DL-SCH rate.
+
+Baseline: the reference's implicit real-time contract is 1 ms of processing
+per 1 ms subframe, i.e. 75.376 Mbit/s at this configuration (BASELINE.md).
+``vs_baseline`` = decoded Mbit/s / 75.376.
+
+Prints ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from lteax.phy.config import PhyConfig
+    from lteax.phy import seq
+    from lteax.phy.grid import crs_flat_idx, crs_symbols, pdsch_flat_idx
+    from lteax.phy.ofdm import subframe_to_samples
+    from lteax.phy.channels import pdsch as pdsch_mod
+    from lteax.phy.tables.tbs import get_tbs_for_mcs
+    from lteax.shard.pipeline import make_batch_decoder
+
+    cfg = PhyConfig(n_rb_dl=100)
+    cid, sf, rnti, mcs, cfi = 214, 1, 0x1234, 28, 1
+    prbs = tuple(range(100))
+    tbs, scheme = get_tbs_for_mcs(mcs, 100)            # 75376, 64qam
+    re_idx = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
+    geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 6, 0)
+
+    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "16"))
+    n_iter = int(__import__("os").environ.get("LTEAX_BENCH_TURBO_ITERS", "6"))
+    reps = int(__import__("os").environ.get("LTEAX_BENCH_REPS", "10"))
+
+    rng = np.random.default_rng(0)
+    print(f"building {b} encoded 20 MHz subframes (TBS {tbs}, C={geom.info.c}, "
+          f"K={geom.k})...", file=sys.stderr)
+    tb_bits = rng.integers(0, 2, size=(b, tbs)).astype(np.int32)
+    crs_idx = crs_flat_idx(cfg, cid, 0)
+    vals = []
+    for sym in crs_symbols(0, cfg):
+        slot = sym // cfg.n_sym_slot
+        vals.append(seq.crs_values(cid, 2 * sf + slot, sym % cfg.n_sym_slot,
+                                   cfg.n_rb_dl))
+    crs_vals = np.concatenate(vals)
+
+    # encode under jit (the axon backend supports compiled programs only)
+    cbs = np.stack([pdsch_mod.pdsch_prepare_cbs(tb_bits[i], geom)
+                    for i in range(b)])
+    enc = jax.jit(jax.vmap(lambda cb: pdsch_mod.pdsch_encode_cbs(
+        cb, geom, rnti, sf, cid, scheme)))
+    syms = np.asarray(enc(jnp.asarray(cbs)))
+    grids = np.zeros((b, cfg.n_sym_subframe * cfg.n_sc), dtype=np.complex64)
+    grids[:, crs_idx] = crs_vals
+    grids[:, re_idx] = syms
+    to_samps = jax.jit(lambda g: subframe_to_samples(g, cfg))
+    x = np.asarray(to_samps(jnp.asarray(
+        grids.reshape(b, cfg.n_sym_subframe, cfg.n_sc))))
+    nv = 10 ** (-2.5)   # 25 dB SNR — comfortably above the 64QAM r~0.93 bound
+    x = (x + (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+         .astype(np.complex64) * np.sqrt(nv / 2)).astype(np.complex64)
+    xd = jax.device_put(jnp.asarray(x))
+
+    dec = make_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom, scheme,
+                             n_iter=n_iter)
+    print("compiling + warmup...", file=sys.stderr)
+    t0 = time.time()
+    bits, ok = dec(xd)
+    jax.block_until_ready((bits, ok))
+    print(f"compile+first run: {time.time()-t0:.1f}s; "
+          f"crc ok: {int(np.sum(np.asarray(ok)))}/{b}", file=sys.stderr)
+    n_ok = int(np.sum(np.asarray(ok)))
+    if n_ok != b:
+        print(f"WARNING: only {n_ok}/{b} TBs decoded", file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        bits, ok = dec(xd)
+        jax.block_until_ready((bits, ok))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    mbps = b * tbs / t / 1e6
+    samples_per_s = b * cfg.n_samps_subframe / t
+    print(f"median {t*1e3:.2f} ms/batch of {b} subframes; "
+          f"{samples_per_s/1e6:.1f} Msps equivalent; "
+          f"min {min(times)*1e3:.2f} ms", file=sys.stderr)
+
+    baseline = 75.376   # Mbit/s — reference real-time bound at this config
+    print(json.dumps({
+        "metric": "decoded DL-SCH throughput, 20 MHz MCS28 (TBS 75376), 6-iter turbo",
+        "value": round(mbps, 2),
+        "unit": "Mbit/s/chip",
+        "vs_baseline": round(mbps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,24 +82,39 @@ def _c_init(rnti, subframe, n_cell_id, codeword: int = 0):
             + jnp.asarray(n_cell_id, dtype=jnp.int32))
 
 
+def pdsch_prepare_cbs(tb_bits: np.ndarray, geom: PdschGeometry) -> np.ndarray:
+    """Host stage: TB payload (TBS,) -> codeblock payloads (C, K_payload)
+    (CRC24A attach + segmentation, numpy)."""
+    from lteax.phy.fec.crc import attach_crc_np
+    b = attach_crc_np(np.asarray(tb_bits), "24A")
+    return segment_bits(b, geom.info)
+
+
+def pdsch_encode_cbs(cbs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
+                     n_cell_id, scheme: str) -> jnp.ndarray:
+    """Device stage (fully jittable): (C, K_payload) -> (n_re,) symbols."""
+    if geom.info.cb_crc:
+        cbs = attach_crc(cbs, "24B")
+    d = turbo_encode_batch(cbs, geom.k)              # (C, 3, K+4)
+    e = d.reshape(-1)[jnp.asarray(_global_rm_idx(geom))]
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    return modulate((e + c) % 2, scheme)
+
+
 def pdsch_encode_bits(tb_bits: np.ndarray, geom: PdschGeometry) -> jnp.ndarray:
     """TB payload (TBS,) -> (G,) rate-matched codeword bits (pre-scrambling)."""
-    b = np.asarray(attach_crc(jnp.asarray(tb_bits), "24A"))
-    cbs = segment_bits(b, geom.info)
-    cbs_j = jnp.asarray(cbs)
+    cbs = jnp.asarray(pdsch_prepare_cbs(tb_bits, geom))
     if geom.info.cb_crc:
-        cbs_j = attach_crc(cbs_j, "24B")
-    d = turbo_encode_batch(cbs_j, geom.k)            # (C, 3, K+4)
-    flat = d.reshape(-1)
-    return flat[jnp.asarray(_global_rm_idx(geom))]
+        cbs = attach_crc(cbs, "24B")
+    d = turbo_encode_batch(cbs, geom.k)              # (C, 3, K+4)
+    return d.reshape(-1)[jnp.asarray(_global_rm_idx(geom))]
 
 
 def pdsch_encode(tb_bits: np.ndarray, geom: PdschGeometry, rnti, subframe,
                  n_cell_id, scheme: str) -> jnp.ndarray:
     """-> (n_re,) modulated symbols in RE-mapping order."""
-    e = pdsch_encode_bits(tb_bits, geom)
-    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
-    return modulate((e + c) % 2, scheme)
+    return pdsch_encode_cbs(jnp.asarray(pdsch_prepare_cbs(tb_bits, geom)),
+                            geom, rnti, subframe, n_cell_id, scheme)
 
 
 def pdsch_decode_llrs(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
@@ -129,3 +144,35 @@ def pdsch_decode_llrs(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
 def pdsch_symbols_to_llrs(x_eq: jnp.ndarray, eff_nv, scheme: str) -> jnp.ndarray:
     """Equalized symbols (..., n_re) -> LLRs (..., G)."""
     return demodulate_maxlog(x_eq, scheme, noise_var=eff_nv)
+
+
+def desegment_device(payload: jnp.ndarray, info: SegmentInfo) -> jnp.ndarray:
+    """Jittable desegmentation (uniform K): (..., C, K_payload) -> (..., B)."""
+    parts = [payload[..., 0, info.f:]]
+    for ci in range(1, info.c):
+        parts.append(payload[..., ci, :])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def pdsch_decode_device(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
+                        n_cell_id, n_iter: int = 6):
+    """Fully jittable decode: (G,) llrs -> (tb_bits (TBS,), tb_ok, cb_oks).
+
+    Same math as :func:`pdsch_decode_llrs` but with no host round-trips, so
+    it can sit inside the jitted/sharded bulk-decode pipeline (bench path).
+    Batched over leading axes via vmap at the call site.
+    """
+    c_seq = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    sgn = (1.0 - 2.0 * c_seq).astype(llrs.dtype)
+    d_len = geom.k + 4
+    buf = jnp.zeros((geom.info.c * 3 * d_len,), dtype=llrs.dtype)
+    buf = buf.at[jnp.asarray(_global_rm_idx(geom))].add(llrs * sgn)
+    d_llr = buf.reshape(geom.info.c, 3, d_len)
+    bits = turbo_decode_batch(d_llr, geom.k, n_iter=n_iter)   # (C, K)
+    if geom.info.cb_crc:
+        payload, cb_oks = check_crc(bits, "24B")
+    else:
+        payload, cb_oks = bits, jnp.ones((geom.info.c,), dtype=bool)
+    tb_with_crc = desegment_device(payload, geom.info)
+    tb, ok = check_crc(tb_with_crc, "24A")
+    return tb, ok, cb_oks

@@ -46,6 +46,19 @@ def crc_matrix(n_bits: int, kind: str) -> np.ndarray:
     return rems
 
 
+def crc_np(bits: np.ndarray, kind: str) -> np.ndarray:
+    """Host/numpy CRC (for host-side prep stages)."""
+    m = crc_matrix(bits.shape[-1], kind).astype(np.int64)
+    return (bits.astype(np.int64) @ m) % 2
+
+
+def attach_crc_np(bits: np.ndarray, kind: str, mask_bits=None) -> np.ndarray:
+    p = crc_np(bits, kind)
+    if mask_bits is not None:
+        p = (p + np.asarray(mask_bits)) % 2
+    return np.concatenate([bits.astype(np.int64), p], axis=-1)
+
+
 def crc(bits: jnp.ndarray, kind: str) -> jnp.ndarray:
     """CRC of ``bits`` (..., N) int -> (..., L) int32 parity bits (MSB first)."""
     n = bits.shape[-1]

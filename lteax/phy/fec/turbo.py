@@ -150,6 +150,7 @@ def _alpha_sweep(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int) -> jnp.ndar
 
     a0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype)
     a0 = a0.at[0].set(jnp.full((8,), NEG).at[0].set(0.0))  # exact start state
+    a0 = a0 + 0.0 * u[0]   # inherit mesh-varying type under shard_map
 
     def step2(a, inp):
         uu, vv, fz = inp
@@ -197,6 +198,7 @@ def _beta_sweep(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int) -> jnp.ndarr
     # exact termination metric (state 0); frozen steps keep it intact until
     # the first valid step.
     b0 = b0.at[n_w - 1].set(jnp.full((8,), NEG).at[0].set(0.0))
+    b0 = b0 + 0.0 * u[0]   # inherit mesh-varying type under shard_map
 
     def step(b, inp):
         uu, vv, fz = inp

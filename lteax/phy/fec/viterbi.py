@@ -52,7 +52,7 @@ def viterbi_decode_tb(llrs: jnp.ndarray, n_bits: int) -> jnp.ndarray:
     Returns (K,) hard bits.  ``n_bits`` must equal llrs.shape[-1] (static).
     """
     llrs_k = llrs.T  # (K, 3)
-    pm0 = jnp.zeros((64,), dtype=llrs.dtype)
+    pm0 = jnp.zeros((64,), dtype=llrs.dtype) + 0.0 * llrs_k[0, 0]
     pm1, _ = _acs_pass(llrs_k, pm0)           # wrap-around warm-up
     pm2, decs = _acs_pass(llrs_k, pm1)        # decoding pass
 

@@ -1,0 +1,76 @@
+"""Sharded bulk-decode pipelines (configs #4/#5 of BASELINE.json).
+
+The full per-subframe PDSCH receive chain — OFDM demod, channel estimation,
+equalization, LLR demapping, descrambling, rate de-matching, turbo decode,
+CRC — as ONE jitted function, vmapped over a subframe batch and sharded over
+a (chan, time) device mesh with ``shard_map``.  The reference processes
+subframes serially on one core (SURVEY.md §3.5); here the batch IS the
+parallelism.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from lteax.phy.config import PhyConfig
+from lteax.phy import chest
+from lteax.phy.ofdm import samples_to_subframe
+from lteax.phy.grid import pdsch_flat_idx
+from lteax.phy.mod import demodulate_maxlog
+from lteax.phy.channels import pdsch as pdsch_mod
+from lteax.shard.mesh import TIME_AXIS, CHAN_AXIS
+
+
+def make_subframe_decoder(cfg: PhyConfig, n_cell_id: int, cfi: int,
+                          prbs: tuple[int, ...], subframe: int, rnti: int,
+                          geom, scheme: str, n_iter: int = 6):
+    """Returns jittable fn: samples (n_samps_subframe,) ->
+    (tb_bits (TBS,), tb_ok scalar bool)."""
+    re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
+
+    def decode_one(samples: jnp.ndarray):
+        grid = samples_to_subframe(samples, cfg)
+        h = chest.estimate_channel(grid, cfg, n_cell_id, subframe, port=0)
+        nv = chest.estimate_noise_var(grid, cfg, n_cell_id, subframe)
+        x_eq, eff_nv = chest.equalize_siso(grid.reshape(-1), h.reshape(-1), nv)
+        llr = demodulate_maxlog(x_eq[re_idx], scheme, eff_nv[re_idx])
+        tb, ok, _ = pdsch_mod.pdsch_decode_device(llr, geom, rnti, subframe,
+                                                  n_cell_id, n_iter=n_iter)
+        return tb, ok
+
+    return decode_one
+
+
+def make_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                       scheme, n_iter: int = 6):
+    """(B, n_samps) -> ((B, TBS), (B,)) — single-device batched decoder."""
+    one = make_subframe_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
+                                geom, scheme, n_iter)
+    return jax.jit(jax.vmap(one))
+
+
+def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
+                         geom, scheme, n_iter: int = 6):
+    """Time-sharded bulk decoder: (B_total, n_samps) sharded on axis 0 over
+    the ``time`` mesh axis -> (bits, ok, n_ok_psum).
+
+    ``n_ok_psum`` (replicated scalar) exercises the metric-psum path.
+    """
+    one = make_subframe_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
+                                geom, scheme, n_iter)
+
+    def local(samples):
+        bits, ok = jax.vmap(one)(samples)
+        n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), TIME_AXIS)
+        n_ok = jax.lax.psum(n_ok, CHAN_AXIS)
+        return bits, ok, n_ok
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(TIME_AXIS, None),),
+                   out_specs=(P(TIME_AXIS, None), P(TIME_AXIS), P()))
+    return jax.jit(fn)

@@ -1,0 +1,78 @@
+"""LTE FDD band <-> EARFCN <-> frequency mapping (36.101 §5.7.3).
+
+(reference capability: ``liblte/src/liblte_interface.cc ::
+liblte_interface_dl_earfcn_to_frequency`` and the first/last-EARFCN tables.)
+
+F_DL(MHz) = F_DL_low + 0.1 * (N_DL - N_Offs_DL);  UL analogous.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Band:
+    band: int
+    f_dl_low: float        # MHz
+    n_offs_dl: int
+    n_dl_max: int          # inclusive
+    f_ul_low: float
+    n_offs_ul: int
+    n_ul_max: int
+
+
+# FDD bands (subset used by the reference's scanner band list)
+BANDS: tuple[Band, ...] = (
+    Band(1, 2110.0, 0, 599, 1920.0, 18000, 18599),
+    Band(2, 1930.0, 600, 1199, 1850.0, 18600, 19199),
+    Band(3, 1805.0, 1200, 1949, 1710.0, 19200, 19949),
+    Band(4, 2110.0, 1950, 2399, 1710.0, 19950, 20399),
+    Band(5, 869.0, 2400, 2649, 824.0, 20400, 20649),
+    Band(7, 2620.0, 2750, 3449, 2500.0, 20750, 21449),
+    Band(8, 925.0, 3450, 3799, 880.0, 21450, 21799),
+    Band(12, 729.0, 5010, 5179, 699.0, 23010, 23179),
+    Band(13, 746.0, 5180, 5279, 777.0, 23180, 23279),
+    Band(14, 758.0, 5280, 5379, 788.0, 23280, 23379),
+    Band(17, 734.0, 5730, 5849, 704.0, 23730, 23849),
+    Band(20, 791.0, 6150, 6449, 832.0, 26150, 26449),
+    Band(25, 1930.0, 8040, 8689, 1850.0, 26040, 26689),
+    Band(26, 859.0, 8690, 9039, 814.0, 26690, 27039),
+    Band(28, 758.0, 9210, 9659, 703.0, 27210, 27659),
+)
+
+_BY_BAND = {b.band: b for b in BANDS}
+
+
+def dl_earfcn_to_freq_mhz(earfcn: int) -> float:
+    for b in BANDS:
+        if b.n_offs_dl <= earfcn <= b.n_dl_max:
+            return b.f_dl_low + 0.1 * (earfcn - b.n_offs_dl)
+    raise ValueError(f"DL EARFCN {earfcn} not in any supported band")
+
+
+def dl_freq_to_earfcn(band: int, freq_mhz: float) -> int:
+    b = _BY_BAND[band]
+    n = b.n_offs_dl + round((freq_mhz - b.f_dl_low) / 0.1)
+    if not b.n_offs_dl <= n <= b.n_dl_max:
+        raise ValueError(f"{freq_mhz} MHz outside band {band}")
+    return n
+
+
+def band_of_dl_earfcn(earfcn: int) -> int:
+    for b in BANDS:
+        if b.n_offs_dl <= earfcn <= b.n_dl_max:
+            return b.band
+    raise ValueError(f"DL EARFCN {earfcn} unknown")
+
+
+def band_dl_earfcns(band: int, step: int = 100) -> list[int]:
+    """Scan list across a band (the reference's scanner retune list; here a
+    channel-shard axis)."""
+    b = _BY_BAND[band]
+    return list(range(b.n_offs_dl, b.n_dl_max + 1, step))
+
+
+def ul_earfcn_for_dl(dl_earfcn: int) -> int:
+    b = _BY_BAND[band_of_dl_earfcn(dl_earfcn)]
+    return b.n_offs_ul + (dl_earfcn - b.n_offs_dl)

@@ -1,0 +1,105 @@
+"""Stack codecs: security primitives (published 3GPP test vectors), bands,
+RRC MIB/SIB roundtrips."""
+
+import numpy as np
+
+from lteax.stack import security, bands, rrc
+
+
+# --- Milenage: 35.207 Test Set 1 ---
+K = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+RAND = bytes.fromhex("23553cbe9637a89d218ae64dae47bf35")
+OP = bytes.fromhex("cdc202d5123e20f62b6d676ac72cb318")
+OPC = bytes.fromhex("cd63cb71954a9f4e48a5994e37a02baf")
+SQN = bytes.fromhex("ff9bb4d0b607")
+AMF = bytes.fromhex("b9b9")
+
+
+def test_milenage_opc():
+    assert security.milenage_op_c(K, OP) == OPC
+
+
+def test_milenage_f1():
+    mac_a, _mac_s = security.milenage_f1(K, RAND, SQN, AMF, op_c=OPC)
+    assert mac_a == bytes.fromhex("4a9ffac354dfafb3")
+
+
+def test_milenage_f2345():
+    res, ck, ik, ak = security.milenage_f2345(K, RAND, op_c=OPC)
+    assert res == bytes.fromhex("a54211d5e3ba50bf")
+    assert ck == bytes.fromhex("b40ba9a3c58b2a05bbf0d987b21bf8cb")
+    assert ik == bytes.fromhex("f769bcd751044604127672711c6d3441")
+    assert ak == bytes.fromhex("aa689c648370")
+
+
+def test_eia2_vector():
+    """33.401 Annex C.2 128-EIA2 test set 1 (58-bit message)."""
+    key = bytes.fromhex("2bd6459f82c5b300952c49104881ff48")
+    mac = security.eia2(key, 0x38A6F056, 0x18, 0,
+                        bytes.fromhex("3332346263393840"), data_bits=58)
+    assert mac == bytes.fromhex("118c6eb8")
+
+
+def test_aes_cmac_rfc4493():
+    """RFC 4493 test vectors (byte-aligned path)."""
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    assert security.aes_cmac(key, b"") == \
+        bytes.fromhex("bb1d6929e95937287fa37d129b756746")
+    m = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert security.aes_cmac(key, m) == \
+        bytes.fromhex("070a16b46b4d4144f79bdd9dd04a287c")
+
+
+def test_eea2_roundtrip_and_count_sensitivity():
+    key = bytes(range(16))
+    data = bytes(range(64))
+    c = security.eea2(key, 7, 3, 1, data)
+    assert c != data
+    assert security.eea2(key, 7, 3, 1, c) == data
+    assert security.eea2(key, 8, 3, 1, c) != data
+
+
+def test_kdf_keys_distinct():
+    k_asme = security.generate_k_asme(bytes(16), bytes(16), bytes(6),
+                                      bytes.fromhex("00f110"))
+    k_enb = security.generate_k_enb(k_asme, 0)
+    k_nas_enc, k_nas_int = security.generate_nas_keys(k_asme)
+    k_rrc_enc, k_rrc_int, k_up = security.generate_as_keys(k_enb)
+    keys = {k_asme, k_enb, k_nas_enc, k_nas_int, k_rrc_enc, k_rrc_int, k_up}
+    assert len(keys) == 7
+    assert all(len(k) in (16, 32) for k in keys)
+
+
+def test_bands():
+    assert bands.dl_earfcn_to_freq_mhz(300) == 2140.0           # band 1
+    assert bands.band_of_dl_earfcn(300) == 1
+    assert bands.dl_freq_to_earfcn(1, 2140.0) == 300
+    assert bands.band_of_dl_earfcn(6300) == 20
+    assert bands.ul_earfcn_for_dl(300) == 18300
+    lst = bands.band_dl_earfcns(1, step=100)
+    assert lst[0] == 0 and len(lst) == 6
+
+
+def test_mib_roundtrip():
+    for nrb in (6, 50, 100):
+        for res in (1 / 6, 2):
+            for sfn in (0, 437, 1023):
+                m = rrc.Mib(nrb, False, res, sfn)
+                bits = rrc.pack_mib(m)
+                assert len(bits) == 24
+                back = rrc.unpack_mib(bits, sfn_mod4=sfn & 3)
+                assert back == m
+
+
+def test_sib_roundtrips():
+    s1 = rrc.Sib1(mcc=(3, 1, 0), mnc=(2, 6, 0), tac=0xFFFF,
+                  cell_identity=(1 << 28) - 1,
+                  scheduling=(rrc.SchedulingInfo(64, (3, 4, 5)),
+                              rrc.SchedulingInfo(128, (6,))))
+    assert rrc.unpack_sib1(rrc.pack_sib1(s1)) == s1
+    s2 = rrc.Sib2(rach_num_ra_preambles=36, ul_carrier_freq_earfcn=20400)
+    kind, back = rrc.unpack_si(rrc.pack_sib2(s2))
+    assert kind == "sib2" and back == s2
+    # padded (as carried in a TB) still decodes
+    padded = rrc.pad_to(rrc.pack_sib1(s1), 328)
+    assert rrc.unpack_sib1(padded) == s1
