@@ -57,21 +57,28 @@ def main():
                                    cfg.n_rb_dl))
     crs_vals = np.concatenate(vals)
 
-    # encode under jit (the axon backend supports compiled programs only)
+    # encode under jit; ALL host<->device IO is float32 IQ pairs (the axon
+    # backend supports neither eager dispatch nor complex transfers)
+    from lteax.io.iq import to_iq_f32, from_iq_f32
     cbs = np.stack([pdsch_mod.pdsch_prepare_cbs(tb_bits[i], geom)
                     for i in range(b)])
-    enc = jax.jit(jax.vmap(lambda cb: pdsch_mod.pdsch_encode_cbs(
-        cb, geom, rnti, sf, cid, scheme)))
-    syms = np.asarray(enc(jnp.asarray(cbs)))
+    enc = jax.jit(jax.vmap(lambda cb: (lambda s: jnp.stack(
+        [s.real, s.imag], -1))(pdsch_mod.pdsch_encode_cbs(
+            cb, geom, rnti, sf, cid, scheme))))
+    syms = from_iq_f32(np.asarray(enc(jnp.asarray(cbs))))
     grids = np.zeros((b, cfg.n_sym_subframe * cfg.n_sc), dtype=np.complex64)
     grids[:, crs_idx] = crs_vals
     grids[:, re_idx] = syms
-    to_samps = jax.jit(lambda g: subframe_to_samples(g, cfg))
-    x = np.asarray(to_samps(jnp.asarray(
+
+    def _to_samps(g_iq):
+        g = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
+        s = subframe_to_samples(g, cfg)
+        return jnp.stack([s.real, s.imag], -1)
+
+    x = np.asarray(jax.jit(_to_samps)(to_iq_f32(
         grids.reshape(b, cfg.n_sym_subframe, cfg.n_sc))))
     nv = 10 ** (-2.5)   # 25 dB SNR — comfortably above the 64QAM r~0.93 bound
-    x = (x + (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
-         .astype(np.complex64) * np.sqrt(nv / 2)).astype(np.complex64)
+    x = (x + rng.standard_normal(x.shape) * np.sqrt(nv / 2)).astype(np.float32)
     xd = jax.device_put(jnp.asarray(x))
 
     dec = make_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom, scheme,

@@ -65,35 +65,50 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
                         pbch_quarters: np.ndarray,
                         sib1_bits: np.ndarray, sib2_bits: np.ndarray
                         ) -> np.ndarray:
+    """Build one subframe's resource grid (ports superposed: the IQ file
+    models a single RX antenna with unit channels from each TX port, which
+    is what the reference's file_gen produces for its loopback)."""
+    from lteax.phy.chest import precode_sfbc
     cfg = gc.phy
     cid = gc.n_cell_id
-    grid = np.zeros(cfg.n_sym_subframe * cfg.n_sc, dtype=np.complex64)
+    n_ant = gc.n_ant
+    ports = np.zeros((n_ant, cfg.n_sym_subframe * cfg.n_sc), dtype=np.complex64)
 
-    # CRS (port 0; multi-port TX diversity generation is a later phase)
-    vals = []
-    for sym in crs_symbols(0, cfg):
-        slot = sym // cfg.n_sym_slot
-        vals.append(seq.crs_values(cid, 2 * sf + slot, sym % cfg.n_sym_slot,
-                                   cfg.n_rb_dl))
-    grid[crs_flat_idx(cfg, cid, 0)] = np.concatenate(vals)
+    def _sfbc_scatter(idx: np.ndarray, syms: jnp.ndarray):
+        if n_ant == 1:
+            ports[0][idx] = np.asarray(syms)
+        else:
+            p0, p1 = precode_sfbc(syms)
+            ports[0][idx] = np.asarray(p0)
+            ports[1][idx] = np.asarray(p1)
 
-    # sync signals
+    # CRS per port
+    for p in range(n_ant):
+        vals = []
+        for sym in crs_symbols(p, cfg):
+            slot = sym // cfg.n_sym_slot
+            vals.append(seq.crs_values(cid, 2 * sf + slot,
+                                       sym % cfg.n_sym_slot, cfg.n_rb_dl))
+        ports[p][crs_flat_idx(cfg, cid, p)] = np.concatenate(vals)
+
+    # sync signals (port 0)
     if sf in (0, 5):
         scs = sync_sc(cfg)
-        grid[pss_sym(cfg) * cfg.n_sc + scs] = seq.pss_sequence(cid % 3)
-        grid[sss_sym(cfg) * cfg.n_sc + scs] = seq.sss_sequence(
+        ports[0][pss_sym(cfg) * cfg.n_sc + scs] = seq.pss_sequence(cid % 3)
+        ports[0][sss_sym(cfg) * cfg.n_sc + scs] = seq.sss_sequence(
             cid // 3, cid % 3, sf == 5)
 
     # PBCH quarter
     if sf == 0:
         q = sfn % 4
-        sym = np.asarray(pbch.pbch_quarter_to_grid(
-            jnp.asarray(pbch_quarters[q]), cfg, cid, 1)[0])
-        grid[pbch_flat_idx(cfg, cid)] = sym
+        port_syms = pbch.pbch_quarter_to_grid(
+            jnp.asarray(pbch_quarters[q]), cfg, cid, n_ant)
+        for p in range(n_ant):
+            ports[p][pbch_flat_idx(cfg, cid)] = np.asarray(port_syms[p])
 
     # PCFICH
-    grid[pcfich_flat_idx(cfg, cid)] = np.asarray(
-        pcfich.pcfich_encode(gc.cfi, cid, sf))
+    _sfbc_scatter(pcfich_flat_idx(cfg, cid),
+                  pcfich.pcfich_encode(gc.cfi, cid, sf))
 
     # SI on PDSCH in subframe 5
     if sf == 5:
@@ -105,17 +120,20 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
                   tpc=0)
         dci_bits = dci_1a_pack(d, cfg.n_rb_dl)
         ng = gc.phich_resource
-        grid[pdcch_flat_idx(cfg, cid, gc.ctrl_syms, ng).reshape(-1)] = \
-            np.asarray(pdcch_mod.pdcch_encode(
-                [(dci_bits, SI_RNTI, 0, 4)], cfg, cid, gc.ctrl_syms, ng, sf))
+        pd_syms = pdcch_mod.pdcch_encode([(dci_bits, SI_RNTI, 0, 4)], cfg,
+                                         cid, gc.ctrl_syms, ng, sf,
+                                         n_ant=n_ant)
+        pd_idx = pdcch_flat_idx(cfg, cid, gc.ctrl_syms, ng).reshape(-1)
+        for p in range(pd_syms.shape[0]):
+            ports[p][pd_idx] = np.asarray(pd_syms[p])
         prbs = tuple(range(rb_start, rb_start + l_crb))
         re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
         geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, rv)
         tb = rrc.pad_to(sib_bits, tbs)
-        grid[re_idx] = np.asarray(pdsch_mod.pdsch_encode(
+        _sfbc_scatter(re_idx, pdsch_mod.pdsch_encode(
             tb, geom, SI_RNTI, sf, cid, "qpsk"))
 
-    return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
+    return ports.sum(axis=0).reshape(cfg.n_sym_subframe, cfg.n_sc)
 
 
 def generate(gc: GenConfig) -> np.ndarray:

@@ -111,15 +111,20 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         return res
     grids = samples_to_subframe(jnp.asarray(sfs), cfg)   # (n_sf, 14, n_sc)
 
-    # 5. MIB from the first subframe 0
+    # 5. MIB from the first subframe 0 — blind over n_ant: SISO-equalized
+    #    LLRs for the 1-port hypothesis, SFBC-combined for the 2-port one
     g0 = grids[0]
     h0 = chest.estimate_channel(g0, cfg, cid, 0, port=0)
+    h1 = chest.estimate_channel(g0, cfg, cid, 0, port=1)
     nv0 = chest.estimate_noise_var(g0, cfg, cid, 0)
-    x_eq, eff_nv = chest.equalize_siso(g0.reshape(-1), h0.reshape(-1), nv0)
     pb_idx = jnp.asarray(pbch_flat_idx(cfg, cid))
-    pb_llr = demodulate_maxlog(x_eq[pb_idx], "qpsk", eff_nv[pb_idx])
-    mib_bits, n_ant, quarter, ok = pbch.pbch_blind_decode({1: pb_llr, 2: pb_llr},
-                                                          cid)
+    y_pb = g0.reshape(-1)[pb_idx]
+    llrs_by_ant = {}
+    for ant in (1, 2):
+        x_eq, eff = chest.equalize_res(y_pb, h0.reshape(-1)[pb_idx],
+                                       h1.reshape(-1)[pb_idx], nv0, ant)
+        llrs_by_ant[ant] = demodulate_maxlog(x_eq, "qpsk", eff)
+    mib_bits, n_ant, quarter, ok = pbch.pbch_blind_decode(llrs_by_ant, cid)
     if not ok:
         return res
     res.n_ant = n_ant
@@ -130,8 +135,10 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         # capture decoded at a different bandwidth than the cell's: report MIB
         return res
 
-    # 6. SI decode over subframe-5s
+    # 6. SI decode over subframe-5s (n_ant-aware: SISO or SFBC combining)
     ng = mib.phich_resource
+    cfg_c = PhyConfig(n_rb_dl=cfg.n_rb_dl, n_ant=n_ant,
+                      extended_cp=cfg.extended_cp)
     for i in range(len(sfs)):
         sf = i % 10
         sfn = mib.sfn + i // 10
@@ -142,28 +149,43 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         if i >= max_si_subframes:
             break
         g = grids[i]
-        h = chest.estimate_channel(g, cfg, cid, sf, port=0)
+        gflat = g.reshape(-1)
+        h0f = chest.estimate_channel(g, cfg, cid, sf, port=0).reshape(-1)
+        h1f = (chest.estimate_channel(g, cfg, cid, sf, port=1).reshape(-1)
+               if n_ant >= 2 else h0f)
         nv = chest.estimate_noise_var(g, cfg, cid, sf)
-        x_eq, eff_nv = chest.equalize_siso(g.reshape(-1), h.reshape(-1), nv)
-        cfi_idx = jnp.asarray(pcfich_flat_idx(cfg, cid))
-        cfi_llr = demodulate_maxlog(x_eq[cfi_idx], "qpsk", eff_nv[cfi_idx])
+
+        def _eq_llrs(idx, scheme="qpsk"):
+            x_eq, eff = chest.equalize_res(gflat[idx], h0f[idx], h1f[idx],
+                                           nv, n_ant)
+            return demodulate_maxlog(x_eq, scheme, eff)
+
+        cfi_llr = _eq_llrs(jnp.asarray(pcfich_flat_idx(cfg_c, cid)))
         cfi = int(pcfich.pcfich_decode(cfi_llr, cid, sf)[0]) if cfi_hint is None else cfi_hint
         ctrl = _ctrl_syms(cfi, cfg.n_rb_dl)
-        pd_idx = jnp.asarray(pdcch_flat_idx(cfg, cid, ctrl, ng).reshape(-1))
-        pd_llr = demodulate_maxlog(x_eq[pd_idx], "qpsk", eff_nv[pd_idx])
-        logical = pdcch_mod.pdcch_llrs_to_logical(pd_llr, cfg, cid, ctrl, ng, sf)
+        # PDCCH: deinterleave SYMBOLS to logical CCE order, then equalize
+        pd_idx = jnp.asarray(pdcch_flat_idx(cfg_c, cid, ctrl, ng).reshape(-1))
+        y_log = pdcch_mod.unpermute_to_logical(gflat[pd_idx], cfg_c, cid,
+                                               ctrl, ng)
+        h0_log = pdcch_mod.unpermute_to_logical(h0f[pd_idx], cfg_c, cid,
+                                                ctrl, ng)
+        h1_log = pdcch_mod.unpermute_to_logical(h1f[pd_idx], cfg_c, cid,
+                                                ctrl, ng)
+        x_eq, eff = chest.equalize_res(y_log, h0_log, h1_log, nv, n_ant)
+        pd_llr = demodulate_maxlog(x_eq, "qpsk", eff)
+        logical = pdcch_mod.pdcch_descramble_logical(pd_llr, cfg_c, cid,
+                                                     ctrl, ng, sf)
         found = pdcch_mod.pdcch_blind_decode_1a(
             logical, cfg.n_rb_dl, SI_RNTI,
-            pdcch_mod.n_cce(cfg, cid, ctrl, ng))
+            pdcch_mod.n_cce(cfg_c, cid, ctrl, ng))
         if not found:
             continue
         dci, _, _ = found[0]
         prbs = tuple(range(dci.rb_start, dci.rb_start + dci.l_crb))
         tbs = tbs_1a(dci.mcs, dci.n_prb_1a)
-        re_idx = pdsch_flat_idx(cfg, cid, ctrl, prbs, sf)
+        re_idx = pdsch_flat_idx(cfg_c, cid, ctrl, prbs, sf)
         geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, dci.rv)
-        ridx = jnp.asarray(re_idx)
-        llr = demodulate_maxlog(x_eq[ridx], "qpsk", eff_nv[ridx])
+        llr = _eq_llrs(jnp.asarray(re_idx))
         tb, okc, _ = pdsch_mod.pdsch_decode_llrs(llr, geom, SI_RNTI, sf, cid)
         if not okc:
             res.sib_crc_fails += 1

@@ -14,6 +14,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def to_iq_f32(x: np.ndarray) -> np.ndarray:
+    """complex (...,) -> float32 (..., 2).  Device-boundary layout: the TPU
+    backend does not support complex host<->device transfers, so all jitted
+    entry points take/return IQ float pairs and form complex inside jit."""
+    x = np.asarray(x)
+    return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+
+def from_iq_f32(x: np.ndarray) -> np.ndarray:
+    """float32 (..., 2) -> complex64 (...,)."""
+    x = np.asarray(x)
+    return (x[..., 0] + 1j * x[..., 1]).astype(np.complex64)
+
+
 def write_iq(path: str, samples: np.ndarray, fmt: str = "fc32") -> None:
     x = np.asarray(samples).astype(np.complex64)
     inter = np.empty(2 * len(x), dtype=np.float32)

@@ -70,15 +70,13 @@ def common_search_candidates(n_cces: int) -> list[tuple[int, int]]:
     return cands
 
 
-def pdcch_encode(dcis: list[tuple[np.ndarray, int, int, int]],
-                 cfg: PhyConfig, n_cell_id: int, cfi: int, ng: float,
-                 subframe: int) -> jnp.ndarray:
-    """Encode DCIs into physical-REG-order QPSK symbols.
+def pdcch_encode_logical(dcis: list[tuple[np.ndarray, int, int, int]],
+                         cfg: PhyConfig, n_cell_id: int, cfi: int, ng: float,
+                         subframe: int) -> np.ndarray:
+    """Encode DCIs into LOGICAL (CCE-order) QPSK symbols, pre-interleaving.
 
     dcis: list of (dci_bits, rnti, cce_start, L_aggregation).
-    Returns (n_regs*4,) complex symbols to scatter at pdcch_flat_idx
-    (flattened REG-major).  Unused CCEs carry zero energy (<NIL>).
-    """
+    Unused CCEs carry zero energy (<NIL>)."""
     m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
     n_bits_total = m * BITS_PER_REG
     bits = np.zeros(n_bits_total, dtype=np.int32)
@@ -96,25 +94,70 @@ def pdcch_encode(dcis: list[tuple[np.ndarray, int, int, int]],
     c = seq.gold_sequence_np(_c_init(n_cell_id, subframe), n_bits_total)
     scr = (bits + c) % 2
     sym = np.asarray(modulate(jnp.asarray(scr), "qpsk"))
-    sym = np.where(used.reshape(-1, 2)[:, 0], sym, 0.0)   # NIL -> no energy
-    # logical quadruplet q carries symbols [4q, 4q+4)
+    return np.where(used.reshape(-1, 2)[:, 0], sym, 0.0).astype(np.complex64)
+
+
+def permute_to_phys(sym_logical: np.ndarray, cfg: PhyConfig, n_cell_id: int,
+                    cfi: int, ng: float) -> np.ndarray:
+    """Logical symbol sequence -> physical REG order (36.211 §6.8.5
+    quadruplet interleave + cell-ID cyclic shift)."""
+    m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
     perm = quad_permutation(m, n_cell_id)
-    phys = sym.reshape(m, 4)[perm].reshape(-1)
-    return jnp.asarray(phys.astype(np.complex64))
+    return sym_logical.reshape(m, 4)[perm].reshape(-1)
+
+
+def unpermute_to_logical(vals_phys: jnp.ndarray, cfg: PhyConfig,
+                         n_cell_id: int, cfi: int, ng: float) -> jnp.ndarray:
+    """Physical REG order -> logical CCE order (values, not LLRs)."""
+    m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
+    perm = quad_permutation(m, n_cell_id)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(m, dtype=np.int32)
+    return vals_phys.reshape(*vals_phys.shape[:-1], m, 4)[..., jnp.asarray(inv), :] \
+        .reshape(*vals_phys.shape[:-1], -1)
+
+
+def pdcch_encode(dcis: list[tuple[np.ndarray, int, int, int]],
+                 cfg: PhyConfig, n_cell_id: int, cfi: int, ng: float,
+                 subframe: int, n_ant: int = 1) -> jnp.ndarray:
+    """Encode DCIs to per-port physical-REG-order symbols.
+
+    Returns (n_ports, n_regs*4) complex (n_ports = 1 or 2; 2 uses SFBC)."""
+    from lteax.phy.chest import precode_sfbc
+    sym = pdcch_encode_logical(dcis, cfg, n_cell_id, cfi, ng, subframe)
+    if n_ant == 1:
+        ports = [sym]
+    else:
+        p0, p1 = precode_sfbc(jnp.asarray(sym))
+        ports = [np.asarray(p0), np.asarray(p1)]
+    phys = [permute_to_phys(np.asarray(p), cfg, n_cell_id, cfi, ng)
+            for p in ports]
+    return jnp.asarray(np.stack(phys))
+
+
+def pdcch_descramble_logical(llrs_logical: jnp.ndarray, cfg: PhyConfig,
+                             n_cell_id: int, cfi: int, ng: float,
+                             subframe: int) -> jnp.ndarray:
+    m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
+    sgn = jnp.asarray((1.0 - 2.0 * seq.gold_sequence_np(
+        _c_init(n_cell_id, subframe), m * BITS_PER_REG)).astype(np.float32))
+    return llrs_logical * sgn
 
 
 def pdcch_llrs_to_logical(llrs_phys: jnp.ndarray, cfg: PhyConfig,
                           n_cell_id: int, cfi: int, ng: float,
                           subframe: int) -> jnp.ndarray:
-    """(m*8,) physical-REG-order LLRs -> descrambled logical-CCE-order LLRs."""
+    """(m*8,) physical-REG-order LLRs -> descrambled logical-CCE-order LLRs.
+
+    (SISO path: LLRs can be deinterleaved directly.  The SFBC path must
+    deinterleave SYMBOLS first — use unpermute_to_logical + equalize +
+    demod + pdcch_descramble_logical.)"""
     m = len(pdcch_reg_list(cfg, n_cell_id, cfi, ng))
     perm = quad_permutation(m, n_cell_id)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(m, dtype=np.int32)
-    logical = llrs_phys.reshape(m, BITS_PER_REG)[jnp.asarray(inv)].reshape(-1)
-    sgn = jnp.asarray((1.0 - 2.0 * seq.gold_sequence_np(
-        _c_init(n_cell_id, subframe), m * BITS_PER_REG)).astype(np.float32))
-    return logical * sgn
+    logical = llrs_phys.reshape(m, 2 * 4)[jnp.asarray(inv)].reshape(-1)
+    return pdcch_descramble_logical(logical, cfg, n_cell_id, cfi, ng, subframe)
 
 
 def pdcch_blind_decode_1a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,

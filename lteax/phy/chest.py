@@ -136,6 +136,15 @@ def equalize_siso(grid: jnp.ndarray, h: jnp.ndarray, noise_var):
     return x, eff_nv
 
 
+def equalize_res(y: jnp.ndarray, h0: jnp.ndarray, h1, noise_var, n_ant: int):
+    """Equalize gathered REs (channel-mapping order): SISO or 2-port SFBC.
+
+    y, h0[, h1]: (..., n_re).  Returns (x_hat, eff_noise_var)."""
+    if n_ant == 1:
+        return equalize_siso(y, h0, noise_var)
+    return combine_sfbc(y, h0, h1, noise_var)
+
+
 def combine_sfbc(y: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, noise_var):
     """Alamouti (SFBC, 2 TX ports, 36.211 §6.3.4.3) combining.
 

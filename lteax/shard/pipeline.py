@@ -29,11 +29,16 @@ from lteax.shard.mesh import TIME_AXIS, CHAN_AXIS
 def make_subframe_decoder(cfg: PhyConfig, n_cell_id: int, cfi: int,
                           prbs: tuple[int, ...], subframe: int, rnti: int,
                           geom, scheme: str, n_iter: int = 6):
-    """Returns jittable fn: samples (n_samps_subframe,) ->
-    (tb_bits (TBS,), tb_ok scalar bool)."""
+    """Returns jittable fn: samples (n_samps_subframe, 2) float32 IQ ->
+    (tb_bits (TBS,), tb_ok scalar bool).
+
+    IO is float32 IQ pairs (complex transfers are unsupported on the TPU
+    backend — see io.iq.to_iq_f32); complex forms inside the jit."""
     re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
 
-    def decode_one(samples: jnp.ndarray):
+    def decode_one(samples_iq: jnp.ndarray):
+        samples = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
+                   ).astype(jnp.complex64)
         grid = samples_to_subframe(samples, cfg)
         h = chest.estimate_channel(grid, cfg, n_cell_id, subframe, port=0)
         nv = chest.estimate_noise_var(grid, cfg, n_cell_id, subframe)
@@ -48,7 +53,7 @@ def make_subframe_decoder(cfg: PhyConfig, n_cell_id: int, cfi: int,
 
 def make_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                        scheme, n_iter: int = 6):
-    """(B, n_samps) -> ((B, TBS), (B,)) — single-device batched decoder."""
+    """(B, n_samps, 2) f32 -> ((B, TBS), (B,)) — single-device batched decoder."""
     one = make_subframe_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
                                 geom, scheme, n_iter)
     return jax.jit(jax.vmap(one))
@@ -71,6 +76,6 @@ def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
         return bits, ok, n_ok
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(TIME_AXIS, None),),
+                   in_specs=(P(TIME_AXIS, None, None),),
                    out_specs=(P(TIME_AXIS, None), P(TIME_AXIS), P()))
     return jax.jit(fn)

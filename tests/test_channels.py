@@ -70,7 +70,7 @@ def test_pdcch_loopback():
     assert ncce >= 4, ncce
     d = Dci1A(rb_start=0, l_crb=6, mcs=4, rv=0, tpc=0)
     bits = dci_1a_pack(d, cfg.n_rb_dl)
-    sym = pdcch.pdcch_encode([(bits, si_rnti, 0, 4)], cfg, NID, cfi, ng, sf)
+    sym = pdcch.pdcch_encode([(bits, si_rnti, 0, 4)], cfg, NID, cfi, ng, sf)[0]
     # perfect channel -> LLRs; NIL REs give 0 LLR
     llr = np.asarray(demodulate_maxlog(sym, "qpsk"))
     logical = pdcch.pdcch_llrs_to_logical(jnp.asarray(llr), cfg, NID, cfi, ng, sf)

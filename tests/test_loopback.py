@@ -58,6 +58,19 @@ def test_loopback_iq_file_roundtrip(tmp_path):
         assert r.mib is not None, fmt
 
 
+def test_loopback_2port_sfbc():
+    """Config #3 capability: 2-port TX diversity gen -> SFBC scan."""
+    gc = GenConfig(n_rb_dl=6, n_cell_id=33, n_ant=2, n_frames=4, tac=0x77)
+    x = generate(gc)
+    r = scan(x, gc.phy)
+    assert r.n_cell_id == 33
+    assert r.n_ant == 2
+    assert r.mib is not None
+    assert r.sib1 is not None and r.sib1.tac == 0x77
+    assert r.sib2 is not None
+    assert r.sib_crc_fails == 0
+
+
 def test_scan_graceful_on_noise():
     rng = np.random.default_rng(5)
     cfg = GenConfig(n_rb_dl=6).phy

@@ -97,8 +97,9 @@ def _make_pdsch_samples(n_sf: int, seed: int):
     nv = 10 ** (-1.5)  # ~15 dB SNR
     x = x + (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
              ).astype(np.complex64) * np.sqrt(nv / 2)
+    from lteax.io.iq import to_iq_f32
     return (cfg, cid, ctrl, prbs, sf, rnti, geom, scheme,
-            x.astype(np.complex64), tbs_bits)
+            to_iq_f32(x), tbs_bits)
 
 
 def test_sharded_bulk_decode_matches_unsharded():
