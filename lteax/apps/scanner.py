@@ -1,0 +1,93 @@
+"""Multi-carrier cell scanner: N channels -> per-channel cell reports.
+
+(reference capability: ``LTE_fdd_dl_scan/src/LTE_fdd_dl_scan_block.cc ::
+work`` + ``_flowgraph.cc`` retune loop + ``_interface.cc`` ctrl reports —
+SURVEY.md §3.4.  The reference retunes ONE SDR serially through a band;
+here channels are a batch axis: captures at arbitrary rates are polyphase-
+resampled to the native LTE rate and each runs the whole-capture batched
+cell-search pipeline.  Config #5 shards this channel axis across hosts.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from fractions import Fraction
+
+import numpy as np
+import jax.numpy as jnp
+
+from lteax.phy.config import PhyConfig
+from lteax.apps.file_scan import scan, ScanResult
+from lteax.kernels.polyphase import resample_poly
+from lteax.io.iq import read_iq
+from lteax.stack import bands
+
+
+@dataclasses.dataclass
+class Channel:
+    label: str                  # e.g. EARFCN or filename
+    path: str
+    fmt: str = "fc32"
+    rate_hz: float | None = None   # capture rate; None == native
+
+
+def scan_channel(ch: Channel, cfg: PhyConfig) -> ScanResult:
+    x = read_iq(ch.path, ch.fmt)
+    if ch.rate_hz is not None and abs(ch.rate_hz - cfg.fs) > 1.0:
+        frac = Fraction(int(round(cfg.fs)), int(round(ch.rate_hz))) \
+            .limit_denominator(1024)
+        x = np.asarray(resample_poly(jnp.asarray(x), frac.numerator,
+                                     frac.denominator))
+    return scan(x, cfg)
+
+
+def scan_channels(chans: list[Channel], cfg: PhyConfig) -> list[dict]:
+    """Scan every channel; returns JSON-able report dicts.
+
+    Heavy per-channel stages (resample, PSS correlation, subframe demod,
+    turbo decode) are device-batched inside ``scan``; the channel loop is
+    host control-plane.  The pod-scale variant shards this loop over the
+    ``chan`` mesh axis (shard/mesh.py).
+    """
+    reports = []
+    for ch in chans:
+        try:
+            r = scan_channel(ch, cfg)
+            d = json.loads(r.to_json())
+        except Exception as e:  # pragma: no cover - robustness path
+            d = {"error": f"{type(e).__name__}: {e}"}
+        d["channel"] = ch.label
+        if ch.label.isdigit():
+            try:
+                d["freq_mhz"] = bands.dl_earfcn_to_freq_mhz(int(ch.label))
+                d["band"] = bands.band_of_dl_earfcn(int(ch.label))
+            except ValueError:
+                pass
+        reports.append(d)
+    return reports
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="multi-carrier LTE cell scanner over IQ captures")
+    p.add_argument("captures", nargs="+",
+                   help="LABEL=PATH[:FMT[:RATE_HZ]] per channel")
+    p.add_argument("--n-rb", type=int, default=6)
+    a = p.parse_args(argv)
+    cfg = PhyConfig(n_rb_dl=a.n_rb)
+    chans = []
+    for spec in a.captures:
+        label, rest = spec.split("=", 1)
+        parts = rest.split(":")
+        chans.append(Channel(label=label, path=parts[0],
+                             fmt=parts[1] if len(parts) > 1 else "fc32",
+                             rate_hz=float(parts[2]) if len(parts) > 2 else None))
+    for rep in scan_channels(chans, cfg):
+        print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,14 +108,19 @@ def pss_correlate(x: jnp.ndarray, cfg: PhyConfig) -> jnp.ndarray:
     return jnp.abs(corr) ** 2
 
 
-def find_pss(x: jnp.ndarray, cfg: PhyConfig):
-    """Returns (n_id_2, pss_start_idx, peak_power) over the whole capture."""
+def find_pss(x: jnp.ndarray, cfg: PhyConfig, rel_threshold: float = 0.9):
+    """Returns (n_id_2, pss_start_idx, peak_power) over the whole capture.
+
+    Picks the strongest root, then the EARLIEST peak within
+    ``rel_threshold`` of that root's maximum — periodic PSS repeats tie in
+    magnitude, and locking early maximises the usable capture."""
     p = pss_correlate(x, cfg)                 # (..., 3, L)
-    flat = p.reshape(*p.shape[:-2], -1)
-    am = jnp.argmax(flat, axis=-1)
-    n_id_2 = am // p.shape[-1]
-    idx = am % p.shape[-1]
-    peak = jnp.max(flat, axis=-1)
+    root_max = jnp.max(p, axis=-1)            # (..., 3)
+    n_id_2 = jnp.argmax(root_max, axis=-1)
+    pr = jnp.take_along_axis(p, n_id_2[..., None, None], axis=-2)[..., 0, :]
+    peak = jnp.max(pr, axis=-1)
+    near = pr >= rel_threshold * peak[..., None]
+    idx = jnp.argmax(near, axis=-1)           # first True
     return n_id_2, idx, peak
 
 
