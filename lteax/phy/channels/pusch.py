@@ -1,0 +1,233 @@
+"""PUSCH: uplink shared channel — SC-FDMA transform precoding, DM-RS,
+UL-SCH coding with the channel interleaver (36.211 §5.3/§5.5, 36.212 §5.2.2).
+
+(reference capability: ``liblte/src/liblte_phy.cc ::
+liblte_phy_pusch_channel_encode`` / ``_decode``, ``generate_dmrs_pusch``.)
+
+TPU-native design mirrors the PDSCH path: all permutations (channel
+interleaver, rate matching) are host-precomputed index vectors; the DFT
+transform precoding is one batched FFT; decode is gather → LS-DMRS chest →
+MMSE equalize → IDFT → max-log demap → scatter-add de-match → batched
+turbo.  Data-only (no UCI multiplexing yet).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from lteax.phy.config import PhyConfig
+from lteax.phy import seq
+from lteax.phy.mod import modulate, demodulate_maxlog, BITS_PER_SYM
+from lteax.phy.channels import pdsch as pdsch_mod
+from lteax.phy.channels.pdsch import PdschGeometry, pdsch_geometry
+
+N_DATA_SYMS = 12           # normal CP: 14 symbols minus 2 DM-RS (3, 10)
+DMRS_SYMS = (3, 10)
+
+
+# ---------------------------------------------------------------------------
+# UL base sequences (36.211 §5.5.1) — ZC for >= 3 PRB
+# ---------------------------------------------------------------------------
+
+def _largest_prime_below(n: int) -> int:
+    for c in range(n - 1, 1, -1):
+        if all(c % d for d in range(2, int(c ** 0.5) + 1)):
+            return c
+    raise ValueError(n)
+
+
+@lru_cache(maxsize=None)
+def base_sequence(u: int, m_sc: int, v: int = 0) -> np.ndarray:
+    """r_{u,v}(n), length m_sc (>= 36: ZC cyclic extension; 12/24: QPSK
+    phase tables — only length 12 transcribed, see PUCCH module)."""
+    if m_sc >= 36:
+        n_zc = _largest_prime_below(m_sc)
+        qbar = n_zc * (u + 1) / 31.0
+        q = int(np.floor(qbar + 0.5)) + v * (-1) ** int(np.floor(2 * qbar))
+        m = np.arange(n_zc)
+        x = np.exp(-1j * np.pi * q * m * (m + 1) / n_zc)
+        return x[np.arange(m_sc) % n_zc].astype(np.complex64)
+    if m_sc == 12:
+        from lteax.phy.channels.pucch import PHI_M12
+        phi = np.asarray(PHI_M12[u])
+        return np.exp(1j * np.pi * phi / 4).astype(np.complex64)
+    raise NotImplementedError(f"base sequence length {m_sc}")
+
+
+def dmrs_pusch(n_cell_id: int, ns: int, m_sc: int, delta_ss: int = 0,
+               n_dmrs: int = 0) -> np.ndarray:
+    """DM-RS for slot ns (§5.5.2.1): base sequence with cyclic shift alpha.
+
+    Group hopping disabled; v = 0.  n_cs = (n_dmrs + n_pn(ns)) mod 12 with
+    n_pn from the §5.5.1.3-style PN sequence."""
+    fss = (n_cell_id + delta_ss) % 30
+    u = fss
+    c_init = (n_cell_id // 30) * 32 + fss
+    c = seq.gold_sequence_np(c_init, 8 * (ns + 1))
+    n_pn = int(np.sum(c[8 * ns: 8 * ns + 8] * (1 << np.arange(8))))
+    n_cs = (n_dmrs + n_pn) % 12
+    alpha = 2 * np.pi * n_cs / 12
+    r = base_sequence(u, m_sc)
+    n = np.arange(m_sc)
+    return (np.exp(1j * alpha * n) * r).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Channel interleaver (36.212 §5.2.2.8, data-only)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def channel_interleaver_idx(g: int, qm: int) -> np.ndarray:
+    """Index vector: out[i] = in[idx[i]] — writes row-major (Qm-bit groups,
+    C_mux=12 columns), reads column-major: time-first symbol mapping."""
+    c_mux = N_DATA_SYMS
+    assert g % (c_mux * qm) == 0, (g, qm)
+    r_mux = g // (c_mux * qm)
+    # group index matrix (r_mux, c_mux) written row-wise; read column-wise
+    grp = np.arange(r_mux * c_mux).reshape(r_mux, c_mux)
+    order = grp.T.reshape(-1)                      # column-major group order
+    idx = (order[:, None] * qm + np.arange(qm)[None, :]).reshape(-1)
+    return idx.astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def _inv(idx_key: tuple[int, int]) -> np.ndarray:
+    g, qm = idx_key
+    idx = channel_interleaver_idx(g, qm)
+    inv = np.empty_like(idx)
+    inv[idx] = np.arange(len(idx), dtype=np.int32)
+    return inv
+
+
+# ---------------------------------------------------------------------------
+# Codec
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PuschAlloc:
+    n_prb: int
+    rb_start: int
+    mcs_tbs: int          # TBS value
+    qm: int               # 2/4/6
+    rv: int = 0
+
+    @property
+    def m_sc(self) -> int:
+        return 12 * self.n_prb
+
+    @property
+    def n_re(self) -> int:
+        return self.m_sc * N_DATA_SYMS
+
+    @property
+    def geom(self) -> PdschGeometry:
+        return pdsch_geometry(self.mcs_tbs, self.n_re, self.qm, self.rv)
+
+    @property
+    def scheme(self) -> str:
+        return {2: "qpsk", 4: "16qam", 6: "64qam"}[self.qm]
+
+
+def _c_init(rnti, subframe, n_cell_id):
+    return (jnp.asarray(rnti, jnp.int32) * (2 ** 14)
+            + jnp.asarray(subframe, jnp.int32) * 512
+            + jnp.asarray(n_cell_id, jnp.int32))
+
+
+def pusch_encode_cbs(cbs: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
+                     n_cell_id) -> jnp.ndarray:
+    """(C, K_payload) codeblocks -> (14, m_sc) SC-FDMA frequency-domain
+    grid (before mapping into the full UL resource grid)."""
+    geom = alloc.geom
+    from lteax.phy.fec.crc import attach_crc
+    from lteax.phy.fec.turbo import turbo_encode_batch
+    from lteax.phy.channels.pdsch import _global_rm_idx
+    if geom.info.cb_crc:
+        cbs = attach_crc(cbs, "24B")
+    d = turbo_encode_batch(cbs, geom.k)
+    e = d.reshape(-1)[jnp.asarray(_global_rm_idx(geom))]
+    e = e[jnp.asarray(channel_interleaver_idx(geom.g, alloc.qm))]
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    sym = modulate((e + c) % 2, alloc.scheme)          # (n_re,)
+    # transform precoding: DFT per SC-FDMA symbol (time-first order after
+    # the channel interleaver: symbol s holds sym[s::12]... column-major
+    # read = groups ordered by column (symbol), so consecutive m_sc entries
+    # belong to one symbol.
+    data = sym.reshape(N_DATA_SYMS, alloc.m_sc)
+    f = jnp.fft.fft(data, axis=-1) / np.sqrt(alloc.m_sc)
+    # insert DM-RS symbols
+    ns0 = 2 * jnp.asarray(subframe, jnp.int32)
+    grid = jnp.zeros((14, alloc.m_sc), dtype=jnp.complex64)
+    data_syms = [s for s in range(14) if s not in DMRS_SYMS]
+    grid = grid.at[jnp.asarray(data_syms)].set(f.astype(jnp.complex64))
+    return grid
+
+
+def pusch_add_dmrs(grid: np.ndarray, alloc: PuschAlloc, n_cell_id: int,
+                   subframe: int, n_dmrs: int = 0) -> np.ndarray:
+    """Host-side: fill DM-RS symbols (3, 10) of the (14, m_sc) grid."""
+    g = np.asarray(grid).copy()
+    for slot_i, sym in enumerate(DMRS_SYMS):
+        ns = 2 * subframe + slot_i
+        g[sym] = dmrs_pusch(n_cell_id, ns, alloc.m_sc, n_dmrs=n_dmrs)
+    return g
+
+
+def pusch_decode(grid: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
+                 n_cell_id, noise_var: float = 1e-3, n_dmrs: int = 0,
+                 n_iter: int = 6):
+    """(14, m_sc) received SC-FDMA grid -> (tb_bits, tb_ok, cb_oks).
+
+    LS channel estimate per slot from DM-RS, linear time interpolation,
+    MMSE equalization, IDFT de-precoding, max-log demap, de-interleave,
+    de-match, turbo decode."""
+    geom = alloc.geom
+    m_sc = alloc.m_sc
+    # channel estimates at DM-RS symbols
+    h_slots = []
+    for slot_i, sym in enumerate(DMRS_SYMS):
+        ns = 2 * subframe + slot_i
+        ref = jnp.asarray(dmrs_pusch(n_cell_id, ns, m_sc, n_dmrs=n_dmrs))
+        h_slots.append(grid[sym] * jnp.conj(ref))
+    h0, h1 = h_slots
+    data_syms = [s for s in range(14) if s not in DMRS_SYMS]
+    w = jnp.asarray([(s - DMRS_SYMS[0]) / (DMRS_SYMS[1] - DMRS_SYMS[0])
+                     for s in data_syms], dtype=jnp.float32)
+    w = jnp.clip(w, 0.0, 1.0)[:, None]
+    h = (1 - w) * h0[None, :] + w * h1[None, :]        # (12, m_sc)
+    y = grid[jnp.asarray(data_syms)]
+    p = jnp.abs(h) ** 2
+    x_f = y * jnp.conj(h) / (p + noise_var)
+    scale = p / (p + noise_var)
+    x_f = x_f / jnp.maximum(scale, 1e-12)
+    # IDFT de-precoding
+    x_t = jnp.fft.ifft(x_f, axis=-1) * np.sqrt(m_sc)
+    # effective post-IDFT noise: average over the symbol's subcarriers
+    eff_nv = jnp.mean(noise_var / jnp.maximum(p, 1e-12), axis=-1,
+                      keepdims=True) * jnp.ones_like(p)
+    llr = demodulate_maxlog(x_t.reshape(-1), alloc.scheme,
+                            eff_nv.reshape(-1))
+    # descramble FIRST (scrambling was applied after interleaving), then
+    # undo the channel interleaver
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    llr = llr * (1.0 - 2.0 * c).astype(llr.dtype)
+    llr = llr[jnp.asarray(_inv((geom.g, alloc.qm)))]
+    from lteax.phy.channels.pdsch import _global_rm_idx
+    from lteax.phy.fec.turbo import turbo_decode_batch
+    from lteax.phy.fec.crc import check_crc
+    d_len = geom.k + 4
+    buf = jnp.zeros((geom.info.c * 3 * d_len,), dtype=llr.dtype)
+    buf = buf.at[jnp.asarray(_global_rm_idx(geom))].add(llr)
+    bits = turbo_decode_batch(buf.reshape(geom.info.c, 3, d_len), geom.k,
+                              n_iter=n_iter)
+    if geom.info.cb_crc:
+        payload, cb_oks = check_crc(bits, "24B")
+    else:
+        payload, cb_oks = bits, jnp.ones((geom.info.c,), dtype=bool)
+    tb_with_crc = pdsch_mod.desegment_device(payload, geom.info)
+    tb, ok = check_crc(tb_with_crc, "24A")
+    return tb, ok, cb_oks

@@ -1,0 +1,118 @@
+"""UL phase: PRACH, PUSCH, PUCCH loopbacks."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lteax.phy.channels import prach, pusch, pucch
+from lteax.phy.channels.pdsch import pdsch_prepare_cbs
+
+
+def test_prach_roundtrip():
+    rng = np.random.default_rng(0)
+    u, ncs = 129, 119
+    ncp = prach.PRACH_FORMATS[0][0]
+    for v, delay in ((0, 0), (3, 60), (6, 200)):
+        burst = prach.generate_prach(u, v, ncs)
+        rx = np.concatenate([np.zeros(delay, np.complex64), burst])
+        rx = rx + 0.05 * (rng.standard_normal(len(rx))
+                          + 1j * rng.standard_normal(len(rx)))
+        dets = prach.detect_prach(rx[ncp:].astype(np.complex64), u, ncs)
+        assert dets, (v, delay)
+        best = max(dets, key=lambda t: t[2])
+        assert best[0] == v
+        assert abs(best[1] - delay) <= 30   # one ZC-sample granularity
+
+
+def test_prach_no_false_alarm():
+    rng = np.random.default_rng(1)
+    noise = (rng.standard_normal(30000)
+             + 1j * rng.standard_normal(30000)).astype(np.complex64)
+    dets = prach.detect_prach(noise, 129, 119, threshold=13.0)
+    assert dets == []
+
+
+def test_pusch_loopback():
+    rng = np.random.default_rng(2)
+    cid, sf, rnti = 301, 4, 0x5DEF
+    alloc = pusch.PuschAlloc(n_prb=6, rb_start=0, mcs_tbs=1032, qm=4)
+    tb = rng.integers(0, 2, size=alloc.mcs_tbs).astype(np.int32)
+    cbs = jnp.asarray(pdsch_prepare_cbs(tb, alloc.geom))
+    grid = pusch.pusch_encode_cbs(cbs, alloc, rnti, sf, cid)
+    grid = pusch.pusch_add_dmrs(np.asarray(grid), alloc, cid, sf)
+    # flat channel + noise
+    h = np.complex64(0.9 * np.exp(1j * 0.4))
+    nv = 1e-3
+    rx = grid * h + (rng.standard_normal(grid.shape)
+                     + 1j * rng.standard_normal(grid.shape)) * np.sqrt(nv / 2)
+    tb_hat, ok, cb_oks = pusch.pusch_decode(jnp.asarray(rx.astype(np.complex64)),
+                                            alloc, rnti, sf, cid,
+                                            noise_var=nv, n_iter=5)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+
+
+def test_pusch_papr_reduced():
+    """Transform precoding must lower PAPR vs plain OFDM mapping."""
+    rng = np.random.default_rng(3)
+    cid, sf, rnti = 10, 2, 0x100
+    alloc = pusch.PuschAlloc(n_prb=6, rb_start=0, mcs_tbs=504, qm=2)
+    tb = rng.integers(0, 2, size=alloc.mcs_tbs).astype(np.int32)
+    cbs = jnp.asarray(pdsch_prepare_cbs(tb, alloc.geom))
+    grid = np.asarray(pusch.pusch_encode_cbs(cbs, alloc, rnti, sf, cid))
+    t = np.fft.ifft(grid[0])
+    papr_scfdma = np.max(np.abs(t) ** 2) / np.mean(np.abs(t) ** 2)
+    # plain OFDM comparison: same QPSK symbols without DFT precoding
+    q = (1 - 2 * rng.integers(0, 2, 72) + 1j * (1 - 2 * rng.integers(0, 2, 72))) / np.sqrt(2)
+    t2 = np.fft.ifft(q)
+    papr_ofdm = np.max(np.abs(t2) ** 2) / np.mean(np.abs(t2) ** 2)
+    assert papr_scfdma < papr_ofdm
+
+
+def test_pucch_format1():
+    cid, sf = 77, 3
+    for bits in ((), (0,), (1,), (0, 1), (1, 1)):
+        g = pucch.pucch_format1_encode(bits, cid, sf, alpha_idx=5, oc_idx=1)
+        rng = np.random.default_rng(4)
+        rx = g * np.complex64(0.8 * np.exp(1j * 1.1)) \
+            + 0.05 * (rng.standard_normal(g.shape)
+                      + 1j * rng.standard_normal(g.shape))
+        got, metric = pucch.pucch_format1_decode(rx.astype(np.complex64), cid,
+                                                 sf, alpha_idx=5, oc_idx=1,
+                                                 n_bits=len(bits))
+        assert got == bits
+        assert metric > 0
+
+
+def test_pucch_format1_code_multiplexing():
+    """Two UEs on different cyclic shifts decode independently."""
+    cid, sf = 123, 6
+    g1 = pucch.pucch_format1_encode((1,), cid, sf, alpha_idx=0, oc_idx=0)
+    g2 = pucch.pucch_format1_encode((0,), cid, sf, alpha_idx=6, oc_idx=1)
+    rx = (g1 + g2).astype(np.complex64)
+    b1, _ = pucch.pucch_format1_decode(rx, cid, sf, 0, 0, n_bits=1)
+    b2, _ = pucch.pucch_format1_decode(rx, cid, sf, 6, 1, n_bits=1)
+    assert b1 == (1,) and b2 == (0,)
+
+
+def test_pucch_format2():
+    rng = np.random.default_rng(5)
+    cid, sf, rnti = 200, 1, 0x41
+    for a in (4, 8, 11):
+        bits = rng.integers(0, 2, size=a).astype(np.int32)
+        g = pucch.pucch_format2_encode(bits, cid, sf, rnti, alpha_idx=2)
+        rx = g * np.complex64(1.1 * np.exp(-1j * 0.3)) \
+            + 0.05 * (rng.standard_normal(g.shape)
+                      + 1j * rng.standard_normal(g.shape))
+        got, _ = pucch.pucch_format2_decode(rx.astype(np.complex64), cid, sf,
+                                            rnti, a, alpha_idx=2)
+        np.testing.assert_array_equal(got, bits)
+
+
+def test_rm20_roundtrip():
+    rng = np.random.default_rng(6)
+    for a in (1, 6, 13):
+        bits = rng.integers(0, 2, size=a).astype(np.int64)
+        cw = pucch.rm20_encode(bits)
+        llr = (1.0 - 2.0 * cw).astype(np.float32)
+        got, _ = pucch.rm20_decode(llr, a)
+        np.testing.assert_array_equal(got, bits)
