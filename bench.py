@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 
 def main():
+    try:  # persistent compile cache (first compile on this backend is slow)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lteax_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     from lteax.phy.config import PhyConfig
     from lteax.phy import seq
     from lteax.phy.grid import crs_flat_idx, crs_symbols, pdsch_flat_idx

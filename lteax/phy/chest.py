@@ -104,21 +104,89 @@ def estimate_channel(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
     return h
 
 
-def estimate_noise_var(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
-                       subframe: int, port: int = 0) -> jnp.ndarray:
-    """Noise variance from CRS second differences across frequency.
+@lru_cache(maxsize=None)
+def _mmse_pilot_corr(cfg: PhyConfig, shift: int, tau_max_us: float
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Frequency-correlation matrices for Wiener (MMSE) interpolation.
 
-    For white noise the second difference of LS estimates has variance
-    6*sigma^2 (and cancels linear channel variation)."""
+    Uniform power-delay profile over [0, tau_max]:
+      r(dk) = E[H(k) H*(k+dk)] = exp(-j pi dk df tau) sinc(dk df tau).
+    Returns (R_dp (n_sc, n_p), R_pp (n_p, n_p))."""
+    df = 15e3
+    tau = tau_max_us * 1e-6
+    n_p = 2 * cfg.n_rb_dl
+    # use TRUE signed FFT frequencies: the occupied band skips DC, so
+    # subcarrier-index differences are off by one across the center
+    bins = cfg.sc_to_fft_bin.astype(np.int64)
+    f = ((bins + cfg.n_fft // 2) % cfg.n_fft) - cfg.n_fft // 2
+    pk = f[shift + 6 * np.arange(n_p)]
+    allk = f
+
+    def r(dk):
+        x = dk * df * tau
+        return np.exp(-1j * np.pi * x) * np.sinc(x)
+
+    r_dp = r(allk[:, None] - pk[None, :]).astype(np.complex64)
+    r_pp = r(pk[:, None] - pk[None, :]).astype(np.complex64)
+    return r_dp, r_pp
+
+
+def estimate_channel_mmse(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
+                          subframe: int, port: int, noise_var,
+                          tau_max_us: float = 5.0) -> jnp.ndarray:
+    """Wiener (MMSE) frequency interpolation + linear time interpolation.
+
+    The LS->MMSE upgrade of BASELINE.json config #3: per pilot symbol,
+    H = R_dp (R_pp + nv I)^{-1} h_ls — one (n_p x n_p) solve + one matmul,
+    batched over pilot symbols; robust under frequency-selective fading
+    where linear interpolation breaks."""
     syms = crs_symbols(port, cfg)
     flat = grid.reshape(*grid.shape[:-2], -1)
     pidx = jnp.asarray(crs_flat_idx(cfg, n_cell_id, port)
                        .reshape(len(syms), 2 * cfg.n_rb_dl))
     rx = flat[..., pidx]
     ref = jnp.asarray(_crs_ref_values(cfg, n_cell_id, port, subframe))
-    h_ls = rx * jnp.conj(ref)
-    d2 = h_ls[..., :-2] - 2 * h_ls[..., 1:-1] + h_ls[..., 2:]
-    nv = jnp.mean(jnp.abs(d2) ** 2, axis=(-2, -1)) / 6.0
+    h_ls = rx * jnp.conj(ref)                              # (..., n_ps, n_p)
+    vs = n_cell_id % 6
+    nv = jnp.asarray(noise_var, dtype=jnp.complex64)
+    cols = []
+    for i, sym in enumerate(syms):
+        slot = sym // cfg.n_sym_slot
+        l = sym % cfg.n_sym_slot
+        shift = (_crs_v(port, l, slot) + vs) % 6
+        r_dp, r_pp = _mmse_pilot_corr(cfg, shift, tau_max_us)
+        a = jnp.asarray(r_pp) + nv * jnp.eye(r_pp.shape[0], dtype=jnp.complex64)
+        sol = jnp.linalg.solve(a, h_ls[..., i, :][..., None])[..., 0]
+        cols.append(sol @ jnp.asarray(r_dp).T)
+    h_f = jnp.stack(cols, axis=-2)
+    wt = jnp.asarray(_time_interp_matrix(cfg, syms)).astype(jnp.complex64)
+    return jnp.einsum("sp,...pk->...sk", wt, h_f)
+
+
+def estimate_noise_var(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
+                       subframe: int, port: int = 0) -> jnp.ndarray:
+    """Noise variance from the CRS delay-domain (CIR) noise floor.
+
+    IFFT the pilot-comb LS estimates: channel energy concentrates in early
+    delay taps, so the mid-delay region is noise-only.  Unlike the naive
+    second-difference estimator this is unbiased under frequency-selective
+    channels (which would otherwise inflate the estimate ~6x under EVA and
+    over-regularize the MMSE interpolator)."""
+    syms = crs_symbols(port, cfg)
+    flat = grid.reshape(*grid.shape[:-2], -1)
+    pidx = jnp.asarray(crs_flat_idx(cfg, n_cell_id, port)
+                       .reshape(len(syms), 2 * cfg.n_rb_dl))
+    rx = flat[..., pidx]
+    ref = jnp.asarray(_crs_ref_values(cfg, n_cell_id, port, subframe))
+    h_ls = rx * jnp.conj(ref)                       # (..., n_ps, n_p)
+    # Same-comb-shift symbol pairs (l=0 of each slot; l=4 of each slot for
+    # ports 0/1): their LS difference is pure noise for channels static over
+    # half a subframe — unbiased under arbitrary frequency selectivity
+    # (difference/IFFT-floor/subspace estimators all leak channel power).
+    # At high Doppler this gracefully over-regularizes the MMSE filter.
+    n_half = h_ls.shape[-2] // 2
+    d = h_ls[..., :n_half, :] - h_ls[..., n_half:2 * n_half, :]
+    nv = jnp.mean(jnp.abs(d) ** 2, axis=(-2, -1)) / 2.0
     return jnp.maximum(nv, 1e-6)
 
 

@@ -125,105 +125,72 @@ def _n_windows(n: int, win: int) -> int:
     return -(-n // win)
 
 
-def _alpha_sweep(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int) -> jnp.ndarray:
-    """Forward metrics.  u = Ls+La per step (N,), v = Lp per step (N,).
+def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int):
+    """Forward AND backward metrics in ONE scan (halves sequential steps —
+    the decoder is latency-bound on TPU, not compute-bound).
 
-    Returns alphas (N, 8): alpha_k = metrics *before* consuming step k.
-    Windowed: each window w covers steps [w*win, (w+1)*win); acquisition
-    starts ``acq`` steps earlier from uniform metrics (window 0 starts exactly
-    from state 0).
-    """
-    _, _, _, prev, in_ss, in_ps = _trellis()
-    prev = jnp.asarray(prev)
-    in_ss, in_ps = jnp.asarray(in_ss), jnp.asarray(in_ps)
+    Returns (alphas (N, 8) = alpha_k before step k,
+             betas  (N, 8) = beta_{k+1} aligned to step k)."""
+    ns, ssign, psign, prev, in_ss, in_ps = _trellis()
+    ns_j = jnp.asarray(ns)
+    ssign_j, psign_j = jnp.asarray(ssign), jnp.asarray(psign)
+    prev_j = jnp.asarray(prev)
+    in_ss_j, in_ps_j = jnp.asarray(in_ss), jnp.asarray(in_ps)
 
     n = u.shape[0]
     n_w = _n_windows(n, win)
     total = acq + win
-    # gather per-window step inputs at positions p = w*win - acq + t
-    pos = (jnp.arange(n_w)[:, None] * win - acq + jnp.arange(total)[None, :])
-    valid = (pos >= 0) & (pos < n)
-    pclip = jnp.clip(pos, 0, n - 1)
-    u_w = jnp.where(valid, u[pclip], 0.0)   # (n_w, total)
-    v_w = jnp.where(valid, v[pclip], 0.0)
-    frozen = ~valid
+
+    # alpha geometry: window w, step t -> position w*win - acq + t
+    pos_a = (jnp.arange(n_w)[:, None] * win - acq + jnp.arange(total)[None, :])
+    # beta geometry: backward from (w+1)*win + acq - 1
+    pos_b = ((jnp.arange(n_w)[:, None] + 1) * win + acq - 1
+             - jnp.arange(total)[None, :])
+
+    def gather(pos):
+        valid = (pos >= 0) & (pos < n)
+        pc = jnp.clip(pos, 0, n - 1)
+        return (jnp.where(valid, u[pc], 0.0).T, jnp.where(valid, v[pc], 0.0).T,
+                (~valid).T)       # (total, n_w) each
+
+    ua, va, fza = gather(pos_a)
+    ub, vb, fzb = gather(pos_b)
 
     a0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype)
-    a0 = a0.at[0].set(jnp.full((8,), NEG).at[0].set(0.0))  # exact start state
-    a0 = a0 + 0.0 * u[0]   # inherit mesh-varying type under shard_map
+    a0 = a0.at[0].set(jnp.full((8,), NEG).at[0].set(0.0))
+    b0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype)
+    b0 = b0.at[n_w - 1].set(jnp.full((8,), NEG).at[0].set(0.0))
+    a0 = a0 + 0.0 * u[0]
+    b0 = b0 + 0.0 * u[0]
 
-    def step2(a, inp):
-        uu, vv, fz = inp
-        gamma = 0.5 * (in_ss[None] * uu[:, None, None]
-                       + in_ps[None] * vv[:, None, None])
-        cand = jnp.take(a, prev.reshape(-1), axis=1).reshape(-1, 8, 2) + gamma
+    def step(carry, inp):
+        a, b = carry
+        uu_a, vv_a, fz_a, uu_b, vv_b, fz_b = inp
+        # forward ACS
+        g_a = 0.5 * (in_ss_j[None] * uu_a[:, None, None]
+                     + in_ps_j[None] * vv_a[:, None, None])
+        cand = jnp.take(a, prev_j.reshape(-1), axis=1).reshape(-1, 8, 2) + g_a
         a_new = jnp.max(cand, axis=-1)
         a_new = a_new - jnp.max(a_new, axis=-1, keepdims=True)
-        a_next = jnp.where(fz[:, None], a, a_new)
-        return a_next, a
-
-    xs = (u_w.T, v_w.T, frozen.T)      # scan over the ``total`` axis
-    _, alphas = jax.lax.scan(step2, a0, xs)
-    # alphas: (total, n_w, 8) = alpha before each step; keep the window part
-    alphas = alphas[acq:]                       # (win, n_w, 8)
-    alphas = jnp.moveaxis(alphas, 0, 1).reshape(n_w * win, 8)
-    return alphas[:n]
-
-
-def _beta_sweep(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int) -> jnp.ndarray:
-    """Backward metrics.  Returns betas (N, 8): beta_{k+1} aligned to step k.
-
-    Termination: beta_N = exact state 0 (trellis is terminated)."""
-    ns, ssign, psign, _, _, _ = _trellis()
-    ns = jnp.asarray(ns)
-    ssign, psign = jnp.asarray(ssign), jnp.asarray(psign)
-
-    n = u.shape[0]
-    n_w = _n_windows(n, win)
-    total = acq + win
-    # window w covers steps [w*win, (w+1)*win); scan backwards from
-    # p = (w+1)*win + acq - 1 down to w*win.
-    pos = ((jnp.arange(n_w)[:, None] + 1) * win + acq - 1
-           - jnp.arange(total)[None, :])
-    valid = (pos >= 0) & (pos < n)
-    pclip = jnp.clip(pos, 0, n - 1)
-    u_w = jnp.where(valid, u[pclip], 0.0)
-    v_w = jnp.where(valid, v[pclip], 0.0)
-    frozen = ~valid
-
-    b0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype)
-    # windows whose acquisition region extends past N-1 never actually reach
-    # the terminated end inside valid steps — except the last window, whose
-    # *first valid* backward step is exactly step n-1.  Initialize it to the
-    # exact termination metric (state 0); frozen steps keep it intact until
-    # the first valid step.
-    b0 = b0.at[n_w - 1].set(jnp.full((8,), NEG).at[0].set(0.0))
-    b0 = b0 + 0.0 * u[0]   # inherit mesh-varying type under shard_map
-
-    def step(b, inp):
-        uu, vv, fz = inp
-        gamma = 0.5 * (ssign[None] * uu[:, None, None]
-                       + psign[None] * vv[:, None, None])   # (n_w, 8, 2)
-        cand = jnp.take(b, ns.reshape(-1), axis=1).reshape(-1, 8, 2) + gamma
-        b_new = jnp.max(cand, axis=-1)
+        a_next = jnp.where(fz_a[:, None], a, a_new)
+        # backward ACS
+        g_b = 0.5 * (ssign_j[None] * uu_b[:, None, None]
+                     + psign_j[None] * vv_b[:, None, None])
+        cand_b = jnp.take(b, ns_j.reshape(-1), axis=1).reshape(-1, 8, 2) + g_b
+        b_new = jnp.max(cand_b, axis=-1)
         b_new = b_new - jnp.max(b_new, axis=-1, keepdims=True)
-        b_next = jnp.where(fz[:, None], b, b_new)
-        return b_next, b_next
+        b_next = jnp.where(fz_b[:, None], b, b_new)
+        return (a_next, b_next), (a, b)
 
-    xs = (u_w.T, v_w.T, frozen.T)
-    _, betas = jax.lax.scan(step, b0, xs)
-    # betas[t] = beta at the *entry* of backward step t == beta_{pos[t]} ...
-    # betas stacked along scan: betas[t, w] = beta_{pos[w,t]} (i.e. beta after
-    # processing step pos[w,t], which is beta_{pos} aligned as beta_k).
-    # We need beta_{k+1} for step k: that is the carry *before* processing
-    # step k, i.e. betas[t-1] for pos[t]=k, or b0 for the first.  Reconstruct:
-    betas_in = jnp.concatenate([b0[None], betas[:-1]], axis=0)  # (total, n_w, 8)
-    betas_in = betas_in[acq:]                     # keep window part: steps
-    # pos within window part: t in [acq, total) -> k = (w+1)*win - 1 - (t-acq)
-    # i.e. reversed order within each window.
-    betas_in = betas_in[::-1]                     # ascending k within window
-    betas_in = jnp.moveaxis(betas_in, 0, 1).reshape(n_w * win, 8)
-    return betas_in[:n]
+    (_, _), (alphas, betas_in) = jax.lax.scan(
+        step, (a0, b0), (ua, va, fza, ub, vb, fzb))
+    # alphas[t] = alpha before step pos_a[:, t]; window part ascending k
+    alphas = alphas[acq:]
+    alphas = jnp.moveaxis(alphas, 0, 1).reshape(n_w * win, 8)[:n]
+    # betas_in[t] = beta before processing step pos_b[:, t] == beta_{pos+1}
+    betas_in = betas_in[acq:][::-1]
+    betas_in = jnp.moveaxis(betas_in, 0, 1).reshape(n_w * win, 8)[:n]
+    return alphas, betas_in
 
 
 def _half_iteration(u, v, win, acq):
@@ -234,8 +201,7 @@ def _half_iteration(u, v, win, acq):
     ns_j = jnp.asarray(ns)
     ssign_j, psign_j = jnp.asarray(ssign), jnp.asarray(psign)
 
-    alphas = _alpha_sweep(u, v, win, acq)    # (N, 8)
-    betas = _beta_sweep(u, v, win, acq)      # (N, 8) = beta_{k+1}
+    alphas, betas = _fused_sweeps(u, v, win, acq)   # (N, 8) x2
     gamma = 0.5 * (ssign_j[None] * u[:, None, None]
                    + psign_j[None] * v[:, None, None])       # (N, 8, 2)
     metric = alphas[:, :, None] + gamma + jnp.take(betas, ns_j.reshape(-1),
@@ -246,7 +212,7 @@ def _half_iteration(u, v, win, acq):
 
 
 def turbo_decode(llr_d: jnp.ndarray, k: int, n_iter: int = 8,
-                 win: int = 96, acq: int = 32,
+                 win: int = 32, acq: int = 16,
                  ext_scale: float = 0.75) -> jnp.ndarray:
     """Max-log-MAP turbo decode of one codeblock.
 
@@ -292,6 +258,6 @@ def turbo_decode(llr_d: jnp.ndarray, k: int, n_iter: int = 8,
 
 
 def turbo_decode_batch(llr_d: jnp.ndarray, k: int, n_iter: int = 8,
-                       win: int = 96, acq: int = 32) -> jnp.ndarray:
+                       win: int = 32, acq: int = 16) -> jnp.ndarray:
     """(C, 3, K+4) -> (C, K)."""
     return jax.vmap(lambda x: turbo_decode(x, k, n_iter, win, acq))(llr_d)
