@@ -125,12 +125,20 @@ def _n_windows(n: int, win: int) -> int:
     return -(-n // win)
 
 
-def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int):
+def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int,
+                  a_init=None, b_init=None):
     """Forward AND backward metrics in ONE scan (halves sequential steps —
     the decoder is latency-bound on TPU, not compute-bound).
 
+    ``a_init``/``b_init`` (n_w, 8): window-boundary metrics from the
+    previous turbo iteration (NII — next-iteration initialization).  With
+    NII the short acquisition suffices even for heavily punctured
+    high-rate transmissions, where cold uniform starts fail.
+
     Returns (alphas (N, 8) = alpha_k before step k,
-             betas  (N, 8) = beta_{k+1} aligned to step k)."""
+             betas  (N, 8) = beta_{k+1} aligned to step k,
+             a_end (n_w, 8) = alpha at each window's right boundary,
+             b_end (n_w, 8) = beta at each window's left boundary)."""
     ns, ssign, psign, prev, in_ss, in_ps = _trellis()
     ns_j = jnp.asarray(ns)
     ssign_j, psign_j = jnp.asarray(ssign), jnp.asarray(psign)
@@ -156,33 +164,42 @@ def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int):
     ua, va, fza = gather(pos_a)
     ub, vb, fzb = gather(pos_b)
 
-    a0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype)
-    a0 = a0.at[0].set(jnp.full((8,), NEG).at[0].set(0.0))
-    b0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype)
-    b0 = b0.at[n_w - 1].set(jnp.full((8,), NEG).at[0].set(0.0))
+    a0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype) if a_init is None else a_init
+    a0 = a0.at[0].set(jnp.full((8,), NEG).at[0].set(0.0))  # exact start
+    b0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype) if b_init is None else b_init
+    b0 = b0.at[n_w - 1].set(jnp.full((8,), NEG).at[0].set(0.0))  # termination
     a0 = a0 + 0.0 * u[0]
     b0 = b0 + 0.0 * u[0]
+
+    # gather-free trellis wiring (this trellis is a radix-2 butterfly):
+    #  * predecessors of new state s' are ((s'&3)<<1 | t): a reshape+tile
+    #  * successors of s are {s>>1, 4+(s>>1)} picked by parity p(s)=d2^d3
+    p_mask = jnp.asarray(np.array([(s >> 1 & 1) ^ (s & 1) for s in range(8)],
+                                  dtype=bool))
 
     def step(carry, inp):
         a, b = carry
         uu_a, vv_a, fz_a, uu_b, vv_b, fz_b = inp
-        # forward ACS
+        # forward ACS: pairs (a[2j], a[2j+1]) feed new states j and j+4
         g_a = 0.5 * (in_ss_j[None] * uu_a[:, None, None]
                      + in_ps_j[None] * vv_a[:, None, None])
-        cand = jnp.take(a, prev_j.reshape(-1), axis=1).reshape(-1, 8, 2) + g_a
+        e = a.reshape(-1, 4, 2)
+        cand = jnp.concatenate([e, e], axis=1) + g_a      # (n_w, 8, 2)
         a_new = jnp.max(cand, axis=-1)
-        a_new = a_new - jnp.max(a_new, axis=-1, keepdims=True)
         a_next = jnp.where(fz_a[:, None], a, a_new)
         # backward ACS
         g_b = 0.5 * (ssign_j[None] * uu_b[:, None, None]
                      + psign_j[None] * vv_b[:, None, None])
-        cand_b = jnp.take(b, ns_j.reshape(-1), axis=1).reshape(-1, 8, 2) + g_b
+        low = jnp.repeat(b[:, 0:4], 2, axis=1)            # beta[s>>1]
+        high = jnp.repeat(b[:, 4:8], 2, axis=1)           # beta[4+(s>>1)]
+        sel0 = jnp.where(p_mask, high, low)               # input bit 0: w=p(s)
+        sel1 = jnp.where(p_mask, low, high)
+        cand_b = jnp.stack([sel0, sel1], axis=-1) + g_b
         b_new = jnp.max(cand_b, axis=-1)
-        b_new = b_new - jnp.max(b_new, axis=-1, keepdims=True)
         b_next = jnp.where(fz_b[:, None], b, b_new)
         return (a_next, b_next), (a, b)
 
-    (_, _), (alphas, betas_in) = jax.lax.scan(
+    (a_fin, b_fin), (alphas, betas_in) = jax.lax.scan(
         step, (a0, b0), (ua, va, fza, ub, vb, fzb))
     # alphas[t] = alpha before step pos_a[:, t]; window part ascending k
     alphas = alphas[acq:]
@@ -190,25 +207,40 @@ def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int):
     # betas_in[t] = beta before processing step pos_b[:, t] == beta_{pos+1}
     betas_in = betas_in[acq:][::-1]
     betas_in = jnp.moveaxis(betas_in, 0, 1).reshape(n_w * win, 8)[:n]
-    return alphas, betas_in
+    # final carries: a_fin[w] = alpha_{(w+1)*win}, b_fin[w] = beta_{w*win}
+    return alphas, betas_in, a_fin, b_fin
 
 
-def _half_iteration(u, v, win, acq):
+def _half_iteration(u, v, win, acq, inits=None):
     """Max-log-MAP half-iteration.  u = Ls+La (N,), v = Lp (N,).
 
-    Returns full APP LLRs L (N,) (log P0/P1)."""
+    Returns (full APP LLRs L (N,), next-iteration window inits)."""
     ns, ssign, psign, _, _, _ = _trellis()
     ns_j = jnp.asarray(ns)
     ssign_j, psign_j = jnp.asarray(ssign), jnp.asarray(psign)
 
-    alphas, betas = _fused_sweeps(u, v, win, acq)   # (N, 8) x2
+    a_init, b_init = (None, None) if inits is None else inits
+    alphas, betas, a_fin, b_fin = _fused_sweeps(u, v, win, acq,
+                                                a_init, b_init)
     gamma = 0.5 * (ssign_j[None] * u[:, None, None]
                    + psign_j[None] * v[:, None, None])       # (N, 8, 2)
     metric = alphas[:, :, None] + gamma + jnp.take(betas, ns_j.reshape(-1),
                                                    axis=1).reshape(-1, 8, 2)
     l0 = jnp.max(metric[..., 0], axis=-1)
     l1 = jnp.max(metric[..., 1], axis=-1)
-    return l0 - l1
+    # NII: next iteration's window w begins its acquisition at position
+    # w*win - acq (alpha) / (w+1)*win + acq - 1 (beta, exclusive) — seed it
+    # with THIS iteration's metrics at exactly those positions.
+    n = u.shape[0]
+    n_w = _n_windows(n, win)
+    w_idx = jnp.arange(n_w)
+    a_pos = jnp.clip(w_idx * win - acq, 0, n - 1)
+    b_pos = jnp.clip((w_idx + 1) * win + acq - 1, 0, n - 1)
+    a_next = alphas[a_pos]               # alpha_{w*win - acq}
+    b_next = betas[b_pos]                # beta_{pos+1}
+    a_next = a_next - jnp.max(a_next, axis=-1, keepdims=True)
+    b_next = b_next - jnp.max(b_next, axis=-1, keepdims=True)
+    return l0 - l1, (a_next, b_next)
 
 
 def turbo_decode(llr_d: jnp.ndarray, k: int, n_iter: int = 8,
@@ -239,20 +271,28 @@ def turbo_decode(llr_d: jnp.ndarray, k: int, n_iter: int = 8,
     v1 = jnp.concatenate([lp1, par_t1])
     v2 = jnp.concatenate([lp2, par_t2])
 
-    def body(le21, _):
+    n_w = _n_windows(k + 3, win)
+    zero = jnp.zeros((n_w, 8), ls.dtype) + 0.0 * ls[0]  # mesh-varying type
+    zero_init = (zero, zero)
+
+    def body(carry, _):
+        le21, inits1, inits2 = carry
         la1 = le21                                   # natural order
         u1 = jnp.concatenate([ls + la1, u1_tail])
-        l1 = _half_iteration(u1, v1, win, acq)[:k]
+        l1, inits1 = _half_iteration(u1, v1, win, acq, inits1)
+        l1 = l1[:k]
         le12 = ext_scale * (l1 - ls - la1)
         la2 = le12[pi]
         u2 = jnp.concatenate([ls_int + la2, u2_tail])
-        l2 = _half_iteration(u2, v2, win, acq)[:k]
+        l2, inits2 = _half_iteration(u2, v2, win, acq, inits2)
+        l2 = l2[:k]
         le21_int = ext_scale * (l2 - ls_int - la2)
         le21_new = le21_int[inv]
         l_total = (l2)[inv]
-        return le21_new, l_total
+        return (le21_new, inits1, inits2), l_total
 
-    _, l_hist = jax.lax.scan(body, jnp.zeros_like(ls), None, length=n_iter)
+    (_, _, _), l_hist = jax.lax.scan(
+        body, (jnp.zeros_like(ls), zero_init, zero_init), None, length=n_iter)
     l_final = l_hist[-1]
     return (l_final < 0).astype(jnp.int32)
 
