@@ -44,16 +44,27 @@ def scan_channel(ch: Channel, cfg: PhyConfig) -> ScanResult:
     return scan(x, cfg)
 
 
-def scan_channels(chans: list[Channel], cfg: PhyConfig) -> list[dict]:
+def scan_channels(chans: list[Channel], cfg: PhyConfig,
+                  checkpoint_path: str | None = None) -> list[dict]:
     """Scan every channel; returns JSON-able report dicts.
 
     Heavy per-channel stages (resample, PSS correlation, subframe demod,
     turbo decode) are device-batched inside ``scan``; the channel loop is
     host control-plane.  The pod-scale variant shards this loop over the
     ``chan`` mesh axis (shard/mesh.py).
+
+    With ``checkpoint_path``, finished channels are persisted and skipped
+    on restart (idempotent work units, SURVEY.md §5 failure recovery).
     """
+    ckpt = None
+    if checkpoint_path:
+        from lteax.utils.checkpoint import ScanCheckpoint
+        ckpt = ScanCheckpoint(checkpoint_path)
     reports = []
     for ch in chans:
+        if ckpt is not None and ckpt.done(ch.label):
+            reports.append(ckpt.result(ch.label))
+            continue
         try:
             r = scan_channel(ch, cfg)
             d = json.loads(r.to_json())
@@ -66,6 +77,8 @@ def scan_channels(chans: list[Channel], cfg: PhyConfig) -> list[dict]:
                 d["band"] = bands.band_of_dl_earfcn(int(ch.label))
             except ValueError:
                 pass
+        if ckpt is not None:
+            ckpt.record(ch.label, d)
         reports.append(d)
     return reports
 

@@ -1,0 +1,85 @@
+"""NAS EMM/ESM codec + security-protected wrapping + full AKA flow."""
+
+import numpy as np
+
+from lteax.stack import nas, security
+
+
+def test_attach_request_roundtrip():
+    esm = nas.pack_pdn_connectivity_request(nas.PdnConnectivityRequest())
+    m = nas.AttachRequest(imsi=(0, 0, 1, 0, 1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0),
+                          esm_container=esm)
+    back = nas.unpack_attach_request(nas.pack_attach_request(m))
+    assert back is not None
+    assert back.imsi == m.imsi
+    assert back.esm_container == esm
+
+
+def test_auth_roundtrip():
+    a = nas.AuthRequest(ksi=2, rand=bytes(range(16)), autn=bytes(range(16, 32)))
+    b = nas.unpack_auth_request(nas.pack_auth_request(a))
+    assert b == a
+    r = nas.AuthResponse(res=b"\x01" * 8)
+    assert nas.unpack_auth_response(nas.pack_auth_response(r)) == r
+
+
+def test_smc_and_accept_roundtrip():
+    s = nas.SecurityModeCommand(ciphering_alg=2, integrity_alg=2, ksi=1)
+    assert nas.unpack_security_mode_command(
+        nas.pack_security_mode_command(s)) == s
+    esm = nas.pack_activate_default_bearer_request(
+        nas.ActivateDefaultBearerRequest(ebi=5, pti=1, apn="internet",
+                                         ip=(10, 0, 0, 2)))
+    a = nas.AttachAccept(attach_result=1, t3412_s=3600, tac=0x1234,
+                         mcc=(0, 0, 1), mnc=(0, 1), esm_container=esm)
+    back = nas.unpack_attach_accept(nas.pack_attach_accept(a))
+    assert back is not None and back.tac == 0x1234
+    bearer = nas.unpack_activate_default_bearer_request(back.esm_container)
+    assert bearer.apn == "internet" and bearer.ip == (10, 0, 0, 2)
+
+
+def test_protected_nas_roundtrip():
+    k_int = bytes(range(16))
+    k_enc = bytes(range(16, 32))
+    plain = nas.pack_auth_response(nas.AuthResponse(res=b"\x55" * 8))
+    for hdr in (nas.SEC_HDR_INTEGRITY, nas.SEC_HDR_INTEGRITY_CIPHERED):
+        wire = nas.protect(plain, k_int, count=5, downlink=False,
+                           k_nas_enc=k_enc, sec_hdr=hdr)
+        got, ok = nas.unprotect(wire, k_int, count_hint=5, downlink=False,
+                                k_nas_enc=k_enc)
+        assert ok and got == plain
+    # tampering breaks the MAC
+    wire = bytearray(nas.protect(plain, k_int, 5, False))
+    wire[-1] ^= 1
+    _, ok = nas.unprotect(bytes(wire), k_int, 5, False)
+    assert not ok
+
+
+def test_full_aka_flow():
+    """End-to-end AKA: HSS Milenage -> AUTN/RAND -> UE RES -> K_ASME ->
+    NAS keys -> protected NAS exchange (the reference MME/HSS flow)."""
+    k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+    opc = bytes.fromhex("cd63cb71954a9f4e48a5994e37a02baf")
+    rand = bytes.fromhex("23553cbe9637a89d218ae64dae47bf35")
+    sqn = bytes.fromhex("000000000001")
+    amf = bytes.fromhex("8000")
+    # network side
+    res_n, ck, ik, ak = security.milenage_f2345(k, rand, op_c=opc)
+    mac_a, _ = security.milenage_f1(k, rand, sqn, amf, op_c=opc)
+    sqn_xor_ak = bytes(a ^ b for a, b in zip(sqn, ak))
+    autn = sqn_xor_ak + amf + mac_a
+    # UE side recomputes and must match
+    res_u, ck_u, ik_u, ak_u = security.milenage_f2345(k, rand, op_c=opc)
+    assert res_u == res_n and ck_u == ck and ik_u == ik
+    sqn_u = bytes(a ^ b for a, b in zip(autn[:6], ak_u))
+    mac_u, _ = security.milenage_f1(k, rand, sqn_u, autn[6:8], op_c=opc)
+    assert mac_u == autn[8:]
+    # key hierarchy + protected message exchange
+    k_asme = security.generate_k_asme(ck, ik, sqn_xor_ak, b"\x00\xf1\x10")
+    k_enc, k_int = security.generate_nas_keys(k_asme)
+    msg = nas.pack_security_mode_command(
+        nas.SecurityModeCommand(2, 2, ksi=0))
+    wire = nas.protect(msg, k_int, count=0, downlink=True, k_nas_enc=k_enc,
+                       sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED_NEW_CTX)
+    got, ok = nas.unprotect(wire, k_int, 0, True, k_nas_enc=k_enc)
+    assert ok and nas.unpack_security_mode_command(got) is not None

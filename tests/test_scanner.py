@@ -50,3 +50,21 @@ def test_scanner_two_channels_with_resampled_capture(tmp_path):
     assert reports[0]["freq_mhz"] == 2140.0
     assert reports[1]["n_cell_id"] == 404 and reports[1]["sib1"]["tac"] == 0xB
     assert reports[2]["mib"] is None
+
+
+def test_scanner_checkpoint_resume(tmp_path):
+    """Finished channels are skipped on restart (idempotent work units)."""
+    cfg = PhyConfig(n_rb_dl=6)
+    x = generate(GenConfig(n_rb_dl=6, n_cell_id=5, n_frames=4))
+    p = str(tmp_path / "x.fc32")
+    write_iq(p, x)
+    ck = str(tmp_path / "scan.ckpt.json")
+    chans = [Channel("300", p), Channel("301", p)]
+    r1 = scan_channels(chans, cfg, checkpoint_path=ck)
+    assert all(d["n_cell_id"] == 5 for d in r1)
+    # second run: results come from the checkpoint (delete the file to prove
+    # no re-scan happens)
+    import os
+    os.remove(p)
+    r2 = scan_channels(chans, cfg, checkpoint_path=ck)
+    assert r2 == r1
