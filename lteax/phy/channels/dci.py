@@ -89,6 +89,120 @@ def dci_1a_pack(d: Dci1A, n_rb: int) -> np.ndarray:
     return np.asarray(bits, dtype=np.int32)
 
 
+# ---------------------------------------------------------------------------
+# DCI format 1C (36.212 §5.3.3.1.4) — compact SI/paging/RA grants
+# ---------------------------------------------------------------------------
+
+# 36.213 Table 7.1.7.2.3-1: TBS for DCI 1C (I_TBS 0..31)  [U: spec-from-memory]
+TBS_1C = (40, 56, 72, 120, 136, 144, 176, 208, 224, 256, 280, 296, 328, 336,
+          392, 488, 552, 600, 632, 696, 776, 840, 904, 1000, 1064, 1128,
+          1224, 1288, 1384, 1480, 1608, 1736)
+
+
+def _n_rb_step(n_rb: int) -> int:
+    return 2 if n_rb < 50 else 4
+
+
+def dci_1c_size(n_rb: int) -> int:
+    import math
+    ndl = n_rb // _n_rb_step(n_rb)
+    riv = math.ceil(math.log2(ndl * (ndl + 1) / 2))
+    gap = 1 if n_rb >= 50 else 0
+    return gap + riv + 5
+
+
+@dataclasses.dataclass
+class Dci1C:
+    rb_start: int          # in units of N_RB_step
+    l_crb: int             # in units of N_RB_step
+    i_tbs: int
+    gap: int = 0
+
+    def tbs(self) -> int:
+        return TBS_1C[self.i_tbs]
+
+
+def dci_1c_pack(d: Dci1C, n_rb: int) -> np.ndarray:
+    step = _n_rb_step(n_rb)
+    ndl = n_rb // step
+    bits: list[int] = []
+    if n_rb >= 50:
+        _put(bits, d.gap, 1)
+    _put(bits, riv_encode(ndl, d.rb_start, d.l_crb), riv_bits(ndl))
+    _put(bits, d.i_tbs, 5)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_1c_unpack(bits: np.ndarray, n_rb: int) -> Dci1C | None:
+    if len(bits) != dci_1c_size(n_rb):
+        return None
+    step = _n_rb_step(n_rb)
+    ndl = n_rb // step
+    pos = 0
+    gap = 0
+    if n_rb >= 50:
+        gap, pos = _get(bits, pos, 1)
+    riv, pos = _get(bits, pos, riv_bits(ndl))
+    itbs, pos = _get(bits, pos, 5)
+    start, l = riv_decode(ndl, riv)
+    if start + l > ndl:
+        return None
+    return Dci1C(rb_start=start, l_crb=l, i_tbs=itbs, gap=gap)
+
+
+# ---------------------------------------------------------------------------
+# DCI format 0 (36.212 §5.3.3.1.1) — UL grant; sized == format 1A
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Dci0:
+    rb_start: int
+    l_crb: int
+    mcs: int
+    ndi: int = 0
+    tpc: int = 0
+    dmrs_cs: int = 0
+    hopping: bool = False
+    cqi_request: bool = False
+
+
+def dci_0_pack(d: Dci0, n_rb_ul: int, size: int) -> np.ndarray:
+    """size must be dci_1a_size(n_rb_dl) — formats 0/1A are padded equal."""
+    bits: list[int] = []
+    _put(bits, 0, 1)                       # format flag: 0
+    _put(bits, 1 if d.hopping else 0, 1)
+    _put(bits, riv_encode(n_rb_ul, d.rb_start, d.l_crb), riv_bits(n_rb_ul))
+    _put(bits, d.mcs, 5)
+    _put(bits, d.ndi, 1)
+    _put(bits, d.tpc, 2)
+    _put(bits, d.dmrs_cs, 3)
+    _put(bits, 1 if d.cqi_request else 0, 1)
+    if len(bits) > size:
+        raise ValueError("format 0 larger than target size")
+    while len(bits) < size:
+        bits.append(0)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_0_unpack(bits: np.ndarray, n_rb_ul: int) -> Dci0 | None:
+    pos = 0
+    flag, pos = _get(bits, pos, 1)
+    if flag != 0:
+        return None
+    hop, pos = _get(bits, pos, 1)
+    riv, pos = _get(bits, pos, riv_bits(n_rb_ul))
+    mcs, pos = _get(bits, pos, 5)
+    ndi, pos = _get(bits, pos, 1)
+    tpc, pos = _get(bits, pos, 2)
+    cs, pos = _get(bits, pos, 3)
+    cqi, pos = _get(bits, pos, 1)
+    start, l = riv_decode(n_rb_ul, riv)
+    if start + l > n_rb_ul or l < 1:
+        return None
+    return Dci0(rb_start=start, l_crb=l, mcs=mcs, ndi=ndi, tpc=tpc,
+                dmrs_cs=cs, hopping=bool(hop), cqi_request=bool(cqi))
+
+
 def dci_1a_unpack(bits: np.ndarray, n_rb: int) -> Dci1A | None:
     if len(bits) != dci_1a_size(n_rb):
         return None

@@ -115,3 +115,29 @@ def test_tbs_tables_sane():
         for t in vals:
             info = segment_info(t + 24)
             assert info.uniform, (col, t, info)
+
+
+def test_dci_1c_roundtrip():
+    from lteax.phy.channels.dci import Dci1C, dci_1c_pack, dci_1c_unpack, dci_1c_size, TBS_1C
+    assert len(TBS_1C) == 32
+    assert all(b > a for a, b in zip(TBS_1C, TBS_1C[1:]))
+    for n_rb in (25, 50, 100):
+        d = Dci1C(rb_start=1, l_crb=3, i_tbs=14)
+        bits = dci_1c_pack(d, n_rb)
+        assert len(bits) == dci_1c_size(n_rb)
+        back = dci_1c_unpack(bits, n_rb)
+        assert (back.rb_start, back.l_crb, back.i_tbs) == (1, 3, 14)
+        assert back.tbs() == TBS_1C[14]
+
+
+def test_dci_0_roundtrip():
+    from lteax.phy.channels.dci import Dci0, dci_0_pack, dci_0_unpack, dci_1a_size
+    for n_rb in (6, 50):
+        size = dci_1a_size(n_rb)
+        d = Dci0(rb_start=2, l_crb=3, mcs=11, ndi=1, tpc=2, dmrs_cs=5,
+                 cqi_request=True)
+        bits = dci_0_pack(d, n_rb, size)
+        assert len(bits) == size
+        back = dci_0_unpack(bits, n_rb)
+        assert (back.rb_start, back.l_crb, back.mcs, back.dmrs_cs,
+                back.cqi_request) == (2, 3, 11, 5, True)
