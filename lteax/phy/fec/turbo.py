@@ -125,6 +125,41 @@ def _n_windows(n: int, win: int) -> int:
     return -(-n // win)
 
 
+@lru_cache(maxsize=None)
+def _unrolled_wiring():
+    """Constant wiring for the state-unrolled ACS.
+
+    Returns (fwd, bwd, out0, out1):
+      fwd[s'] = (p0, p1, g0, g1): a_new[s'] = max(a[p0]+γ(g0), a[p1]+γ(g1))
+      bwd[s]  = (n0, n1, g0, g1): b_new[s] = max(b[n0]+γ(g0), b[n1]+γ(g1))
+                 (branch order: input bit 0 then 1)
+      out0[s] = (ns, g): bit-0 transition of state s;  out1[s] likewise.
+    γ codes: 0=+(u+v)/2, 1=+(u-v)/2, 2=-(u-v)/2, 3=-(u+v)/2.
+    """
+    ns, ssign, psign, prev, in_ss, in_ps = _trellis()
+
+    def code(ss, ps):
+        if ss > 0:
+            return 0 if ps > 0 else 1
+        return 2 if ps > 0 else 3
+
+    fwd = []
+    for sp in range(8):
+        fwd.append((int(prev[sp, 0]), int(prev[sp, 1]),
+                    code(in_ss[sp, 0], in_ps[sp, 0]),
+                    code(in_ss[sp, 1], in_ps[sp, 1])))
+    bwd = []
+    out0 = []
+    out1 = []
+    for s in range(8):
+        g0 = code(1.0, psign[s, 0])
+        g1 = code(-1.0, psign[s, 1])
+        bwd.append((int(ns[s, 0]), int(ns[s, 1]), g0, g1))
+        out0.append((int(ns[s, 0]), g0))
+        out1.append((int(ns[s, 1]), g1))
+    return tuple(fwd), tuple(bwd), tuple(out0), tuple(out1)
+
+
 def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int,
                   a_init=None, b_init=None):
     """Forward AND backward metrics in ONE scan (halves sequential steps —
@@ -137,17 +172,11 @@ def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int,
 
     Returns (alphas (N, 8) = alpha_k before step k,
              betas  (N, 8) = beta_{k+1} aligned to step k,
-             a_end (n_w, 8) = alpha at each window's right boundary,
-             b_end (n_w, 8) = beta at each window's left boundary)."""
-    ns, ssign, psign, prev, in_ss, in_ps = _trellis()
-    ns_j = jnp.asarray(ns)
-    ssign_j, psign_j = jnp.asarray(ssign), jnp.asarray(psign)
-    prev_j = jnp.asarray(prev)
-    in_ss_j, in_ps_j = jnp.asarray(in_ss), jnp.asarray(in_ps)
-
+             alphas/betas as tuples of 8 per-state (N,) arrays)."""
     n = u.shape[0]
     n_w = _n_windows(n, win)
     total = acq + win
+    fwd, bwd, _, _ = _unrolled_wiring()
 
     # alpha geometry: window w, step t -> position w*win - acq + t
     pos_a = (jnp.arange(n_w)[:, None] * win - acq + jnp.arange(total)[None, :])
@@ -159,85 +188,95 @@ def _fused_sweeps(u: jnp.ndarray, v: jnp.ndarray, win: int, acq: int,
         valid = (pos >= 0) & (pos < n)
         pc = jnp.clip(pos, 0, n - 1)
         return (jnp.where(valid, u[pc], 0.0).T, jnp.where(valid, v[pc], 0.0).T,
-                (~valid).T)       # (total, n_w) each
+                valid.T.astype(u.dtype))   # (total, n_w) each; 1.0 == live
 
-    ua, va, fza = gather(pos_a)
-    ub, vb, fzb = gather(pos_b)
+    ua, va, lva = gather(pos_a)
+    ub, vb, lvb = gather(pos_b)
 
-    a0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype) if a_init is None else a_init
-    a0 = a0.at[0].set(jnp.full((8,), NEG).at[0].set(0.0))  # exact start
-    b0 = jnp.full((n_w, 8), 0.0, dtype=u.dtype) if b_init is None else b_init
-    b0 = b0.at[n_w - 1].set(jnp.full((8,), NEG).at[0].set(0.0))  # termination
-    a0 = a0 + 0.0 * u[0]
-    b0 = b0 + 0.0 * u[0]
+    # state-unrolled carries: tuples of 8 arrays (n_w,) — windows on lanes,
+    # no minor-dim-8 layouts anywhere in the hot loop.
+    def init_states(init, exact_w, exact_row):
+        base = [jnp.zeros((n_w,), u.dtype) + 0.0 * u[0] for _ in range(8)]
+        if init is not None:
+            base = [init[:, s] for s in range(8)]
+        # exact boundary: window ``exact_w`` pinned to state 0
+        out = []
+        for s in range(8):
+            val = 0.0 if s == 0 else NEG
+            out.append(base[s].at[exact_w].set(val) + 0.0 * u[0])
+        return tuple(out)
 
-    # gather-free trellis wiring (this trellis is a radix-2 butterfly):
-    #  * predecessors of new state s' are ((s'&3)<<1 | t): a reshape+tile
-    #  * successors of s are {s>>1, 4+(s>>1)} picked by parity p(s)=d2^d3
-    p_mask = jnp.asarray(np.array([(s >> 1 & 1) ^ (s & 1) for s in range(8)],
-                                  dtype=bool))
+    a0 = init_states(a_init, 0, 0)
+    b0 = init_states(b_init, n_w - 1, 0)
+
+    def gammas(uu, vv):
+        gpp = 0.5 * (uu + vv)
+        gpm = 0.5 * (uu - vv)
+        return (gpp, gpm, -gpm, -gpp)
 
     def step(carry, inp):
         a, b = carry
-        uu_a, vv_a, fz_a, uu_b, vv_b, fz_b = inp
-        # forward ACS: pairs (a[2j], a[2j+1]) feed new states j and j+4
-        g_a = 0.5 * (in_ss_j[None] * uu_a[:, None, None]
-                     + in_ps_j[None] * vv_a[:, None, None])
-        e = a.reshape(-1, 4, 2)
-        cand = jnp.concatenate([e, e], axis=1) + g_a      # (n_w, 8, 2)
-        a_new = jnp.max(cand, axis=-1)
-        a_next = jnp.where(fz_a[:, None], a, a_new)
-        # backward ACS
-        g_b = 0.5 * (ssign_j[None] * uu_b[:, None, None]
-                     + psign_j[None] * vv_b[:, None, None])
-        low = jnp.repeat(b[:, 0:4], 2, axis=1)            # beta[s>>1]
-        high = jnp.repeat(b[:, 4:8], 2, axis=1)           # beta[4+(s>>1)]
-        sel0 = jnp.where(p_mask, high, low)               # input bit 0: w=p(s)
-        sel1 = jnp.where(p_mask, low, high)
-        cand_b = jnp.stack([sel0, sel1], axis=-1) + g_b
-        b_new = jnp.max(cand_b, axis=-1)
-        b_next = jnp.where(fz_b[:, None], b, b_new)
+        uu_a, vv_a, lv_a, uu_b, vv_b, lv_b = inp
+        ga = gammas(uu_a, vv_a)
+        a_new = tuple(
+            jnp.maximum(a[p0] + ga[g0], a[p1] + ga[g1])
+            for (p0, p1, g0, g1) in fwd)
+        a_next = tuple(lv_a * an + (1.0 - lv_a) * ao
+                       for an, ao in zip(a_new, a))
+        gb = gammas(uu_b, vv_b)
+        b_new = tuple(
+            jnp.maximum(b[n0] + gb[g0], b[n1] + gb[g1])
+            for (n0, n1, g0, g1) in bwd)
+        b_next = tuple(lv_b * bn + (1.0 - lv_b) * bo
+                       for bn, bo in zip(b_new, b))
         return (a_next, b_next), (a, b)
 
-    (a_fin, b_fin), (alphas, betas_in) = jax.lax.scan(
-        step, (a0, b0), (ua, va, fza, ub, vb, fzb))
-    # alphas[t] = alpha before step pos_a[:, t]; window part ascending k
-    alphas = alphas[acq:]
-    alphas = jnp.moveaxis(alphas, 0, 1).reshape(n_w * win, 8)[:n]
-    # betas_in[t] = beta before processing step pos_b[:, t] == beta_{pos+1}
-    betas_in = betas_in[acq:][::-1]
-    betas_in = jnp.moveaxis(betas_in, 0, 1).reshape(n_w * win, 8)[:n]
-    # final carries: a_fin[w] = alpha_{(w+1)*win}, b_fin[w] = beta_{w*win}
-    return alphas, betas_in, a_fin, b_fin
+    (a_fin, b_fin), (alphas_t, betas_t) = jax.lax.scan(
+        step, (a0, b0), (ua, va, lva, ub, vb, lvb))
+
+    def reorder_fwd(arr):   # (total, n_w) -> (N,) ascending k
+        return arr[acq:].T.reshape(n_w * win)[:n]
+
+    def reorder_bwd(arr):
+        return arr[acq:][::-1].T.reshape(n_w * win)[:n]
+
+    alphas = tuple(reorder_fwd(x) for x in alphas_t)
+    betas = tuple(reorder_bwd(x) for x in betas_t)
+    a_fin = jnp.stack(a_fin, axis=-1)   # (n_w, 8) for NII bookkeeping
+    b_fin = jnp.stack(b_fin, axis=-1)
+    return alphas, betas, a_fin, b_fin
 
 
 def _half_iteration(u, v, win, acq, inits=None):
     """Max-log-MAP half-iteration.  u = Ls+La (N,), v = Lp (N,).
 
     Returns (full APP LLRs L (N,), next-iteration window inits)."""
-    ns, ssign, psign, _, _, _ = _trellis()
-    ns_j = jnp.asarray(ns)
-    ssign_j, psign_j = jnp.asarray(ssign), jnp.asarray(psign)
-
+    _, _, out0, out1 = _unrolled_wiring()
     a_init, b_init = (None, None) if inits is None else inits
-    alphas, betas, a_fin, b_fin = _fused_sweeps(u, v, win, acq,
-                                                a_init, b_init)
-    gamma = 0.5 * (ssign_j[None] * u[:, None, None]
-                   + psign_j[None] * v[:, None, None])       # (N, 8, 2)
-    metric = alphas[:, :, None] + gamma + jnp.take(betas, ns_j.reshape(-1),
-                                                   axis=1).reshape(-1, 8, 2)
-    l0 = jnp.max(metric[..., 0], axis=-1)
-    l1 = jnp.max(metric[..., 1], axis=-1)
+    alphas, betas, _, _ = _fused_sweeps(u, v, win, acq, a_init, b_init)
+
+    gpp = 0.5 * (u + v)
+    gpm = 0.5 * (u - v)
+    g = (gpp, gpm, -gpm, -gpp)
+    l0 = None
+    l1 = None
+    for s in range(8):
+        ns0, g0 = out0[s]
+        ns1, g1 = out1[s]
+        t0 = alphas[s] + g[g0] + betas[ns0]
+        t1 = alphas[s] + g[g1] + betas[ns1]
+        l0 = t0 if l0 is None else jnp.maximum(l0, t0)
+        l1 = t1 if l1 is None else jnp.maximum(l1, t1)
     # NII: next iteration's window w begins its acquisition at position
-    # w*win - acq (alpha) / (w+1)*win + acq - 1 (beta, exclusive) — seed it
-    # with THIS iteration's metrics at exactly those positions.
+    # w*win - acq (alpha) / (w+1)*win + acq - 1 (beta) — seed it with THIS
+    # iteration's metrics at exactly those positions.
     n = u.shape[0]
     n_w = _n_windows(n, win)
     w_idx = jnp.arange(n_w)
     a_pos = jnp.clip(w_idx * win - acq, 0, n - 1)
     b_pos = jnp.clip((w_idx + 1) * win + acq - 1, 0, n - 1)
-    a_next = alphas[a_pos]               # alpha_{w*win - acq}
-    b_next = betas[b_pos]                # beta_{pos+1}
+    a_next = jnp.stack([alphas[s][a_pos] for s in range(8)], axis=-1)
+    b_next = jnp.stack([betas[s][b_pos] for s in range(8)], axis=-1)
     a_next = a_next - jnp.max(a_next, axis=-1, keepdims=True)
     b_next = b_next - jnp.max(b_next, axis=-1, keepdims=True)
     return l0 - l1, (a_next, b_next)
