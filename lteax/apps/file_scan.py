@@ -42,6 +42,8 @@ class ScanResult:
     n_id_2: int = -1
     cfo_hz: float = 0.0
     frame_start: int = -1
+    rsrp_dbfs: float = 0.0      # CRS RE power, dB full-scale
+    snr_db: float = 0.0         # CRS-based post-FFT SNR estimate
     mib: rrc.Mib | None = None
     n_ant: int = 0
     sfn: int = -1
@@ -56,6 +58,8 @@ class ScanResult:
             "n_id_2": self.n_id_2,
             "cfo_hz": round(self.cfo_hz, 1),
             "frame_start": self.frame_start,
+            "rsrp_dbfs": round(self.rsrp_dbfs, 1),
+            "snr_db": round(self.snr_db, 1),
             "sfn": self.sfn,
             "n_ant": self.n_ant,
             "mib": dataclasses.asdict(self.mib) if self.mib else None,
@@ -117,6 +121,13 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
     h0 = chest.estimate_channel(g0, cfg, cid, 0, port=0)
     h1 = chest.estimate_channel(g0, cfg, cid, 0, port=1)
     nv0 = chest.estimate_noise_var(g0, cfg, cid, 0)
+    # signal-quality measurements (reference scanner reports these per cell)
+    from lteax.phy.grid import crs_flat_idx
+    crs_p = float(jnp.mean(jnp.abs(
+        g0.reshape(-1)[jnp.asarray(crs_flat_idx(cfg, cid, 0))]) ** 2))
+    res.rsrp_dbfs = 10 * float(np.log10(max(crs_p, 1e-12)))
+    res.snr_db = 10 * float(np.log10(max(crs_p / max(float(nv0), 1e-12) - 1.0,
+                                         1e-3)))
     pb_idx = jnp.asarray(pbch_flat_idx(cfg, cid))
     y_pb = g0.reshape(-1)[pb_idx]
     llrs_by_ant = {}

@@ -227,6 +227,76 @@ def unpack_si(bits: np.ndarray):
         return None
 
 
+@dataclasses.dataclass
+class Sib3:
+    q_hyst_db: int = 2
+    s_non_intra_search: int = 6
+    thresh_serving_low: int = 4
+    cell_resel_priority: int = 4
+    q_rx_lev_min: int = -70
+    t_resel_eutra_s: int = 1
+
+
+def pack_sib3(s: Sib3) -> np.ndarray:
+    w = _BitWriter()
+    w.put(MSG_SI, 2)
+    w.put(3, 5)
+    w.put(s.q_hyst_db, 4)
+    w.put(s.s_non_intra_search, 5)
+    w.put(s.thresh_serving_low, 5)
+    w.put(s.cell_resel_priority, 3)
+    w.put(s.q_rx_lev_min + 70, 6)
+    w.put(s.t_resel_eutra_s, 3)
+    return w.array()
+
+
+@dataclasses.dataclass
+class Paging:
+    ue_identities: tuple[int, ...] = ()     # S-TMSI (32-bit subset)
+    system_info_modification: bool = False
+
+
+def pack_paging(p: Paging) -> np.ndarray:
+    """PCCH paging message (36.331 §6.2.2 Paging, subset)."""
+    w = _BitWriter()
+    w.put(2, 2)                 # PCCH message tag (distinct from SIB1/SI)
+    w.put(1 if p.system_info_modification else 0, 1)
+    w.put(len(p.ue_identities), 3)
+    for tmsi in p.ue_identities:
+        w.put(tmsi, 32)
+    return w.array()
+
+
+def unpack_paging(bits: np.ndarray) -> Paging | None:
+    try:
+        r = _BitReader(bits)
+        if r.get(2) != 2:
+            return None
+        sim = bool(r.get(1))
+        n = r.get(3)
+        ids = tuple(r.get(32) for _ in range(n))
+        return Paging(ue_identities=ids, system_info_modification=sim)
+    except (IndexError, ValueError):
+        return None
+
+
+def unpack_si_ext(bits: np.ndarray):
+    """Extended SI unpack: returns ("sib2", Sib2) | ("sib3", Sib3) | None."""
+    got = unpack_si(bits)
+    if got is not None:
+        return got
+    try:
+        r = _BitReader(bits)
+        if r.get(2) != MSG_SI or r.get(5) != 3:
+            return None
+        return "sib3", Sib3(
+            q_hyst_db=r.get(4), s_non_intra_search=r.get(5),
+            thresh_serving_low=r.get(5), cell_resel_priority=r.get(3),
+            q_rx_lev_min=r.get(6) - 70, t_resel_eutra_s=r.get(3))
+    except (IndexError, ValueError):
+        return None
+
+
 def pad_to(bits: np.ndarray, n: int) -> np.ndarray:
     """Pad a message to transport block size with zeros."""
     if len(bits) > n:

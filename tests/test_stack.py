@@ -103,3 +103,16 @@ def test_sib_roundtrips():
     # padded (as carried in a TB) still decodes
     padded = rrc.pad_to(rrc.pack_sib1(s1), 328)
     assert rrc.unpack_sib1(padded) == s1
+
+
+def test_sib3_and_paging_roundtrip():
+    s3 = rrc.Sib3(q_hyst_db=4, cell_resel_priority=7, q_rx_lev_min=-60)
+    kind, back = rrc.unpack_si_ext(rrc.pack_sib3(s3))
+    assert kind == "sib3" and back == s3
+    # sib2 still routes through the extended unpacker
+    kind2, _ = rrc.unpack_si_ext(rrc.pack_sib2(rrc.Sib2()))
+    assert kind2 == "sib2"
+    p = rrc.Paging(ue_identities=(0xDEADBEEF, 0x12345678),
+                   system_info_modification=True)
+    assert rrc.unpack_paging(rrc.pack_paging(p)) == p
+    assert rrc.unpack_paging(rrc.pack_sib3(s3)) is None
