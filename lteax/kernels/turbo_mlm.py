@@ -1,0 +1,277 @@
+"""Pallas TPU kernel: fused max-log-MAP half-iteration.
+
+(SURVEY.md §6 flagship kernel.  The XLA scan version streams per-step
+alpha/beta ys arrays through HBM (~100 MB+ per half-iteration for a 20 MHz
+batch); this kernel keeps the entire trellis state and the beta store in
+VMEM, so HBM traffic collapses to the u/v inputs and the L output.)
+
+Layout: batch codeblocks on sublanes, windows on lanes — (TB, n_w) tiles.
+The 8 trellis states are unrolled into separate arrays (radix-2 butterfly
+wiring as straight-line code; branch metrics are +/-(u+v)/2, +/-(u-v)/2).
+
+Inputs are pre-reshaped by the host wrapper:
+  u_main/v_main (B, win, n_w): u[b, w*win + j] at [..., j, w]
+  u_aacq/v_aacq (B, acq, n_w): alpha acquisition u[b, w*win - acq + j]
+  u_bacq/v_bacq (B, acq, n_w): beta acquisition  u[b, (w+1)*win + j]
+  live masks (win|acq, n_w) f32 constants handle the padded tail.
+Outputs:
+  l_out (B, win, n_w): APP LLR at position w*win + j
+  a_nii, b_nii (B, n_w, 8): next-iteration window-boundary metrics
+  (a_nii[w] = alpha at (w+1)*win - acq from window w's chain;
+   b_nii[w] = beta at w*win + acq from window w's chain — the host shifts
+   them into init position.)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+@lru_cache(maxsize=None)
+def _wiring():
+    from lteax.phy.fec.turbo import _unrolled_wiring
+    return _unrolled_wiring()
+
+
+def _gammas(uu, vv):
+    gpp = 0.5 * (uu + vv)
+    gpm = 0.5 * (uu - vv)
+    return (gpp, gpm, -gpm, -gpp)
+
+
+def _live_masks(win: int, acq: int, n_w: int, n: int):
+    """(win, n_w) / (acq, n_w) f32: 1.0 where the trellis position is < n."""
+    pos_main = (np.arange(win)[:, None] + win * np.arange(n_w)[None, :])
+    lv_main = (pos_main < n).astype(np.float32)
+    pos_aacq = (np.arange(acq)[:, None] - acq
+                + win * np.arange(n_w)[None, :])
+    lv_aacq = ((pos_aacq >= 0) & (pos_aacq < n)).astype(np.float32)
+    pos_bacq = (np.arange(acq)[:, None]
+                + win * (np.arange(n_w)[None, :] + 1))
+    lv_bacq = (pos_bacq < n).astype(np.float32)
+    return lv_main, lv_aacq, lv_bacq
+
+
+def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
+    fwd, bwd, out0, out1 = _wiring()
+
+    def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
+               l_ref, a_nii_ref, b_nii_ref, bstore):
+        lm = lm_ref[:]
+        la = la_ref[:]
+        lb = lb_ref[:]
+
+        def acs_fwd(a, uu, vv, lv):
+            g = _gammas(uu, vv)
+            new = [jnp.maximum(a[p0] + g[g0], a[p1] + g[g1])
+                   for (p0, p1, g0, g1) in fwd]
+            return tuple(lv * nw + (1.0 - lv) * ao
+                         for nw, ao in zip(new, a))
+
+        def acs_bwd(b, uu, vv, lv):
+            g = _gammas(uu, vv)
+            new = [jnp.maximum(b[n0] + g[g0], b[n1] + g[g1])
+                   for (n0, n1, g0, g1) in bwd]
+            return tuple(lv * nw + (1.0 - lv) * bo
+                         for nw, bo in zip(new, b))
+
+        # ---- beta sweep (backward): store beta_{pos+1} at j ----
+        b = tuple(binit[:, :, s] for s in range(8))
+
+        def bacq_body(t, b):
+            j = acq - 1 - t
+            return acs_bwd(b, ub[:, j, :], vb[:, j, :], lb[j][None, :])
+
+        b = jax.lax.fori_loop(0, acq, bacq_body, b)
+
+        def bwin_body(t, b):
+            j = win - 1 - t
+            for s in range(8):
+                bstore[s, :, j, :] = b[s]
+            return acs_bwd(b, um[:, j, :], vm[:, j, :], lm[j][None, :])
+
+        b = jax.lax.fori_loop(0, win, bwin_body, b, unroll=2)
+        # b_nii[w] = beta at w*win + acq == bstore[., j=acq, .]... careful:
+        # bstore[s,:,j,:] holds beta_{w*win+j+1}; beta_{w*win+acq} is at
+        # j = acq-1.
+        for s in range(8):
+            b_nii_ref[:, :, s] = bstore[s, :, acq - 1, :]
+
+        # ---- alpha sweep + combine ----
+        a = tuple(ainit[:, :, s] for s in range(8))
+
+        def aacq_body(t, a):
+            return acs_fwd(a, ua[:, t, :], va[:, t, :], la[t][None, :])
+
+        a = jax.lax.fori_loop(0, acq, aacq_body, a)
+
+        def awin_body(t, a):
+            uu, vv = um[:, t, :], vm[:, t, :]
+            g = _gammas(uu, vv)
+            l0 = None
+            l1 = None
+            for s in range(8):
+                ns0, g0 = out0[s]
+                ns1, g1 = out1[s]
+                t0 = a[s] + g[g0] + bstore[ns0, :, t, :]
+                t1 = a[s] + g[g1] + bstore[ns1, :, t, :]
+                l0 = t0 if l0 is None else jnp.maximum(l0, t0)
+                l1 = t1 if l1 is None else jnp.maximum(l1, t1)
+            l_ref[:, t, :] = l0 - l1
+
+            @pl.when(t == win - acq)
+            def _():
+                for s in range(8):
+                    a_nii_ref[:, :, s] = a[s]
+
+            return acs_fwd(a, uu, vv, lm[t][None, :])
+
+        jax.lax.fori_loop(0, win, awin_body, a, unroll=2)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "interpret"))
+def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
+                          tb: int = 8, interpret: bool = False):
+    """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
+
+    Returns (L (B, N), a_next (B, n_w, 8), b_next (B, n_w, 8)) matching the
+    XLA reference ``_half_iteration`` (same NII convention).
+    """
+    bsz, n_in = u.shape
+    assert n_in == n
+    n_w = -(-n // win)
+    npad = n_w * win
+    pad = npad - n
+
+    def resh(x):
+        xp = jnp.pad(x, ((0, 0), (0, pad)))
+        main = xp.reshape(bsz, n_w, win).transpose(0, 2, 1)   # (B, win, n_w)
+        # alpha acquisition: u[w*win - acq + j] = previous window's tail
+        tail = main[:, win - acq:, :]                          # (B, acq, n_w)
+        aacq = jnp.concatenate(
+            [jnp.zeros_like(tail[:, :, :1]), tail[:, :, :-1]], axis=2)
+        # beta acquisition: u[(w+1)*win + j] = next window's head
+        head = main[:, :acq, :]
+        bacq = jnp.concatenate(
+            [head[:, :, 1:], jnp.zeros_like(head[:, :, :1])], axis=2)
+        return main, aacq, bacq
+
+    um, ua, ub = resh(u)
+    vm, va, vb = resh(v)
+
+    kernel = _make_kernel(win, acq, n_w, n, tb)
+    grid = (bsz // tb,) if bsz % tb == 0 else (-(-bsz // tb),)
+    if bsz % tb != 0:
+        padb = grid[0] * tb - bsz
+        um, ua, ub, vm, va, vb = [jnp.pad(x, ((0, padb), (0, 0), (0, 0)))
+                                  for x in (um, ua, ub, vm, va, vb)]
+        a_init = jnp.pad(a_init, ((0, padb), (0, 0), (0, 0)))
+        b_init = jnp.pad(b_init, ((0, padb), (0, 0), (0, 0)))
+    bpad = um.shape[0]
+
+    def bs(shape_tail):
+        return pl.BlockSpec((tb, *shape_tail), lambda i: (i, *([0] * len(shape_tail))),
+                            memory_space=pltpu.VMEM)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    lv_main, lv_aacq, lv_bacq = _live_masks(win, acq, n_w, n)
+    l_out, a_nii, b_nii = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bcast((win, n_w)), bcast((acq, n_w)), bcast((acq, n_w)),
+                  bs((win, n_w)), bs((win, n_w)),
+                  bs((acq, n_w)), bs((acq, n_w)),
+                  bs((acq, n_w)), bs((acq, n_w)),
+                  bs((n_w, 8)), bs((n_w, 8))],
+        out_specs=[bs((win, n_w)), bs((n_w, 8)), bs((n_w, 8))],
+        out_shape=[jax.ShapeDtypeStruct((bpad, win, n_w), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, tb, win, n_w), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(lv_main), jnp.asarray(lv_aacq), jnp.asarray(lv_bacq),
+      um, vm, ua, va, ub, vb, a_init, b_init)
+
+    l = l_out.transpose(0, 2, 1).reshape(bpad, npad)[:bsz, :n]
+    # shift NII into init position (next iteration):
+    #   a_init'[w] = a_nii[w-1],  b_init'[w] = b_nii[w+1]
+    a_next = jnp.roll(a_nii[:bsz], 1, axis=1)
+    b_next = jnp.roll(b_nii[:bsz], -1, axis=1)
+    a_next = a_next - jnp.max(a_next, axis=-1, keepdims=True)
+    b_next = b_next - jnp.max(b_next, axis=-1, keepdims=True)
+    return l, a_next, b_next
+
+
+def _pin_boundaries(a_init, b_init):
+    """Pin window 0's alpha to the exact start state and the last window's
+    beta to the exact termination state (state 0)."""
+    pin = jnp.full((8,), NEG, jnp.float32).at[0].set(0.0)
+    a = a_init.at[:, 0, :].set(pin)
+    b = b_init.at[:, -1, :].set(pin)
+    return a, b
+
+
+def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 32,
+                              acq: int = 16, ext_scale: float = 0.75,
+                              tb: int = 8, interpret: bool = False):
+    """Batched turbo decode with the Pallas half-iteration kernel.
+
+    llr_d: (C, 3, K+4) -> (C, K) hard bits.  Matches
+    ``lteax.phy.fec.turbo.turbo_decode_batch`` numerically (same windowed
+    max-log-MAP + NII schedule).
+    """
+    from lteax.phy.tables.turbo_qpp import qpp_interleaver, qpp_deinterleaver
+
+    c = llr_d.shape[0]
+    n = k + 3
+    n_w = -(-n // win)
+    pi = jnp.asarray(qpp_interleaver(k))
+    inv = jnp.asarray(qpp_deinterleaver(k))
+    d0, d1, d2 = llr_d[:, 0], llr_d[:, 1], llr_d[:, 2]
+    ls = d0[:, :k]
+    lp1 = d1[:, :k]
+    lp2 = d2[:, :k]
+    sys_t1 = jnp.stack([d0[:, k], d2[:, k], d1[:, k + 1]], axis=1)
+    par_t1 = jnp.stack([d1[:, k], d0[:, k + 1], d2[:, k + 1]], axis=1)
+    sys_t2 = jnp.stack([d0[:, k + 2], d2[:, k + 2], d1[:, k + 3]], axis=1)
+    par_t2 = jnp.stack([d1[:, k + 2], d0[:, k + 3], d2[:, k + 3]], axis=1)
+    ls_int = ls[:, pi]
+    v1 = jnp.concatenate([lp1, par_t1], axis=1)
+    v2 = jnp.concatenate([lp2, par_t2], axis=1)
+
+    zero = jnp.zeros((c, n_w, 8), jnp.float32)
+
+    def body(carry, _):
+        le21, a1, b1, a2, b2 = carry
+        u1 = jnp.concatenate([ls + le21, sys_t1], axis=1)
+        a1p, b1p = _pin_boundaries(a1, b1)
+        l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
+                                             tb=tb, interpret=interpret)
+        l1 = l1[:, :k]
+        le12 = ext_scale * (l1 - ls - le21)
+        la2 = le12[:, pi]
+        u2 = jnp.concatenate([ls_int + la2, sys_t2], axis=1)
+        a2p, b2p = _pin_boundaries(a2, b2)
+        l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
+                                             tb=tb, interpret=interpret)
+        l2 = l2[:, :k]
+        le21_new = (ext_scale * (l2 - ls_int - la2))[:, inv]
+        return (le21_new, a1n, b1n, a2n, b2n), l2[:, inv]
+
+    (_, _, _, _, _), l_hist = jax.lax.scan(
+        body, (jnp.zeros_like(ls), zero, zero, zero, zero), None,
+        length=n_iter)
+    return (l_hist[-1] < 0).astype(jnp.int32)

@@ -1,0 +1,41 @@
+"""Pallas turbo kernel vs XLA reference decoder (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lteax.phy.fec.turbo import turbo_encode_batch, turbo_decode_batch
+from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+
+@pytest.mark.parametrize("k", [40, 232, 1024])
+def test_pallas_matches_xla_noisy(k):
+    rng = np.random.default_rng(0)
+    c = 4
+    bits = rng.integers(0, 2, size=(c, k)).astype(np.int32)
+    d = np.asarray(turbo_encode_batch(jnp.asarray(bits), k)).astype(np.float32)
+    sigma = 0.65
+    rx = (1.0 - 2.0 * d) + sigma * rng.standard_normal(d.shape).astype(np.float32)
+    llr = jnp.asarray(2.0 * rx / sigma**2)
+    ref = np.asarray(turbo_decode_batch(llr, k, n_iter=4))
+    got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=4, tb=2,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(ref, bits)  # and both are correct
+
+
+def test_pallas_high_rate():
+    from lteax.phy.fec.ratematch import turbo_rm_indices, rate_match, rate_unmatch
+    rng = np.random.default_rng(3)
+    k = 1056
+    e_len = int(k / 0.85)
+    idx = turbo_rm_indices(k + 4, e_len, rv=0)
+    bits = rng.integers(0, 2, size=(2, k)).astype(np.int32)
+    d = turbo_encode_batch(jnp.asarray(bits), k)
+    e = np.asarray(rate_match(d, idx)).astype(np.float32)
+    sigma = float(np.sqrt(1.0 / (2 * 10 ** (2.0))))  # 20 dB
+    rx = (1.0 - 2.0 * e) + sigma * rng.standard_normal(e.shape).astype(np.float32)
+    llr = rate_unmatch(jnp.asarray(2.0 * rx / sigma**2), idx, k + 4)
+    got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=6, tb=2,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, bits)
