@@ -37,7 +37,7 @@ def main():
     from lteax.phy.ofdm import subframe_to_samples
     from lteax.phy.channels import pdsch as pdsch_mod
     from lteax.phy.tables.tbs import get_tbs_for_mcs
-    from lteax.shard.pipeline import make_batch_decoder
+    from lteax.shard.pipeline import make_batch_decoder, make_batch_decoder_pallas
 
     cfg = PhyConfig(n_rb_dl=100)
     cid, sf, rnti, mcs, cfi = 214, 1, 0x1234, 28, 1
@@ -83,8 +83,9 @@ def main():
     from lteax.io.iq import to_iq_f32
     xd = jax.device_put(jnp.asarray(to_iq_f32(x)))
 
-    dec = make_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom, scheme,
-                             n_iter=n_iter)
+    use_pallas = __import__("os").environ.get("LTEAX_BENCH_PALLAS", "1") == "1"
+    maker = make_batch_decoder_pallas if use_pallas else make_batch_decoder
+    dec = maker(cfg, cid, cfi, prbs, sf, rnti, geom, scheme, n_iter=n_iter)
     print("compiling + warmup...", file=sys.stderr)
     t0 = time.time()
     bits, ok = dec(xd)

@@ -120,6 +120,8 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
     g0 = grids[0]
     h0 = chest.estimate_channel(g0, cfg, cid, 0, port=0)
     h1 = chest.estimate_channel(g0, cfg, cid, 0, port=1)
+    h2 = chest.estimate_channel(g0, cfg, cid, 0, port=2)
+    h3 = chest.estimate_channel(g0, cfg, cid, 0, port=3)
     nv0 = chest.estimate_noise_var(g0, cfg, cid, 0)
     # signal-quality measurements (reference scanner reports these per cell)
     from lteax.phy.grid import crs_flat_idx
@@ -135,6 +137,10 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         x_eq, eff = chest.equalize_res(y_pb, h0.reshape(-1)[pb_idx],
                                        h1.reshape(-1)[pb_idx], nv0, ant)
         llrs_by_ant[ant] = demodulate_maxlog(x_eq, "qpsk", eff)
+    x_eq4, eff4 = chest.combine_sfbc_fstd(
+        y_pb, h0.reshape(-1)[pb_idx], h1.reshape(-1)[pb_idx],
+        h2.reshape(-1)[pb_idx], h3.reshape(-1)[pb_idx], nv0)
+    llrs_by_ant[4] = demodulate_maxlog(x_eq4, "qpsk", eff4)
     mib_bits, n_ant, quarter, ok = pbch.pbch_blind_decode(llrs_by_ant, cid)
     if not ok:
         return res

@@ -64,10 +64,7 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
     fwd, bwd, out0, out1 = _wiring()
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
-               l_ref, a_nii_ref, b_nii_ref, bstore):
-        lm = lm_ref[:]
-        la = la_ref[:]
-        lb = lb_ref[:]
+               l_ref, a_nii_ref, b_nii_ref, astore, bstore):
 
         def acs_fwd(a, uu, vv, lv):
             g = _gammas(uu, vv)
@@ -83,58 +80,54 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
             return tuple(lv * nw + (1.0 - lv) * bo
                          for nw, bo in zip(new, b))
 
-        # ---- beta sweep (backward): store beta_{pos+1} at j ----
+        # ---- fused acquisition: alpha and beta warm-ups in one loop ----
+        a = tuple(ainit[:, :, s] for s in range(8))
         b = tuple(binit[:, :, s] for s in range(8))
 
-        def bacq_body(t, b):
+        def acq_body(t, ab):
+            a, b = ab
+            a = acs_fwd(a, ua[:, t, :], va[:, t, :], la_ref[t, :][None, :])
             j = acq - 1 - t
-            return acs_bwd(b, ub[:, j, :], vb[:, j, :], lb[j][None, :])
+            b = acs_bwd(b, ub[:, j, :], vb[:, j, :], lb_ref[j, :][None, :])
+            return (a, b)
 
-        b = jax.lax.fori_loop(0, acq, bacq_body, b)
+        a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
 
-        def bwin_body(t, b):
+        # ---- fused window sweeps: store pre-step alpha/beta ----
+        def win_body(t, ab):
+            a, b = ab
+            for s in range(8):
+                astore[s, :, t, :] = a[s]
+            a = acs_fwd(a, um[:, t, :], vm[:, t, :], lm_ref[t, :][None, :])
             j = win - 1 - t
             for s in range(8):
                 bstore[s, :, j, :] = b[s]
-            return acs_bwd(b, um[:, j, :], vm[:, j, :], lm[j][None, :])
+            b = acs_bwd(b, um[:, j, :], vm[:, j, :], lm_ref[j, :][None, :])
+            return (a, b)
 
-        b = jax.lax.fori_loop(0, win, bwin_body, b, unroll=2)
-        # b_nii[w] = beta at w*win + acq == bstore[., j=acq, .]... careful:
-        # bstore[s,:,j,:] holds beta_{w*win+j+1}; beta_{w*win+acq} is at
-        # j = acq-1.
+        jax.lax.fori_loop(0, win, win_body, (a, b))
+
+        # NII boundary exports:
+        #   a_nii[w] = alpha at (w+1)*win - acq  == astore[j = win-acq]
+        #   b_nii[w] = beta  at w*win + acq      == bstore[j = acq-1]
         for s in range(8):
+            a_nii_ref[:, :, s] = astore[s, :, win - acq, :]
             b_nii_ref[:, :, s] = bstore[s, :, acq - 1, :]
 
-        # ---- alpha sweep + combine ----
-        a = tuple(ainit[:, :, s] for s in range(8))
-
-        def aacq_body(t, a):
-            return acs_fwd(a, ua[:, t, :], va[:, t, :], la[t][None, :])
-
-        a = jax.lax.fori_loop(0, acq, aacq_body, a)
-
-        def awin_body(t, a):
-            uu, vv = um[:, t, :], vm[:, t, :]
-            g = _gammas(uu, vv)
-            l0 = None
-            l1 = None
-            for s in range(8):
-                ns0, g0 = out0[s]
-                ns1, g1 = out1[s]
-                t0 = a[s] + g[g0] + bstore[ns0, :, t, :]
-                t1 = a[s] + g[g1] + bstore[ns1, :, t, :]
-                l0 = t0 if l0 is None else jnp.maximum(l0, t0)
-                l1 = t1 if l1 is None else jnp.maximum(l1, t1)
-            l_ref[:, t, :] = l0 - l1
-
-            @pl.when(t == win - acq)
-            def _():
-                for s in range(8):
-                    a_nii_ref[:, :, s] = a[s]
-
-            return acs_fwd(a, uu, vv, lm[t][None, :])
-
-        jax.lax.fori_loop(0, win, awin_body, a, unroll=2)
+        # ---- combine, vectorized over the whole (TB, win, n_w) block ----
+        uu = um[:]
+        vv = vm[:]
+        g = _gammas(uu, vv)
+        l0 = None
+        l1 = None
+        for s in range(8):
+            ns0, g0 = out0[s]
+            ns1, g1 = out1[s]
+            t0 = astore[s, :, :, :] + g[g0] + bstore[ns0, :, :, :]
+            t1 = astore[s, :, :, :] + g[g1] + bstore[ns1, :, :, :]
+            l0 = t0 if l0 is None else jnp.maximum(l0, t0)
+            l1 = t1 if l1 is None else jnp.maximum(l1, t1)
+        l_ref[:, :, :] = l0 - l1
 
     return kernel
 
@@ -200,7 +193,8 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         out_shape=[jax.ShapeDtypeStruct((bpad, win, n_w), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((8, tb, win, n_w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, tb, win, n_w), jnp.float32),
+                        pltpu.VMEM((8, tb, win, n_w), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(lv_main), jnp.asarray(lv_aacq), jnp.asarray(lv_bacq),
       um, vm, ua, va, ub, vb, a_init, b_init)

@@ -55,15 +55,15 @@ def pbch_quarter_to_grid(quarter_bits: jnp.ndarray, cfg: PhyConfig,
 
     Returns {port: (240,) complex} (ports 0..n_ant-1; 4-ant uses SFBC on
     ports 0/1 only in this round — FSTD pairing TODO)."""
+    from lteax.phy.chest import precode_sfbc_fstd
     sym = modulate(quarter_bits, "qpsk")                # (240,)
     if n_ant == 1:
         return {0: sym}
-    p0, p1 = precode_sfbc(sym)
     if n_ant == 2:
+        p0, p1 = precode_sfbc(sym)
         return {0: p0, 1: p1}
-    # 4 ports: proper mapping is SFBC+FSTD over (0,2)/(1,3); approximate with
-    # SFBC on 0/1 (ports 2/3 silent) until FSTD lands.
-    return {0: p0, 1: p1, 2: jnp.zeros_like(p0), 3: jnp.zeros_like(p1)}
+    p0, p1, p2, p3 = precode_sfbc_fstd(sym)
+    return {0: p0, 1: p1, 2: p2, 3: p3}
 
 
 def pbch_blind_decode(llrs_by_ant: dict[int, jnp.ndarray], n_cell_id: int):

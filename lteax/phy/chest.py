@@ -233,6 +233,42 @@ def combine_sfbc(y: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, noise_var):
     return x * jnp.sqrt(2.0), eff_nv * 2.0
 
 
+def precode_sfbc_fstd(x: jnp.ndarray):
+    """TX: 4-port SFBC+FSTD (36.211 §6.3.4.3).  x (..., n), n % 4 == 0.
+
+    Quadruplet (x0,x1,x2,x3): ports (0,2) carry the Alamouti pair (x0,x1) on
+    REs (0,1); ports (1,3) carry (x2,x3) on REs (2,3).  Returns 4 arrays."""
+    s = 1.0 / np.sqrt(2.0)
+    q = x.reshape(*x.shape[:-1], -1, 4)
+    z = jnp.zeros_like(q[..., 0])
+    p0 = jnp.stack([q[..., 0], q[..., 1], z, z], axis=-1)
+    p2 = jnp.stack([-jnp.conj(q[..., 1]), jnp.conj(q[..., 0]), z, z], axis=-1)
+    p1 = jnp.stack([z, z, q[..., 2], q[..., 3]], axis=-1)
+    p3 = jnp.stack([z, z, -jnp.conj(q[..., 3]), jnp.conj(q[..., 2])], axis=-1)
+    flat = lambda p: p.reshape(*x.shape[:-1], -1) * s
+    return flat(p0), flat(p1), flat(p2), flat(p3)
+
+
+def combine_sfbc_fstd(y: jnp.ndarray, h0, h1, h2, h3, noise_var):
+    """RX: 4-port SFBC+FSTD combining.  y, h* (..., n) with n % 4 == 0."""
+    q = y.reshape(*y.shape[:-1], -1, 4)
+    g0 = h0.reshape(*y.shape[:-1], -1, 4)[..., 0]
+    g2 = h2.reshape(*y.shape[:-1], -1, 4)[..., 0]
+    g1 = h1.reshape(*y.shape[:-1], -1, 4)[..., 2]
+    g3 = h3.reshape(*y.shape[:-1], -1, 4)[..., 2]
+    pa = jnp.abs(g0) ** 2 + jnp.abs(g2) ** 2
+    pb = jnp.abs(g1) ** 2 + jnp.abs(g3) ** 2
+    x0 = (jnp.conj(g0) * q[..., 0] + g2 * jnp.conj(q[..., 1])) / jnp.maximum(pa, 1e-12)
+    x1 = (jnp.conj(g0) * q[..., 1] - g2 * jnp.conj(q[..., 0])) / jnp.maximum(pa, 1e-12)
+    x2 = (jnp.conj(g1) * q[..., 2] + g3 * jnp.conj(q[..., 3])) / jnp.maximum(pb, 1e-12)
+    x3 = (jnp.conj(g1) * q[..., 3] - g3 * jnp.conj(q[..., 2])) / jnp.maximum(pb, 1e-12)
+    x = jnp.stack([x0, x1, x2, x3], axis=-1).reshape(*y.shape[:-1], -1)
+    ea = noise_var / jnp.maximum(pa, 1e-12)
+    eb = noise_var / jnp.maximum(pb, 1e-12)
+    eff = jnp.stack([ea, ea, eb, eb], axis=-1).reshape(*y.shape[:-1], -1)
+    return x * jnp.sqrt(2.0), eff * 2.0
+
+
 def precode_sfbc(x: jnp.ndarray):
     """TX side: map symbol pairs to 2 ports (36.211 §6.3.4.3).
 

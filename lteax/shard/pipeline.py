@@ -59,6 +59,51 @@ def make_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     return jax.jit(jax.vmap(one))
 
 
+def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
+                              geom, scheme, n_iter: int = 6, tb: int = 8,
+                              interpret: bool = False):
+    """Like make_batch_decoder but the turbo stage runs as ONE flat Pallas
+    batch over all (subframe x codeblock) blocks — the production path."""
+    from lteax.phy import seq
+    from lteax.phy.fec.crc import check_crc
+    from lteax.phy.channels.pdsch import _global_rm_idx, _c_init
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
+    d_len = geom.k + 4
+    rm_idx = jnp.asarray(_global_rm_idx(geom))
+
+    def front(samples_iq):
+        samples = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
+                   ).astype(jnp.complex64)
+        grid = samples_to_subframe(samples, cfg)
+        h = chest.estimate_channel(grid, cfg, n_cell_id, subframe, port=0)
+        nv = chest.estimate_noise_var(grid, cfg, n_cell_id, subframe)
+        x_eq, eff_nv = chest.equalize_siso(grid.reshape(-1), h.reshape(-1), nv)
+        llr = demodulate_maxlog(x_eq[re_idx], scheme, eff_nv[re_idx])
+        c_seq = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+        sgn = (1.0 - 2.0 * c_seq).astype(llr.dtype)
+        buf = jnp.zeros((geom.info.c * 3 * d_len,), llr.dtype)
+        return buf.at[rm_idx].add(llr * sgn).reshape(geom.info.c, 3, d_len)
+
+    def decode(samples_iq):
+        d_llr = jax.vmap(front)(samples_iq)            # (B, C, 3, D)
+        bsz = d_llr.shape[0]
+        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
+        bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
+                                         interpret=interpret)
+        bits = bits.reshape(bsz, geom.info.c, geom.k)
+        if geom.info.cb_crc:
+            payload, cb_ok = check_crc(bits, "24B")
+        else:
+            payload, cb_ok = bits, jnp.ones((bsz, geom.info.c), bool)
+        tb_full = pdsch_mod.desegment_device(payload, geom.info)
+        tb_bits, ok = check_crc(tb_full, "24A")
+        return tb_bits, ok & jnp.all(cb_ok, axis=-1)
+
+    return jax.jit(decode)
+
+
 def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
                          geom, scheme, n_iter: int = 6):
     """Time-sharded bulk decoder: (B_total, n_samps) sharded on axis 0 over

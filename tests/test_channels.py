@@ -141,3 +141,27 @@ def test_dci_0_roundtrip():
         back = dci_0_unpack(bits, n_rb)
         assert (back.rb_start, back.l_crb, back.mcs, back.dmrs_cs,
                 back.cqi_request) == (2, 3, 11, 5, True)
+
+
+def test_pbch_4port_fstd_roundtrip():
+    """4-antenna SFBC+FSTD PBCH: precode -> unit channels -> combine -> decode."""
+    from lteax.phy.chest import combine_sfbc_fstd
+    rng = np.random.default_rng(9)
+    mib = rng.integers(0, 2, size=24).astype(np.int32)
+    quarters = np.asarray(pbch.pbch_encode_40ms(jnp.asarray(mib), 4, NID))
+    ports = pbch.pbch_quarter_to_grid(jnp.asarray(quarters[1]), CFG, NID, 4)
+    # distinct flat channels per port
+    hs = [np.complex64(a) for a in (0.9, 0.7 * np.exp(1j * 0.5),
+                                    1.1 * np.exp(-1j * 0.3),
+                                    0.8 * np.exp(1j * 1.2))]
+    y = sum(np.asarray(ports[p]) * hs[p] for p in range(4))
+    nv = 1e-3
+    y = y + (rng.standard_normal(y.shape) + 1j * rng.standard_normal(y.shape)
+             ).astype(np.complex64) * np.sqrt(nv / 2)
+    n = len(y)
+    x_eq, eff = combine_sfbc_fstd(
+        jnp.asarray(y), *[jnp.full(n, h) for h in hs], nv)
+    llr = demodulate_maxlog(x_eq, "qpsk", eff)
+    got, ant, q, ok = pbch.pbch_blind_decode({4: np.asarray(llr)}, NID)
+    assert ok and ant == 4 and q == 1
+    np.testing.assert_array_equal(got, mib)
