@@ -5,17 +5,20 @@ alpha/beta ys arrays through HBM (~100 MB+ per half-iteration for a 20 MHz
 batch); this kernel keeps the entire trellis state and the beta store in
 VMEM, so HBM traffic collapses to the u/v inputs and the L output.)
 
-Layout: batch codeblocks on sublanes, windows on lanes — (TB, n_w) tiles.
-The 8 trellis states are unrolled into separate arrays (radix-2 butterfly
-wiring as straight-line code; branch metrics are +/-(u+v)/2, +/-(u-v)/2).
+Layout: batch codeblocks on sublanes, windows on lanes — (TB, n_w) tiles,
+and ALL time-indexed buffers are STEP-MAJOR so each loop step reads/writes
+one contiguous (TB, n_w) tile.  The 8 trellis states are unrolled into
+separate arrays (radix-2 butterfly wiring as straight-line code; branch
+metrics reduce to +/-(u+v)/2, +/-(u-v)/2).  The alpha and beta sweeps are
+fused into one loop; the output combine is one whole-block vector expression.
 
 Inputs are pre-reshaped by the host wrapper:
-  u_main/v_main (B, win, n_w): u[b, w*win + j] at [..., j, w]
-  u_aacq/v_aacq (B, acq, n_w): alpha acquisition u[b, w*win - acq + j]
-  u_bacq/v_bacq (B, acq, n_w): beta acquisition  u[b, (w+1)*win + j]
-  live masks (win|acq, n_w) f32 constants handle the padded tail.
+  u_main/v_main (win, B, n_w): u[b, w*win + j] at [j, b, w]
+  u_aacq/v_aacq (acq, B, n_w): alpha acquisition u[b, w*win - acq + j]
+  u_bacq/v_bacq (acq, B, n_w): beta acquisition  u[b, (w+1)*win + j]
+  live masks (win|acq, n_w) f32 handle the padded tail.
 Outputs:
-  l_out (B, win, n_w): APP LLR at position w*win + j
+  l_out (win, B, n_w): APP LLR at position w*win + j
   a_nii, b_nii (B, n_w, 8): next-iteration window-boundary metrics
   (a_nii[w] = alpha at (w+1)*win - acq from window w's chain;
    b_nii[w] = beta at w*win + acq from window w's chain — the host shifts
@@ -86,9 +89,9 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
 
         def acq_body(t, ab):
             a, b = ab
-            a = acs_fwd(a, ua[:, t, :], va[:, t, :], la_ref[t, :][None, :])
+            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :])
             j = acq - 1 - t
-            b = acs_bwd(b, ub[:, j, :], vb[:, j, :], lb_ref[j, :][None, :])
+            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :])
             return (a, b)
 
         a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
@@ -97,12 +100,12 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
         def win_body(t, ab):
             a, b = ab
             for s in range(8):
-                astore[s, :, t, :] = a[s]
-            a = acs_fwd(a, um[:, t, :], vm[:, t, :], lm_ref[t, :][None, :])
+                astore[t, s, :, :] = a[s]
+            a = acs_fwd(a, um[t], vm[t], lm_ref[t, :][None, :])
             j = win - 1 - t
             for s in range(8):
-                bstore[s, :, j, :] = b[s]
-            b = acs_bwd(b, um[:, j, :], vm[:, j, :], lm_ref[j, :][None, :])
+                bstore[j, s, :, :] = b[s]
+            b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
             return (a, b)
 
         jax.lax.fori_loop(0, win, win_body, (a, b))
@@ -111,8 +114,8 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
         #   a_nii[w] = alpha at (w+1)*win - acq  == astore[j = win-acq]
         #   b_nii[w] = beta  at w*win + acq      == bstore[j = acq-1]
         for s in range(8):
-            a_nii_ref[:, :, s] = astore[s, :, win - acq, :]
-            b_nii_ref[:, :, s] = bstore[s, :, acq - 1, :]
+            a_nii_ref[:, :, s] = astore[win - acq, s, :, :]
+            b_nii_ref[:, :, s] = bstore[acq - 1, s, :, :]
 
         # ---- combine, vectorized over the whole (TB, win, n_w) block ----
         uu = um[:]
@@ -123,8 +126,8 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
         for s in range(8):
             ns0, g0 = out0[s]
             ns1, g1 = out1[s]
-            t0 = astore[s, :, :, :] + g[g0] + bstore[ns0, :, :, :]
-            t1 = astore[s, :, :, :] + g[g1] + bstore[ns1, :, :, :]
+            t0 = astore[:, s, :, :] + g[g0] + bstore[:, ns0, :, :]
+            t1 = astore[:, s, :, :] + g[g1] + bstore[:, ns1, :, :]
             l0 = t0 if l0 is None else jnp.maximum(l0, t0)
             l1 = t1 if l1 is None else jnp.maximum(l1, t1)
         l_ref[:, :, :] = l0 - l1
@@ -148,13 +151,13 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
 
     def resh(x):
         xp = jnp.pad(x, ((0, 0), (0, pad)))
-        main = xp.reshape(bsz, n_w, win).transpose(0, 2, 1)   # (B, win, n_w)
+        main = xp.reshape(bsz, n_w, win).transpose(2, 0, 1)   # (win, B, n_w)
         # alpha acquisition: u[w*win - acq + j] = previous window's tail
-        tail = main[:, win - acq:, :]                          # (B, acq, n_w)
+        tail = main[win - acq:, :, :]                          # (acq, B, n_w)
         aacq = jnp.concatenate(
             [jnp.zeros_like(tail[:, :, :1]), tail[:, :, :-1]], axis=2)
         # beta acquisition: u[(w+1)*win + j] = next window's head
-        head = main[:, :acq, :]
+        head = main[:acq, :, :]
         bacq = jnp.concatenate(
             [head[:, :, 1:], jnp.zeros_like(head[:, :, :1])], axis=2)
         return main, aacq, bacq
@@ -166,14 +169,18 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
     grid = (bsz // tb,) if bsz % tb == 0 else (-(-bsz // tb),)
     if bsz % tb != 0:
         padb = grid[0] * tb - bsz
-        um, ua, ub, vm, va, vb = [jnp.pad(x, ((0, padb), (0, 0), (0, 0)))
+        um, ua, ub, vm, va, vb = [jnp.pad(x, ((0, 0), (0, padb), (0, 0)))
                                   for x in (um, ua, ub, vm, va, vb)]
         a_init = jnp.pad(a_init, ((0, padb), (0, 0), (0, 0)))
         b_init = jnp.pad(b_init, ((0, padb), (0, 0), (0, 0)))
-    bpad = um.shape[0]
+    bpad = um.shape[1]
 
     def bs(shape_tail):
         return pl.BlockSpec((tb, *shape_tail), lambda i: (i, *([0] * len(shape_tail))),
+                            memory_space=pltpu.VMEM)
+
+    def bs_stepmajor(t_len):
+        return pl.BlockSpec((t_len, tb, n_w), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def bcast(shape):
@@ -185,21 +192,23 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         kernel,
         grid=grid,
         in_specs=[bcast((win, n_w)), bcast((acq, n_w)), bcast((acq, n_w)),
-                  bs((win, n_w)), bs((win, n_w)),
-                  bs((acq, n_w)), bs((acq, n_w)),
-                  bs((acq, n_w)), bs((acq, n_w)),
+                  bs_stepmajor(win), bs_stepmajor(win),
+                  bs_stepmajor(acq), bs_stepmajor(acq),
+                  bs_stepmajor(acq), bs_stepmajor(acq),
                   bs((n_w, 8)), bs((n_w, 8))],
-        out_specs=[bs((win, n_w)), bs((n_w, 8)), bs((n_w, 8))],
-        out_shape=[jax.ShapeDtypeStruct((bpad, win, n_w), jnp.float32),
+        out_specs=[bs_stepmajor(win), bs((n_w, 8)), bs((n_w, 8))],
+        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_w), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((8, tb, win, n_w), jnp.float32),
-                        pltpu.VMEM((8, tb, win, n_w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((win, 8, tb, n_w), jnp.float32),
+                        pltpu.VMEM((win, 8, tb, n_w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(lv_main), jnp.asarray(lv_aacq), jnp.asarray(lv_bacq),
       um, vm, ua, va, ub, vb, a_init, b_init)
 
-    l = l_out.transpose(0, 2, 1).reshape(bpad, npad)[:bsz, :n]
+    l = l_out.transpose(1, 2, 0).reshape(bpad, npad)[:bsz, :n]
     # shift NII into init position (next iteration):
     #   a_init'[w] = a_nii[w-1],  b_init'[w] = b_nii[w+1]
     a_next = jnp.roll(a_nii[:bsz], 1, axis=1)
