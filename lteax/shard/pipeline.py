@@ -60,7 +60,7 @@ def make_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
 
 
 def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
-                              geom, scheme, n_iter: int = 6, tb: int = 8,
+                              geom, scheme, n_iter: int = 6, tb: int = 16,
                               interpret: bool = False):
     """Like make_batch_decoder but the turbo stage runs as ONE flat Pallas
     batch over all (subframe x codeblock) blocks — the production path."""

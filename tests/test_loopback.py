@@ -2,6 +2,7 @@
 (the reference's LTE_fdd_dl_file_gen → LTE_fdd_dl_file_scan path)."""
 
 import numpy as np
+import pytest
 
 from lteax.apps.file_gen import GenConfig, generate
 from lteax.apps.file_scan import scan
@@ -78,3 +79,14 @@ def test_scan_graceful_on_noise():
              + 1j * rng.standard_normal(60000)).astype(np.complex64)
     r = scan(noise, cfg)
     assert r.mib is None
+
+
+@pytest.mark.slow
+def test_loopback_5mhz():
+    gc = GenConfig(n_rb_dl=25, n_cell_id=88, n_frames=4, tac=0x5A5A)
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 88
+    assert r.mib is not None and r.mib.n_rb_dl == 25
+    assert r.sib1 is not None and r.sib1.tac == 0x5A5A
+    assert r.sib2 is not None
+    assert r.snr_db > 30  # noiseless loopback
