@@ -46,10 +46,12 @@ class GenConfig:
     cfi: int = 2
     sib1_mcs: int = 4          # I_TBS for the N_PRB_1A column
     band: int = 1
+    extended_cp: bool = False
 
     @property
     def phy(self) -> PhyConfig:
-        return PhyConfig(n_rb_dl=self.n_rb_dl, n_ant=self.n_ant)
+        return PhyConfig(n_rb_dl=self.n_rb_dl, n_ant=self.n_ant,
+                         extended_cp=self.extended_cp)
 
     @property
     def ctrl_syms(self) -> int:
@@ -88,7 +90,8 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
         for sym in crs_symbols(p, cfg):
             slot = sym // cfg.n_sym_slot
             vals.append(seq.crs_values(cid, 2 * sf + slot,
-                                       sym % cfg.n_sym_slot, cfg.n_rb_dl))
+                                       sym % cfg.n_sym_slot, cfg.n_rb_dl,
+                                       cfg.extended_cp))
         ports[p][crs_flat_idx(cfg, cid, p)] = np.concatenate(vals)
 
     # sync signals (port 0)
@@ -154,7 +157,8 @@ def generate(gc: GenConfig) -> np.ndarray:
         if sfn % 4 == 0:
             mib.sfn = sfn
             pbch_q = np.asarray(pbch.pbch_encode_40ms(
-                jnp.asarray(rrc.pack_mib(mib)), gc.n_ant, gc.n_cell_id))
+                jnp.asarray(rrc.pack_mib(mib)), gc.n_ant, gc.n_cell_id,
+                extended_cp=cfg.extended_cp))
         for sf in range(10):
             grids.append(build_subframe_grid(gc, sfn, sf, pbch_q,
                                              sib1_bits, sib2_bits))

@@ -141,7 +141,8 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         y_pb, h0.reshape(-1)[pb_idx], h1.reshape(-1)[pb_idx],
         h2.reshape(-1)[pb_idx], h3.reshape(-1)[pb_idx], nv0)
     llrs_by_ant[4] = demodulate_maxlog(x_eq4, "qpsk", eff4)
-    mib_bits, n_ant, quarter, ok = pbch.pbch_blind_decode(llrs_by_ant, cid)
+    mib_bits, n_ant, quarter, ok = pbch.pbch_blind_decode(
+        llrs_by_ant, cid, extended_cp=cfg.extended_cp)
     if not ok:
         return res
     res.n_ant = n_ant

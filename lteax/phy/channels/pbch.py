@@ -28,7 +28,14 @@ from lteax.phy import seq
 from lteax.phy.grid import pbch_flat_idx
 from lteax.phy.chest import precode_sfbc
 
-E_PBCH_NORM = 1920  # normal CP; 1728 for extended
+E_PBCH_NORM = 1920
+E_PBCH_EXT = 1728
+
+
+def e_pbch(extended_cp: bool = False) -> int:
+    return E_PBCH_EXT if extended_cp else E_PBCH_NORM
+
+
 ANT_MASKS = {
     1: np.zeros(16, dtype=np.int32),
     2: np.ones(16, dtype=np.int32),
@@ -37,24 +44,25 @@ ANT_MASKS = {
 
 
 def pbch_encode_40ms(mib_bits: jnp.ndarray, n_ant: int,
-                     n_cell_id: int) -> jnp.ndarray:
-    """MIB (24,) -> (4, 480) scrambled+rate-matched bit quarters (one per
+                     n_cell_id: int, extended_cp: bool = False) -> jnp.ndarray:
+    """MIB (24,) -> (4, E/4) scrambled+rate-matched bit quarters (one per
     frame of the 40 ms TTI)."""
+    e_len = e_pbch(extended_cp)
     b = attach_crc(mib_bits, "16", mask_bits=ANT_MASKS[n_ant])
     d = conv_encode(b)                                  # (3, 40)
-    idx = conv_rm_indices(40, E_PBCH_NORM)
-    e = rate_match(d, idx)                              # (1920,)
-    c = seq.gold_sequence(jnp.int32(n_cell_id), E_PBCH_NORM)
+    idx = conv_rm_indices(40, e_len)
+    e = rate_match(d, idx)
+    c = seq.gold_sequence(jnp.int32(n_cell_id), e_len)
     e = (e + c) % 2
-    return e.reshape(4, 480)
+    return e.reshape(4, e_len // 4)
 
 
 def pbch_quarter_to_grid(quarter_bits: jnp.ndarray, cfg: PhyConfig,
                          n_cell_id: int, n_ant: int) -> dict[int, jnp.ndarray]:
-    """One frame's 480 bits -> per-port RE values at pbch_flat_idx.
+    """One frame's quarter bits -> per-port RE values at pbch_flat_idx.
 
-    Returns {port: (240,) complex} (ports 0..n_ant-1; 4-ant uses SFBC on
-    ports 0/1 only in this round — FSTD pairing TODO)."""
+    Returns {port: (n_re,) complex}: 1 port direct, 2-port SFBC,
+    4-port SFBC+FSTD."""
     from lteax.phy.chest import precode_sfbc_fstd
     sym = modulate(quarter_bits, "qpsk")                # (240,)
     if n_ant == 1:
@@ -66,24 +74,27 @@ def pbch_quarter_to_grid(quarter_bits: jnp.ndarray, cfg: PhyConfig,
     return {0: p0, 1: p1, 2: p2, 3: p3}
 
 
-def pbch_blind_decode(llrs_by_ant: dict[int, jnp.ndarray], n_cell_id: int):
+def pbch_blind_decode(llrs_by_ant: dict[int, jnp.ndarray], n_cell_id: int,
+                      extended_cp: bool = False):
     """Resolve (n_ant, quarter) from one frame's PBCH LLRs.
 
-    llrs_by_ant: {n_ant_hypothesis: (480,) descrambled? no — RAW llrs in RE
-    order}.  Descrambling needs the quarter phase, handled inside.
+    llrs_by_ant: {n_ant_hypothesis: (E/4,) RAW llrs in RE order}.
+    Descrambling needs the quarter phase, handled inside.
 
     Returns (mib_bits (24,), n_ant, sfn_mod4, ok) as numpy/python values.
     """
-    c = np.asarray(seq.gold_sequence_np(n_cell_id, E_PBCH_NORM))
+    e_len = e_pbch(extended_cp)
+    qlen = e_len // 4
+    c = np.asarray(seq.gold_sequence_np(n_cell_id, e_len))
     sgn = (1.0 - 2.0 * c).astype(np.float32)
-    idx = conv_rm_indices(40, E_PBCH_NORM)
+    idx = conv_rm_indices(40, e_len)
     cands = []
     metas = []
     for n_ant, llr in llrs_by_ant.items():
         llr = np.asarray(llr)
         for q in range(4):
-            buf = np.zeros(E_PBCH_NORM, dtype=np.float32)
-            buf[q * 480:(q + 1) * 480] = llr
+            buf = np.zeros(e_len, dtype=np.float32)
+            buf[q * qlen:(q + 1) * qlen] = llr
             buf *= sgn
             d_llr = np.asarray(rate_unmatch(jnp.asarray(buf), idx, 40))
             cands.append(d_llr)

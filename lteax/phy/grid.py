@@ -104,14 +104,17 @@ def central72_sc(cfg: PhyConfig) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def pbch_flat_idx(cfg: PhyConfig, n_cell_id: int) -> np.ndarray:
-    """(240,) flat indices (normal CP) for one frame's PBCH quarter."""
+    """Flat indices for one frame's PBCH quarter: slot-1 symbols 0..3,
+    central 72 sc, minus 4-port CRS positions (always reserved).
+    240 REs normal CP, 216 extended CP."""
     vs = n_cell_id % 6
     nss = cfg.n_sym_slot
     sc = central72_sc(cfg)
+    crs_syms = (0, 1, 3) if cfg.extended_cp else (0, 1)
     out = []
     for li in range(4):
         sym = nss + li
-        if li < 2:
+        if li in crs_syms:
             keep = sc[(sc % 3) != (vs % 3)]
         else:
             keep = sc

@@ -90,3 +90,14 @@ def test_loopback_5mhz():
     assert r.sib1 is not None and r.sib1.tac == 0x5A5A
     assert r.sib2 is not None
     assert r.snr_db > 30  # noiseless loopback
+
+
+def test_loopback_extended_cp():
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77, n_frames=4, tac=0xECB,
+                   extended_cp=True)
+    assert gc.phy.n_sym_subframe == 12
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 77
+    assert r.mib is not None
+    assert r.sib1 is not None and r.sib1.tac == 0xECB
+    assert r.sib2 is not None
