@@ -46,14 +46,17 @@ def main():
     re_idx = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
     geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 6, 0)
 
-    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "128"))
+    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "256"))
     n_iter = int(__import__("os").environ.get("LTEAX_BENCH_TURBO_ITERS", "6"))
     reps = int(__import__("os").environ.get("LTEAX_BENCH_REPS", "10"))
 
     rng = np.random.default_rng(0)
-    print(f"building {b} encoded 20 MHz subframes (TBS {tbs}, C={geom.info.c}, "
-          f"K={geom.k})...", file=sys.stderr)
-    tb_bits = rng.integers(0, 2, size=(b, tbs)).astype(np.int32)
+    # build up to 64 unique transport blocks and tile (input building is
+    # host-side prep, not the measured decode)
+    b_uniq = min(b, 64)
+    print(f"building {b_uniq} unique encoded 20 MHz subframes (tiled to {b}; "
+          f"TBS {tbs}, C={geom.info.c}, K={geom.k})...", file=sys.stderr)
+    tb_bits = rng.integers(0, 2, size=(b_uniq, tbs)).astype(np.int32)
     crs_idx = crs_flat_idx(cfg, cid, 0)
     vals = []
     for sym in crs_symbols(0, cfg):
@@ -68,15 +71,18 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         cbs = np.stack([pdsch_mod.pdsch_prepare_cbs(tb_bits[i], geom)
-                        for i in range(b)])
+                        for i in range(b_uniq)])
         enc = jax.jit(jax.vmap(lambda cb: pdsch_mod.pdsch_encode_cbs(
             cb, geom, rnti, sf, cid, scheme)), device=cpu)
         syms = np.asarray(enc(jnp.asarray(cbs)))
-        grids = np.zeros((b, cfg.n_sym_subframe * cfg.n_sc), dtype=np.complex64)
+        grids = np.zeros((b_uniq, cfg.n_sym_subframe * cfg.n_sc),
+                         dtype=np.complex64)
         grids[:, crs_idx] = crs_vals
         grids[:, re_idx] = syms
         x = np.asarray(subframe_to_samples(jnp.asarray(
-            grids.reshape(b, cfg.n_sym_subframe, cfg.n_sc)), cfg))
+            grids.reshape(b_uniq, cfg.n_sym_subframe, cfg.n_sc)), cfg))
+    x = np.tile(x, (b // b_uniq + (1 if b % b_uniq else 0), 1))[:b]
+    tb_bits = np.tile(tb_bits, (b // b_uniq + (1 if b % b_uniq else 0), 1))[:b]
     nv = 10 ** (-2.5)   # 25 dB SNR — comfortably above the 64QAM r~0.93 bound
     x = x + (rng.standard_normal(x.shape)
              + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
