@@ -37,6 +37,12 @@ TBS_COLUMNS: dict[int, tuple[int, ...]] = {
         552, 600, 632, 696, 776, 840, 904, 1000, 1064, 1128, 1192, 1256, 1480),
     3: (56, 88, 144, 176, 208, 224, 256, 328, 392, 456, 504, 584, 680, 744,
         840, 904, 968, 1064, 1160, 1288, 1384, 1480, 1608, 1736, 1800, 1864, 2216),
+    4: (88, 144, 176, 208, 256, 328, 392, 472, 536, 616, 680, 776, 904,
+        1000, 1128, 1224, 1288, 1480, 1608, 1800, 1928, 2088, 2216, 2344,
+        2536, 2664, 2984),
+    5: (120, 176, 208, 256, 328, 424, 504, 584, 680, 776, 872, 1000, 1128,
+        1256, 1416, 1544, 1608, 1800, 2024, 2216, 2408, 2600, 2792, 2984,
+        3112, 3368, 3752),
     6: (152, 208, 256, 328, 408, 504, 600, 712, 808, 936, 1032, 1192, 1352,
         1544, 1736, 1800, 1928, 2152, 2344, 2600, 2792, 2984, 3240, 3496,
         3752, 4008, 4392),

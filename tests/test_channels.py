@@ -165,3 +165,12 @@ def test_pbch_4port_fstd_roundtrip():
     got, ant, q, ok = pbch.pbch_blind_decode({4: np.asarray(llr)}, NID)
     assert ok and ant == 4 and q == 1
     np.testing.assert_array_equal(got, mib)
+
+
+def test_tbs_cross_column_monotone():
+    """TBS non-decreasing along N_PRB for each I_TBS (validates new columns)."""
+    from lteax.phy.tables.tbs import TBS_COLUMNS
+    cols = sorted(TBS_COLUMNS)
+    for itbs in range(27):
+        vals = [TBS_COLUMNS[c][itbs] for c in cols]
+        assert all(b >= a for a, b in zip(vals, vals[1:])), (itbs, vals)
