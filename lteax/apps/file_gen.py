@@ -70,7 +70,7 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
     """Build one subframe's resource grid (ports superposed: the IQ file
     models a single RX antenna with unit channels from each TX port, which
     is what the reference's file_gen produces for its loopback)."""
-    from lteax.phy.chest import precode_sfbc
+    from lteax.phy.chest import precode_sfbc, precode_sfbc_fstd
     cfg = gc.phy
     cid = gc.n_cell_id
     n_ant = gc.n_ant
@@ -79,10 +79,13 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
     def _sfbc_scatter(idx: np.ndarray, syms: jnp.ndarray):
         if n_ant == 1:
             ports[0][idx] = np.asarray(syms)
-        else:
+        elif n_ant == 2:
             p0, p1 = precode_sfbc(syms)
             ports[0][idx] = np.asarray(p0)
             ports[1][idx] = np.asarray(p1)
+        else:
+            for p, arr in enumerate(precode_sfbc_fstd(syms)):
+                ports[p][idx] = np.asarray(arr)
 
     # CRS per port
     for p in range(n_ant):

@@ -171,11 +171,19 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         h0f = chest.estimate_channel(g, cfg, cid, sf, port=0).reshape(-1)
         h1f = (chest.estimate_channel(g, cfg, cid, sf, port=1).reshape(-1)
                if n_ant >= 2 else h0f)
+        h2f = (chest.estimate_channel(g, cfg, cid, sf, port=2).reshape(-1)
+               if n_ant == 4 else h0f)
+        h3f = (chest.estimate_channel(g, cfg, cid, sf, port=3).reshape(-1)
+               if n_ant == 4 else h0f)
         nv = chest.estimate_noise_var(g, cfg, cid, sf)
 
         def _eq_llrs(idx, scheme="qpsk"):
-            x_eq, eff = chest.equalize_res(gflat[idx], h0f[idx], h1f[idx],
-                                           nv, n_ant)
+            if n_ant == 4:
+                x_eq, eff = chest.combine_sfbc_fstd(
+                    gflat[idx], h0f[idx], h1f[idx], h2f[idx], h3f[idx], nv)
+            else:
+                x_eq, eff = chest.equalize_res(gflat[idx], h0f[idx],
+                                               h1f[idx], nv, n_ant)
             return demodulate_maxlog(x_eq, scheme, eff)
 
         cfi_llr = _eq_llrs(jnp.asarray(pcfich_flat_idx(cfg_c, cid)))
@@ -189,7 +197,15 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
                                                 ctrl, ng)
         h1_log = pdcch_mod.unpermute_to_logical(h1f[pd_idx], cfg_c, cid,
                                                 ctrl, ng)
-        x_eq, eff = chest.equalize_res(y_log, h0_log, h1_log, nv, n_ant)
+        if n_ant == 4:
+            h2_log = pdcch_mod.unpermute_to_logical(h2f[pd_idx], cfg_c, cid,
+                                                    ctrl, ng)
+            h3_log = pdcch_mod.unpermute_to_logical(h3f[pd_idx], cfg_c, cid,
+                                                    ctrl, ng)
+            x_eq, eff = chest.combine_sfbc_fstd(y_log, h0_log, h1_log,
+                                                h2_log, h3_log, nv)
+        else:
+            x_eq, eff = chest.equalize_res(y_log, h0_log, h1_log, nv, n_ant)
         pd_llr = demodulate_maxlog(x_eq, "qpsk", eff)
         logical = pdcch_mod.pdcch_descramble_logical(pd_llr, cfg_c, cid,
                                                      ctrl, ng, sf)

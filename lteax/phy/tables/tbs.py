@@ -83,3 +83,18 @@ def get_tbs_for_mcs(mcs: int, n_prb: int) -> tuple[int, str]:
 def tbs_1a(i_tbs: int, n_prb_1a: int) -> int:
     assert n_prb_1a in (2, 3)
     return get_tbs(i_tbs, n_prb_1a)
+
+
+def pick_mcs_for_size(n_bits: int, n_prb: int, max_mcs: int = 28) -> tuple[int, int]:
+    """Smallest MCS whose TBS at ``n_prb`` fits ``n_bits`` payload.
+
+    (reference capability: ``liblte_phy_get_tbs_mcs_and_n_prb_for_dl`` —
+    the scheduler's lookup.)  Returns (mcs, tbs)."""
+    for mcs in range(max_mcs + 1):
+        try:
+            tbs, _ = get_tbs_for_mcs(mcs, n_prb)
+        except ValueError:
+            continue
+        if tbs >= n_bits:
+            return mcs, tbs
+    raise ValueError(f"{n_bits} bits exceed TBS at {n_prb} PRB")

@@ -101,3 +101,15 @@ def test_loopback_extended_cp():
     assert r.mib is not None
     assert r.sib1 is not None and r.sib1.tac == 0xECB
     assert r.sib2 is not None
+
+
+@pytest.mark.slow
+def test_loopback_4port_fstd():
+    """4-antenna SFBC+FSTD cell: blind n_ant=4 MIB + SI decode."""
+    gc = GenConfig(n_rb_dl=6, n_cell_id=150, n_ant=4, n_frames=4, tac=0x444,
+                   cfi=3)  # 4-ant control region needs 4 symbols for L=4 CCEs
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 150
+    assert r.n_ant == 4
+    assert r.sib1 is not None and r.sib1.tac == 0x444
+    assert r.sib2 is not None
