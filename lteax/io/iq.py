@@ -63,3 +63,27 @@ def chunk_subframes(x: np.ndarray, n_samps_subframe: int,
     x = x[start:]
     n = len(x) // n_samps_subframe
     return x[: n * n_samps_subframe].reshape(n, n_samps_subframe)
+
+
+def prefetch_to_device(batches, depth: int = 2):
+    """Double-buffered device feed: yields device arrays while the next
+    host batch is already in flight (jax.device_put is async).
+
+    ``batches``: iterable of numpy arrays (float32 IQ-pair layout).
+    SURVEY.md §7 hard-part #5: keep chips fed without host stalls."""
+    import collections
+    import jax
+
+    q = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            q.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while q:
+        try:
+            q.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield q.popleft()

@@ -68,3 +68,13 @@ def test_pcap_writer(tmp_path):
     assert body[1] == 1          # DL
     assert body[2] == 4          # SI-RNTI type
     assert body[3] == 0x02 and body[4:6] == b"\xff\xff"
+
+
+def test_prefetch_to_device():
+    import numpy as np
+    from lteax.io.iq import prefetch_to_device
+    batches = [np.full((4, 2), i, np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches)))
+    assert len(out) == 5
+    for i, o in enumerate(out):
+        assert float(np.asarray(o)[0, 0]) == i
