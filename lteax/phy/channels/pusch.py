@@ -58,14 +58,22 @@ def base_sequence(u: int, m_sc: int, v: int = 0) -> np.ndarray:
     raise NotImplementedError(f"base sequence length {m_sc}")
 
 
+def group_hopping_pattern(n_cell_id: int, ns: int) -> int:
+    """f_gh(ns) (36.211 §5.5.1.3): 8 Gold bits per slot, mod 30."""
+    c_init = n_cell_id // 30
+    c = seq.gold_sequence_np(c_init, 8 * (ns + 1))
+    return int(np.sum(c[8 * ns: 8 * ns + 8] * (1 << np.arange(8)))) % 30
+
+
 def dmrs_pusch(n_cell_id: int, ns: int, m_sc: int, delta_ss: int = 0,
-               n_dmrs: int = 0) -> np.ndarray:
+               n_dmrs: int = 0, group_hopping: bool = False) -> np.ndarray:
     """DM-RS for slot ns (§5.5.2.1): base sequence with cyclic shift alpha.
 
-    Group hopping disabled; v = 0.  n_cs = (n_dmrs + n_pn(ns)) mod 12 with
-    n_pn from the §5.5.1.3-style PN sequence."""
+    v = 0.  n_cs = (n_dmrs + n_pn(ns)) mod 12 with n_pn from the
+    §5.5.1.3-style PN sequence; group hopping optional."""
     fss = (n_cell_id + delta_ss) % 30
-    u = fss
+    fgh = group_hopping_pattern(n_cell_id, ns) if group_hopping else 0
+    u = (fgh + fss) % 30
     c_init = (n_cell_id // 30) * 32 + fss
     c = seq.gold_sequence_np(c_init, 8 * (ns + 1))
     n_pn = int(np.sum(c[8 * ns: 8 * ns + 8] * (1 << np.arange(8))))

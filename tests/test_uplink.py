@@ -116,3 +116,15 @@ def test_rm20_roundtrip():
         llr = (1.0 - 2.0 * cw).astype(np.float32)
         got, _ = pucch.rm20_decode(llr, a)
         np.testing.assert_array_equal(got, bits)
+
+
+def test_group_hopping_pattern():
+    """Group hopping: u varies per slot, deterministic, in [0, 30)."""
+    from lteax.phy.channels.pusch import group_hopping_pattern, dmrs_pusch
+    us = [group_hopping_pattern(301, ns) for ns in range(20)]
+    assert all(0 <= u < 30 for u in us)
+    assert len(set(us)) > 3                       # actually hops
+    assert us == [group_hopping_pattern(301, ns) for ns in range(20)]
+    d1 = dmrs_pusch(301, 4, 72, group_hopping=True)
+    d2 = dmrs_pusch(301, 4, 72, group_hopping=False)
+    assert not np.allclose(d1, d2)
