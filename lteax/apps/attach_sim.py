@@ -19,9 +19,7 @@ import sys
 import numpy as np
 import jax.numpy as jnp
 
-from lteax.phy.config import PhyConfig
 from lteax.phy.channels import prach, pdsch as pdsch_mod, pusch
-from lteax.phy.channels.dci import Dci1A, dci_1a_pack
 from lteax.phy.mod import demodulate_maxlog
 from lteax.stack import mac_pdu, rlc_pdu, pdcp_pdu, nas, security
 from lteax.io.pcap import MacPcapWriter, DIR_DL, DIR_UL, RNTI_RA, RNTI_C

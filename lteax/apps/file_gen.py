@@ -25,7 +25,7 @@ from lteax.phy.grid import (crs_flat_idx, crs_symbols, sync_sc, pss_sym,
 from lteax.phy.ofdm import subframe_to_samples
 from lteax.phy.channels import pbch, pcfich, pdcch as pdcch_mod, pdsch as pdsch_mod
 from lteax.phy.channels.dci import Dci1A, dci_1a_pack
-from lteax.phy.tables.tbs import tbs_1a, get_tbs_for_mcs
+from lteax.phy.tables.tbs import tbs_1a
 from lteax.stack import rrc
 from lteax.io.iq import write_iq
 

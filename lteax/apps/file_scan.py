@@ -26,7 +26,6 @@ from lteax.phy.grid import (sync_sc, pss_sym, sss_sym, pbch_flat_idx,
                             pcfich_flat_idx, pdcch_flat_idx, pdsch_flat_idx)
 from lteax.phy.ofdm import samples_to_subframe
 from lteax.phy.channels import pbch, pcfich, pdcch as pdcch_mod, pdsch as pdsch_mod
-from lteax.phy.channels.dci import Dci1A
 from lteax.phy.tables.tbs import tbs_1a
 from lteax.phy.mod import demodulate_maxlog
 from lteax.stack import rrc

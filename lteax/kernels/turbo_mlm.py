@@ -227,8 +227,8 @@ def _pin_boundaries(a_init, b_init):
     return a, b
 
 
-def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 32,
-                              acq: int = 16, ext_scale: float = 0.75,
+def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
+                              acq: int = 32, ext_scale: float = 0.75,
                               tb: int = 8, interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 

@@ -12,8 +12,6 @@ vmapped Viterbi, TPU-style, instead of the reference's serial retry loop.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +21,7 @@ from lteax.phy.fec.crc import attach_crc, check_crc
 from lteax.phy.fec.conv import conv_encode
 from lteax.phy.fec.viterbi import viterbi_decode_tb_batch
 from lteax.phy.fec.ratematch import conv_rm_indices, rate_match, rate_unmatch
-from lteax.phy.mod import modulate, demodulate_maxlog
+from lteax.phy.mod import modulate
 from lteax.phy import seq
 from lteax.phy.grid import pbch_flat_idx
 from lteax.phy.chest import precode_sfbc

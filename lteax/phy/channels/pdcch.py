@@ -23,10 +23,10 @@ from lteax.phy.fec.conv import conv_encode
 from lteax.phy.fec.viterbi import viterbi_decode_tb_batch
 from lteax.phy.fec.ratematch import (conv_rm_indices, rate_match, rate_unmatch,
                                      PERM_CONV, _subblock_col_read)
-from lteax.phy.mod import modulate, demodulate_maxlog
+from lteax.phy.mod import modulate
 from lteax.phy import seq
 from lteax.phy.grid import pdcch_reg_list
-from lteax.phy.channels.dci import dci_1a_size, dci_1a_unpack, Dci1A, dci_1a_pack
+from lteax.phy.channels.dci import dci_1a_size, dci_1a_unpack, Dci1A
 
 REG_PER_CCE = 9
 BITS_PER_REG = 8  # 4 REs x QPSK

@@ -24,7 +24,7 @@ from lteax.phy.fec.crc import attach_crc, check_crc
 from lteax.phy.fec.segmentation import segment_info, segment_bits, desegment_bits, SegmentInfo
 from lteax.phy.fec.turbo import turbo_encode_batch, turbo_decode_batch
 from lteax.phy.fec.ratematch import turbo_rm_indices
-from lteax.phy.mod import modulate, demodulate_maxlog, BITS_PER_SYM
+from lteax.phy.mod import modulate, demodulate_maxlog
 from lteax.phy import seq
 
 

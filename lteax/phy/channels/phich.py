@@ -14,7 +14,6 @@ despreads with the conjugate sequence.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from lteax.phy import seq
 

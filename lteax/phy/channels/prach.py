@@ -19,7 +19,6 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
-import jax.numpy as jnp
 
 N_ZC = 839
 DELTA_F_RA = 1250.0   # Hz

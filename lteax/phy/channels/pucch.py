@@ -12,8 +12,6 @@ oracle; entries are [U]-tagged for the citation pass.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 
 from lteax.phy import seq as seq_mod

@@ -19,9 +19,8 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
-from lteax.phy.config import PhyConfig
 from lteax.phy import seq
-from lteax.phy.mod import modulate, demodulate_maxlog, BITS_PER_SYM
+from lteax.phy.mod import modulate, demodulate_maxlog
 from lteax.phy.channels import pdsch as pdsch_mod
 from lteax.phy.channels.pdsch import PdschGeometry, pdsch_geometry
 

@@ -27,7 +27,7 @@ LLR convention: L = log P(0)/P(1) (positive ⇒ bit 0).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import numpy as np
 
 from lteax.phy.config import PhyConfig
 from lteax.phy import seq
-from lteax.phy.grid import sync_sc, pss_sym, sss_sym
+from lteax.phy.grid import sync_sc
 
 SC_SPACING = 15000.0
 

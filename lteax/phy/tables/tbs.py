@@ -14,8 +14,6 @@ static-shape device path relies on.
 
 from __future__ import annotations
 
-import numpy as np
-
 # 36.213 Table 7.1.7.1-1: MCS -> (modulation order Q_m, I_TBS)
 def mcs_to_qm_itbs(mcs: int) -> tuple[int, int]:
     if 0 <= mcs <= 9:
