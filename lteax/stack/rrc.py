@@ -118,51 +118,110 @@ MSG_SI = 0
 
 
 def pack_sib1(s: Sib1) -> np.ndarray:
-    w = _BitWriter()
-    w.put(MSG_SIB1, 2)                 # BCCH-DL-SCH choice tag
+    """BCCH-DL-SCH-Message carrying SystemInformationBlockType1, encoded in
+    UNALIGNED PER per 36.331 §6.2.2 / X.691.
+
+    ASN.1 field order (Rel-8 SystemInformationBlockType1; optional fields
+    p-Max / tdd-Config / csg-Identity / q-RxLevMinOffset /
+    nonCriticalExtension absent):
+      BCCH-DL-SCH-MessageType CHOICE: c1(0) -> CHOICE: sib1(1)
+      SEQUENCE bitmap [p-Max, tdd-Config, nonCriticalExtension]
+      cellAccessRelatedInfo: bitmap [csg-Identity];
+        plmn-IdentityList SIZE(1..6); PLMN-Identity {mcc OPTIONAL present,
+        3x digit(0..9), mnc SIZE(2..3) of digit},
+        cellReservedForOperatorUse ENUM{reserved, notReserved};
+        trackingAreaCode BIT STRING(16); cellIdentity BIT STRING(28);
+        cellBarred ENUM{barred,notBarred};
+        intraFreqReselection ENUM{allowed,notAllowed}; csg-Indication BOOLEAN
+      cellSelectionInfo: bitmap [q-RxLevMinOffset]; q-RxLevMin INT(-70..-22)
+      freqBandIndicator INT(1..64)
+      schedulingInfoList SIZE(1..32) of SchedulingInfo {
+        si-Periodicity ENUM(rf8..rf512), sib-MappingInfo SIZE(0..31) of
+        SIB-Type ENUM(sibType3.., extensible, 16 root values) }
+      si-WindowLength ENUM(ms1..ms40); systemInfoValueTag INT(0..31)
+    """
+    from lteax.stack.uper import UperWriter
+    w = UperWriter()
+    w.bit(0)                         # BCCH-DL-SCH-MessageType: c1
+    w.bit(1)                         # c1: systemInformationBlockType1
+    w.opt(False)                     # p-Max absent
+    w.opt(False)                     # tdd-Config absent
+    w.opt(False)                     # nonCriticalExtension absent
+    # cellAccessRelatedInfo
+    w.opt(False)                     # csg-Identity absent
+    w.length(1, 1, 6)                # one PLMN
+    w.opt(True)                      # mcc present
     for d in s.mcc:
-        w.put(d, 4)
-    w.put(len(s.mnc) - 2, 1)
+        w.cint(d, 0, 9)
+    w.length(len(s.mnc), 2, 3)
     for d in s.mnc:
-        w.put(d, 4)
-    w.put(s.tac, 16)
-    w.put(s.cell_identity, 28)
-    w.put(1 if s.cell_barred else 0, 1)
-    w.put(1 if s.intra_freq_reselection else 0, 1)
-    w.put(s.q_rx_lev_min + 70, 6)
-    w.put(s.freq_band_indicator, 6)
-    w.put(SI_WINDOW_MS.index(s.si_window_ms), 3)
-    w.put(len(s.scheduling), 3)
+        w.cint(d, 0, 9)
+    w.enum(1, 2)                     # cellReservedForOperatorUse: notReserved
+    w.bitstring(s.tac, 16)
+    w.bitstring(s.cell_identity, 28)
+    w.enum(0 if s.cell_barred else 1, 2)
+    w.enum(0 if s.intra_freq_reselection else 1, 2)
+    w.bit(0)                         # csg-Indication FALSE
+    # cellSelectionInfo
+    w.opt(False)                     # q-RxLevMinOffset absent
+    w.cint(s.q_rx_lev_min, -70, -22)
+    w.cint(s.freq_band_indicator, 1, 64)
+    w.length(len(s.scheduling), 1, 32)
     for si in s.scheduling:
-        w.put(SI_PERIODICITY_RF.index(si.si_periodicity_rf), 3)
-        w.put(len(si.sib_mapping), 3)
+        w.enum(SI_PERIODICITY_RF.index(si.si_periodicity_rf), 7)
+        w.length(len(si.sib_mapping), 0, 31)
         for t in si.sib_mapping:
-            w.put(t - 3, 4)
+            w.enum(t - 3, 16, extensible=True)   # SIB-Type
+    w.enum(SI_WINDOW_MS.index(s.si_window_ms), 7)
+    w.cint(0, 0, 31)                 # systemInfoValueTag
     return w.array()
 
 
 def unpack_sib1(bits: np.ndarray) -> Sib1 | None:
+    from lteax.stack.uper import UperReader
     try:
-        r = _BitReader(bits)
-        if r.get(2) != MSG_SIB1:
-            return None
-        mcc = tuple(r.get(4) for _ in range(3))
-        mnc_len = r.get(1) + 2
-        mnc = tuple(r.get(4) for _ in range(mnc_len))
-        tac = r.get(16)
-        cid = r.get(28)
-        barred = bool(r.get(1))
-        ifr = bool(r.get(1))
-        qrx = r.get(6) - 70
-        band = r.get(6)
-        win = SI_WINDOW_MS[r.get(3)]
-        n_sched = r.get(3)
+        r = UperReader(bits)
+        if r.bit() != 0 or r.bit() != 1:
+            return None              # not c1/sib1
+        opt_pmax, opt_tdd, opt_ext = r.opt(), r.opt(), r.opt()
+        opt_csg_id = r.opt()
+        n_plmn = r.length(1, 6)
+        mcc = (0, 0, 0)
+        mnc = ()
+        for i in range(n_plmn):
+            has_mcc = r.opt()
+            m = tuple(r.cint(0, 9) for _ in range(3)) if has_mcc else (0, 0, 0)
+            nm = r.length(2, 3)
+            n = tuple(r.cint(0, 9) for _ in range(nm))
+            r.enum(2)                # cellReservedForOperatorUse
+            if i == 0:
+                mcc, mnc = m, n
+        tac = r.bitstring(16)
+        cid = r.bitstring(28)
+        barred = r.enum(2) == 0
+        ifr = r.enum(2) == 0
+        r.bit()                      # csg-Indication
+        if opt_csg_id:
+            r.bitstring(27)
+        opt_qoff = r.opt()
+        qrx = r.cint(-70, -22)
+        if opt_qoff:
+            r.cint(1, 8)
+        if opt_pmax:
+            r.cint(-30, 33)
+        band = r.cint(1, 64)
+        n_sched = r.length(1, 32)
         sched = []
         for _ in range(n_sched):
-            per = SI_PERIODICITY_RF[r.get(3)]
-            n_map = r.get(3)
-            sched.append(SchedulingInfo(per, tuple(r.get(4) + 3
-                                                   for _ in range(n_map))))
+            per = SI_PERIODICITY_RF[r.enum(7)]
+            n_map = r.length(0, 31)
+            sched.append(SchedulingInfo(
+                per, tuple(r.enum(16, extensible=True) + 3
+                           for _ in range(n_map))))
+        if opt_tdd:
+            return None              # TDD not supported
+        win = SI_WINDOW_MS[r.enum(7)]
+        r.cint(0, 31)                # systemInfoValueTag
         return Sib1(mcc=mcc, mnc=mnc, tac=tac, cell_identity=cid,
                     cell_barred=barred, intra_freq_reselection=ifr,
                     q_rx_lev_min=qrx, freq_band_indicator=band,

@@ -1,0 +1,86 @@
+"""Unaligned PER (X.691) primitives for the hand-rolled RRC codec.
+
+(reference capability: the bit-level helpers ``liblte_value_2_bits`` /
+``liblte_bits_2_value`` that ``liblte_rrc.cc`` builds its hand-written
+ASN.1-equivalent codec on.)
+
+Only the constructs 36.331's broadcast messages need: constrained whole
+numbers, enumerations (with extension marker), sequence optional bitmaps,
+extension bits, fixed-size bit strings, and constrained SEQUENCE-OF lengths.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class UperWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def bit(self, b: int):
+        self.bits.append(b & 1)
+
+    def bitstring(self, value: int, width: int):
+        for i in range(width - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def cint(self, value: int, lo: int, hi: int):
+        """Constrained whole number (X.691 §10.5): minimal bits for the range."""
+        n = hi - lo + 1
+        if n == 1:
+            return
+        w = math.ceil(math.log2(n))
+        assert lo <= value <= hi, (value, lo, hi)
+        self.bitstring(value - lo, w)
+
+    def enum(self, index: int, n_root: int, extensible: bool = False):
+        if extensible:
+            self.bit(0)          # root alternative
+        self.cint(index, 0, n_root - 1)
+
+    def length(self, n: int, lo: int, hi: int):
+        self.cint(n, lo, hi)
+
+    def opt(self, present: bool):
+        self.bit(1 if present else 0)
+
+    def array(self) -> np.ndarray:
+        return np.asarray(self.bits, dtype=np.int32)
+
+
+class UperReader:
+    def __init__(self, bits):
+        self.bits = [int(x) for x in bits]
+        self.pos = 0
+
+    def bit(self) -> int:
+        b = self.bits[self.pos]
+        self.pos += 1
+        return b
+
+    def bitstring(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | self.bit()
+        return v
+
+    def cint(self, lo: int, hi: int) -> int:
+        n = hi - lo + 1
+        if n == 1:
+            return lo
+        w = math.ceil(math.log2(n))
+        return lo + self.bitstring(w)
+
+    def enum(self, n_root: int, extensible: bool = False) -> int:
+        if extensible and self.bit():
+            raise ValueError("extended enum value not supported")
+        return self.cint(0, n_root - 1)
+
+    def length(self, lo: int, hi: int) -> int:
+        return self.cint(lo, hi)
+
+    def opt(self) -> bool:
+        return bool(self.bit())
