@@ -153,6 +153,10 @@ def generate(gc: GenConfig) -> np.ndarray:
                     scheduling=(rrc.SchedulingInfo(8, (3,)),))
     sib1_bits = rrc.pack_sib1(sib1)
     sib2_bits = rrc.pack_sib2(rrc.Sib2())
+    # auto-raise the SI MCS until both messages fit the N_PRB_1A=2 TBS
+    need = max(len(sib1_bits), len(sib2_bits))
+    while tbs_1a(gc.sib1_mcs, 2) < need:
+        gc = dataclasses.replace(gc, sib1_mcs=gc.sib1_mcs + 1)
 
     grids = []
     pbch_q = None

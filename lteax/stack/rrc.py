@@ -232,56 +232,250 @@ def unpack_sib1(bits: np.ndarray) -> Sib1 | None:
 
 @dataclasses.dataclass
 class Sib2:
-    rach_num_ra_preambles: int = 52
-    rach_preamble_init_power: int = -104
-    prach_config_index: int = 3
-    prach_freq_offset: int = 2
-    pusch_n_sb: int = 1
-    pusch_hopping_mode: int = 0
-    pdsch_ref_power: int = -60
-    pucch_delta_shift: int = 1
-    ul_bandwidth_rb: int = 6
-    ul_carrier_freq_earfcn: int = 18000
+    """Rel-8 SystemInformationBlockType2 core fields (36.331 §6.3.1).
+
+    Enumerated IEs carry the ENUM *index*; integer IEs carry the ASN.1
+    integer value."""
+    # rach-ConfigCommon
+    number_of_ra_preambles: int = 12     # ENUM n4..n64 step4: 12 -> n52
+    power_ramping_step: int = 1          # ENUM {dB0,dB2,dB4,dB6}
+    preamble_init_target_power: int = 8  # ENUM dBm-120..-90 step2: 8 -> -104
+    preamble_trans_max: int = 5          # ENUM {n3..n200}: 5 -> n8
+    ra_response_window_size: int = 7     # ENUM sf2..sf10: 7 -> sf10
+    mac_contention_resolution_timer: int = 5   # ENUM sf8..sf64: 5 -> sf48
+    max_harq_msg3_tx: int = 4            # INTEGER (1..8)
+    # bcch / pcch
+    modification_period_coeff: int = 0   # ENUM {n2,n4,n8,n16}
+    default_paging_cycle: int = 2        # ENUM {rf32,rf64,rf128,rf256}
+    nb: int = 2                          # ENUM fourT..oneThirtySecondT
+    # prach
+    prach_root_sequence_index: int = 0   # INTEGER (0..837)
+    prach_config_index: int = 3          # INTEGER (0..63)
+    prach_high_speed_flag: bool = False
+    prach_zero_correlation_zone: int = 11  # INTEGER (0..15)
+    prach_freq_offset: int = 2           # INTEGER (0..94)
+    # pdsch / pusch / pucch
+    pdsch_reference_signal_power: int = -60  # INTEGER (-60..50)
+    pdsch_p_b: int = 0                   # INTEGER (0..3)
+    pusch_n_sb: int = 1                  # INTEGER (1..4)
+    pusch_hopping_mode: int = 0          # ENUM {interSubFrame, intraAndInter}
+    pusch_hopping_offset: int = 0        # INTEGER (0..98)
+    pusch_enable_64qam: bool = False
+    group_hopping_enabled: bool = False
+    group_assignment_pusch: int = 0      # INTEGER (0..29)
+    sequence_hopping_enabled: bool = False
+    cyclic_shift: int = 0                # INTEGER (0..7)
+    pucch_delta_shift: int = 0           # ENUM {ds1,ds2,ds3}
+    pucch_n_rb_cqi: int = 0              # INTEGER (0..98)
+    pucch_n_cs_an: int = 0               # INTEGER (0..7)
+    pucch_n1_an: int = 0                 # INTEGER (0..2047)
+    # uplink power control
+    p0_nominal_pusch: int = -70          # INTEGER (-126..24)
+    alpha: int = 7                       # ENUM {al0..al1}
+    p0_nominal_pucch: int = -96          # INTEGER (-127..-96)
+    delta_f_pucch: tuple[int, int, int, int, int] = (1, 1, 1, 1, 1)
+    delta_preamble_msg3: int = 4         # INTEGER (-1..6)
+    ul_cyclic_prefix_length: int = 0     # ENUM {len1, len2}
+    # ue-TimersAndConstants
+    t300: int = 5
+    t301: int = 5
+    t310: int = 4
+    n310: int = 0
+    t311: int = 0
+    n311: int = 0
+    # freqInfo
+    ul_carrier_freq_earfcn: int | None = 18000   # INTEGER (0..65535) OPTIONAL
+    ul_bandwidth: int | None = 0         # ENUM {n6..n100} OPTIONAL
+    additional_spectrum_emission: int = 1  # INTEGER (1..32)
+    time_alignment_timer: int = 7        # ENUM sf500..infinity
+
+
+def _pack_sib2_body(w, s: Sib2) -> None:
+    """SystemInformationBlockType2 UPER body (extensible SEQUENCE)."""
+    w.bit(0)                            # extension bit
+    w.opt(False)                        # ac-BarringInfo absent
+    w.opt(False)                        # mbsfn-SubframeConfigList absent
+    # radioResourceConfigCommon (RadioResourceConfigCommonSIB, extensible)
+    w.bit(0)
+    # rach-ConfigCommon (extensible)
+    w.bit(0)
+    w.opt(False)                        # preamblesGroupAConfig absent
+    w.enum(s.number_of_ra_preambles, 16)
+    w.enum(s.power_ramping_step, 4)
+    w.enum(s.preamble_init_target_power, 16)
+    w.enum(s.preamble_trans_max, 11)
+    w.enum(s.ra_response_window_size, 8)
+    w.enum(s.mac_contention_resolution_timer, 8)
+    w.cint(s.max_harq_msg3_tx, 1, 8)
+    # bcch-Config / pcch-Config
+    w.enum(s.modification_period_coeff, 4)
+    w.enum(s.default_paging_cycle, 4)
+    w.enum(s.nb, 8)
+    # prach-Config
+    w.cint(s.prach_root_sequence_index, 0, 837)
+    w.cint(s.prach_config_index, 0, 63)
+    w.bit(1 if s.prach_high_speed_flag else 0)
+    w.cint(s.prach_zero_correlation_zone, 0, 15)
+    w.cint(s.prach_freq_offset, 0, 94)
+    # pdsch-ConfigCommon
+    w.cint(s.pdsch_reference_signal_power, -60, 50)
+    w.cint(s.pdsch_p_b, 0, 3)
+    # pusch-ConfigCommon
+    w.cint(s.pusch_n_sb, 1, 4)
+    w.enum(s.pusch_hopping_mode, 2)
+    w.cint(s.pusch_hopping_offset, 0, 98)
+    w.bit(1 if s.pusch_enable_64qam else 0)
+    w.bit(1 if s.group_hopping_enabled else 0)
+    w.cint(s.group_assignment_pusch, 0, 29)
+    w.bit(1 if s.sequence_hopping_enabled else 0)
+    w.cint(s.cyclic_shift, 0, 7)
+    # pucch-ConfigCommon
+    w.enum(s.pucch_delta_shift, 3)
+    w.cint(s.pucch_n_rb_cqi, 0, 98)
+    w.cint(s.pucch_n_cs_an, 0, 7)
+    w.cint(s.pucch_n1_an, 0, 2047)
+    # soundingRS-UL-ConfigCommon CHOICE: release
+    w.bit(0)
+    # uplinkPowerControlCommon
+    w.cint(s.p0_nominal_pusch, -126, 24)
+    w.enum(s.alpha, 8)
+    w.cint(s.p0_nominal_pucch, -127, -96)
+    w.enum(s.delta_f_pucch[0], 3)
+    w.enum(s.delta_f_pucch[1], 3)
+    w.enum(s.delta_f_pucch[2], 4)
+    w.enum(s.delta_f_pucch[3], 3)
+    w.enum(s.delta_f_pucch[4], 3)
+    w.cint(s.delta_preamble_msg3, -1, 6)
+    # ul-CyclicPrefixLength
+    w.enum(s.ul_cyclic_prefix_length, 2)
+    # ue-TimersAndConstants (extensible)
+    w.bit(0)
+    w.enum(s.t300, 8)
+    w.enum(s.t301, 8)
+    w.enum(s.t310, 7)
+    w.enum(s.n310, 8)
+    w.enum(s.t311, 7)
+    w.enum(s.n311, 8)
+    # freqInfo
+    w.opt(s.ul_carrier_freq_earfcn is not None)
+    w.opt(s.ul_bandwidth is not None)
+    if s.ul_carrier_freq_earfcn is not None:
+        w.cint(s.ul_carrier_freq_earfcn, 0, 65535)
+    if s.ul_bandwidth is not None:
+        w.enum(s.ul_bandwidth, 6)
+    w.cint(s.additional_spectrum_emission, 1, 32)
+    # timeAlignmentTimerCommon
+    w.enum(s.time_alignment_timer, 8)
+
+
+def _unpack_sib2_body(r) -> Sib2:
+    if r.bit():
+        raise ValueError("extended SIB2")
+    has_acb = r.opt()
+    has_mbsfn = r.opt()
+    if has_acb or has_mbsfn:
+        raise ValueError("unsupported optional SIB2 IEs")
+    if r.bit():
+        raise ValueError("extended RRCCommonSIB")
+    if r.bit():
+        raise ValueError("extended RACH-ConfigCommon")
+    if r.opt():
+        raise ValueError("preamblesGroupAConfig unsupported")
+    s = Sib2(
+        number_of_ra_preambles=r.enum(16),
+        power_ramping_step=r.enum(4),
+        preamble_init_target_power=r.enum(16),
+        preamble_trans_max=r.enum(11),
+        ra_response_window_size=r.enum(8),
+        mac_contention_resolution_timer=r.enum(8),
+        max_harq_msg3_tx=r.cint(1, 8),
+        modification_period_coeff=r.enum(4),
+        default_paging_cycle=r.enum(4),
+        nb=r.enum(8),
+        prach_root_sequence_index=r.cint(0, 837),
+        prach_config_index=r.cint(0, 63),
+        prach_high_speed_flag=bool(r.bit()),
+        prach_zero_correlation_zone=r.cint(0, 15),
+        prach_freq_offset=r.cint(0, 94),
+        pdsch_reference_signal_power=r.cint(-60, 50),
+        pdsch_p_b=r.cint(0, 3),
+        pusch_n_sb=r.cint(1, 4),
+        pusch_hopping_mode=r.enum(2),
+        pusch_hopping_offset=r.cint(0, 98),
+        pusch_enable_64qam=bool(r.bit()),
+        group_hopping_enabled=bool(r.bit()),
+        group_assignment_pusch=r.cint(0, 29),
+        sequence_hopping_enabled=bool(r.bit()),
+        cyclic_shift=r.cint(0, 7),
+        pucch_delta_shift=r.enum(3),
+        pucch_n_rb_cqi=r.cint(0, 98),
+        pucch_n_cs_an=r.cint(0, 7),
+        pucch_n1_an=r.cint(0, 2047),
+    )
+    if r.bit():
+        raise ValueError("srs setup unsupported")
+    s.p0_nominal_pusch = r.cint(-126, 24)
+    s.alpha = r.enum(8)
+    s.p0_nominal_pucch = r.cint(-127, -96)
+    s.delta_f_pucch = (r.enum(3), r.enum(3), r.enum(4), r.enum(3), r.enum(3))
+    s.delta_preamble_msg3 = r.cint(-1, 6)
+    s.ul_cyclic_prefix_length = r.enum(2)
+    if r.bit():
+        raise ValueError("extended UE-TimersAndConstants")
+    s.t300 = r.enum(8)
+    s.t301 = r.enum(8)
+    s.t310 = r.enum(7)
+    s.n310 = r.enum(8)
+    s.t311 = r.enum(7)
+    s.n311 = r.enum(8)
+    has_ul_freq = r.opt()
+    has_ul_bw = r.opt()
+    s.ul_carrier_freq_earfcn = r.cint(0, 65535) if has_ul_freq else None
+    s.ul_bandwidth = r.enum(6) if has_ul_bw else None
+    s.additional_spectrum_emission = r.cint(1, 32)
+    s.time_alignment_timer = r.enum(8)
+    return s
 
 
 def pack_sib2(s: Sib2) -> np.ndarray:
-    w = _BitWriter()
-    w.put(MSG_SI, 2)
-    w.put(2, 5)                       # SIB type tag
-    w.put(s.rach_num_ra_preambles, 6)
-    w.put(s.rach_preamble_init_power + 130, 6)
-    w.put(s.prach_config_index, 6)
-    w.put(s.prach_freq_offset, 7)
-    w.put(s.pusch_n_sb, 2)
-    w.put(s.pusch_hopping_mode, 1)
-    w.put(s.pdsch_ref_power + 70, 7)
-    w.put(s.pucch_delta_shift, 2)
-    w.put(s.ul_bandwidth_rb, 7)
-    w.put(s.ul_carrier_freq_earfcn, 18)
+    """BCCH-DL-SCH-Message carrying SystemInformation(SIB2), UNALIGNED PER.
+
+    Wrapper: c1(0) -> systemInformation(0); criticalExtensions CHOICE
+    systemInformation-r8(0); bitmap [nonCriticalExtension absent];
+    sib-TypeAndInfo SIZE(1..32)=1; element CHOICE (extensible, root
+    sib2..sib11): ext=0, index sib2=0; then the SIB2 body."""
+    from lteax.stack.uper import UperWriter
+    w = UperWriter()
+    w.bit(0)                            # c1
+    w.bit(0)                            # systemInformation
+    w.bit(0)                            # criticalExtensions: r8
+    w.opt(False)                        # nonCriticalExtension absent
+    w.length(1, 1, 32)                  # one SIB in this SI
+    w.bit(0)                            # sib-TypeAndInfo CHOICE: not extended
+    w.cint(0, 0, 9)                     # sib2
+    _pack_sib2_body(w, s)
     return w.array()
 
 
 def unpack_si(bits: np.ndarray):
     """Unpack a SystemInformation message -> ("sib2", Sib2) | None."""
+    from lteax.stack.uper import UperReader
     try:
-        r = _BitReader(bits)
-        if r.get(2) != MSG_SI:
+        r = UperReader(bits)
+        if r.bit() != 0 or r.bit() != 0:
+            return None                 # not c1/systemInformation
+        if r.bit() != 0:
+            return None                 # criticalExtensionsFuture
+        r.opt()                         # nonCriticalExtension flag
+        n = r.length(1, 32)
+        if n != 1:
             return None
-        t = r.get(5)
-        if t == 2:
-            return "sib2", Sib2(
-                rach_num_ra_preambles=r.get(6),
-                rach_preamble_init_power=r.get(6) - 130,
-                prach_config_index=r.get(6),
-                prach_freq_offset=r.get(7),
-                pusch_n_sb=r.get(2),
-                pusch_hopping_mode=r.get(1),
-                pdsch_ref_power=r.get(7) - 70,
-                pucch_delta_shift=r.get(2),
-                ul_bandwidth_rb=r.get(7),
-                ul_carrier_freq_earfcn=r.get(18),
-            )
-        return None
+        if r.bit() != 0:
+            return None                 # extended SIB type
+        t = r.cint(0, 9)
+        if t != 0:
+            return None                 # only sib2 handled
+        return "sib2", _unpack_sib2_body(r)
     except (IndexError, ValueError):
         return None
 

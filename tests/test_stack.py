@@ -97,7 +97,9 @@ def test_sib_roundtrips():
                   scheduling=(rrc.SchedulingInfo(64, (3, 4, 5)),
                               rrc.SchedulingInfo(128, (6,))))
     assert rrc.unpack_sib1(rrc.pack_sib1(s1)) == s1
-    s2 = rrc.Sib2(rach_num_ra_preambles=36, ul_carrier_freq_earfcn=20400)
+    s2 = rrc.Sib2(number_of_ra_preambles=9, ul_carrier_freq_earfcn=20400,
+                  prach_root_sequence_index=710, pucch_n1_an=2047,
+                  ul_bandwidth=None, pusch_enable_64qam=True)
     kind, back = rrc.unpack_si(rrc.pack_sib2(s2))
     assert kind == "sib2" and back == s2
     # padded (as carried in a TB) still decodes
