@@ -75,6 +75,43 @@ def _global_rm_idx(geom: PdschGeometry) -> np.ndarray:
     return np.concatenate(parts).astype(np.int32)
 
 
+@lru_cache(maxsize=None)
+def _global_rm_inv(geom: PdschGeometry):
+    """Inverse map for GATHER-based de-matching.
+
+    Returns (inv (C*3D,), injective): inv[p] = position in e of d-flat bit p,
+    or G (a zero sentinel) if never transmitted.  Valid only when every bit
+    is transmitted at most once (no circular-buffer wrap), in which case
+    soft de-matching is a gather — far cheaper on TPU than scatter-add."""
+    idx = _global_rm_idx(geom).astype(np.int64)
+    d_total = geom.info.c * 3 * (geom.k + 4)
+    counts = np.bincount(idx, minlength=d_total)
+    injective = bool(counts.max() <= 1)
+    inv = np.full(d_total, geom.g, dtype=np.int32)
+    if injective:
+        inv[idx] = np.arange(geom.g, dtype=np.int32)
+    return inv, injective
+
+
+def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
+    """Descrambled codeword LLRs (..., G) -> d-stream LLRs (..., C, 3, D).
+
+    Gather path when the rate matching is injective; scatter-add otherwise
+    (repetition soft combining)."""
+    d_len = geom.k + 4
+    inv, injective = _global_rm_inv(geom)
+    if injective:
+        ext = jnp.concatenate(
+            [llrs_scr, jnp.zeros((*llrs_scr.shape[:-1], 1), llrs_scr.dtype)],
+            axis=-1)
+        out = ext[..., jnp.asarray(inv)]
+    else:
+        buf = jnp.zeros((*llrs_scr.shape[:-1], geom.info.c * 3 * d_len),
+                        llrs_scr.dtype)
+        out = buf.at[..., jnp.asarray(_global_rm_idx(geom))].add(llrs_scr)
+    return out.reshape(*llrs_scr.shape[:-1], geom.info.c, 3, d_len)
+
+
 def _c_init(rnti, subframe, n_cell_id, codeword: int = 0):
     return (jnp.asarray(rnti, dtype=jnp.int32) * (2 ** 14)
             + codeword * (2 ** 13)
@@ -126,10 +163,7 @@ def pdsch_decode_llrs(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
     """
     c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
     sgn = (1.0 - 2.0 * c).astype(llrs.dtype)
-    d_len = geom.k + 4
-    buf = jnp.zeros((geom.info.c * 3 * d_len,), dtype=llrs.dtype)
-    buf = buf.at[jnp.asarray(_global_rm_idx(geom))].add(llrs * sgn)
-    d_llr = buf.reshape(geom.info.c, 3, d_len)
+    d_llr = soft_dematch(llrs * sgn, geom)
     bits = turbo_decode_batch(d_llr, geom.k, n_iter=n_iter)   # (C, K)
     if geom.info.cb_crc:
         payload, cb_ok = check_crc(bits, "24B")
@@ -164,10 +198,7 @@ def pdsch_decode_device(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
     """
     c_seq = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
     sgn = (1.0 - 2.0 * c_seq).astype(llrs.dtype)
-    d_len = geom.k + 4
-    buf = jnp.zeros((geom.info.c * 3 * d_len,), dtype=llrs.dtype)
-    buf = buf.at[jnp.asarray(_global_rm_idx(geom))].add(llrs * sgn)
-    d_llr = buf.reshape(geom.info.c, 3, d_len)
+    d_llr = soft_dematch(llrs * sgn, geom)
     bits = turbo_decode_batch(d_llr, geom.k, n_iter=n_iter)   # (C, K)
     if geom.info.cb_crc:
         payload, cb_oks = check_crc(bits, "24B")

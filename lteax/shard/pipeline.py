@@ -64,12 +64,11 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     batch over all (subframe x codeblock) blocks — the production path."""
     from lteax.phy import seq
     from lteax.phy.fec.crc import check_crc
-    from lteax.phy.channels.pdsch import _global_rm_idx, _c_init
+    from lteax.phy.channels.pdsch import _c_init, soft_dematch
     from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
     re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
     d_len = geom.k + 4
-    rm_idx = jnp.asarray(_global_rm_idx(geom))
 
     def front(samples_iq):
         samples = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
@@ -81,8 +80,7 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         llr = demodulate_maxlog(x_eq[re_idx], scheme, eff_nv[re_idx])
         c_seq = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
         sgn = (1.0 - 2.0 * c_seq).astype(llr.dtype)
-        buf = jnp.zeros((geom.info.c * 3 * d_len,), llr.dtype)
-        return buf.at[rm_idx].add(llr * sgn).reshape(geom.info.c, 3, d_len)
+        return soft_dematch(llr * sgn, geom)
 
     def decode(samples_iq):
         d_llr = jax.vmap(front)(samples_iq)            # (B, C, 3, D)
