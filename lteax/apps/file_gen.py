@@ -24,7 +24,8 @@ from lteax.phy.grid import (crs_flat_idx, crs_symbols, sync_sc, pss_sym,
                             pdcch_flat_idx, pdsch_flat_idx)
 from lteax.phy.ofdm import subframe_to_samples
 from lteax.phy.channels import pbch, pcfich, pdcch as pdcch_mod, pdsch as pdsch_mod
-from lteax.phy.channels.dci import Dci1A, dci_1a_pack
+from lteax.phy.channels.dci import (Dci1A, dci_1a_pack, Dci1C, dci_1c_pack,
+                                    TBS_1C, _n_rb_step)
 from lteax.phy.tables.tbs import tbs_1a
 from lteax.stack import rrc
 from lteax.io.iq import write_iq
@@ -47,6 +48,7 @@ class GenConfig:
     sib1_mcs: int = 4          # I_TBS for the N_PRB_1A column
     band: int = 1
     extended_cp: bool = False
+    si_dci: str = "1a"         # "1a" | "1c" — DCI format used for SI grants
 
     @property
     def phy(self) -> PhyConfig:
@@ -119,12 +121,22 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
     # SI on PDSCH in subframe 5
     if sf == 5:
         sib_bits = sib1_bits if sfn % 2 == 0 else sib2_bits
-        tbs = tbs_1a(gc.sib1_mcs, 2)   # TPC LSB 0 -> N_PRB_1A = 2
-        rb_start, l_crb = _si_alloc(gc)
         rv = int(np.ceil(1.5 * ((sfn // 2) % 4))) % 4 if sfn % 2 == 0 else 0
-        d = Dci1A(rb_start=rb_start, l_crb=l_crb, mcs=gc.sib1_mcs, rv=rv,
-                  tpc=0)
-        dci_bits = dci_1a_pack(d, cfg.n_rb_dl)
+        if gc.si_dci == "1c":
+            step = _n_rb_step(cfg.n_rb_dl)
+            ndl = cfg.n_rb_dl // step
+            i_tbs = next(i for i, t in enumerate(TBS_1C)
+                         if t >= max(len(sib1_bits), len(sib2_bits)))
+            tbs = TBS_1C[i_tbs]
+            rb_start, l_crb = 0, ndl * step
+            dci_bits = dci_1c_pack(Dci1C(rb_start=0, l_crb=ndl,
+                                         i_tbs=i_tbs), cfg.n_rb_dl)
+        else:
+            tbs = tbs_1a(gc.sib1_mcs, 2)   # TPC LSB 0 -> N_PRB_1A = 2
+            rb_start, l_crb = _si_alloc(gc)
+            dci_bits = dci_1a_pack(Dci1A(rb_start=rb_start, l_crb=l_crb,
+                                         mcs=gc.sib1_mcs, rv=rv, tpc=0),
+                                   cfg.n_rb_dl)
         ng = gc.phich_resource
         pd_syms = pdcch_mod.pdcch_encode([(dci_bits, SI_RNTI, 0, 4)], cfg,
                                          cid, gc.ctrl_syms, ng, sf,

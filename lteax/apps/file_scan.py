@@ -208,16 +208,30 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         pd_llr = demodulate_maxlog(x_eq, "qpsk", eff)
         logical = pdcch_mod.pdcch_descramble_logical(pd_llr, cfg_c, cid,
                                                      ctrl, ng, sf)
+        n_cces = pdcch_mod.n_cce(cfg_c, cid, ctrl, ng)
         found = pdcch_mod.pdcch_blind_decode_1a(
-            logical, cfg.n_rb_dl, SI_RNTI,
-            pdcch_mod.n_cce(cfg_c, cid, ctrl, ng))
-        if not found:
-            continue
-        dci, _, _ = found[0]
-        prbs = tuple(range(dci.rb_start, dci.rb_start + dci.l_crb))
-        tbs = tbs_1a(dci.mcs, dci.n_prb_1a)
+            logical, cfg.n_rb_dl, SI_RNTI, n_cces)
+        if found:
+            dci, _, _ = found[0]
+            prbs = tuple(range(dci.rb_start, dci.rb_start + dci.l_crb))
+            tbs = tbs_1a(dci.mcs, dci.n_prb_1a)
+            rv = dci.rv
+        else:
+            found_1c = pdcch_mod.pdcch_blind_decode_1c(
+                logical, cfg.n_rb_dl, SI_RNTI, n_cces)
+            if not found_1c:
+                continue
+            from lteax.phy.channels.dci import _n_rb_step
+            dci, _, _ = found_1c[0]
+            step = _n_rb_step(cfg.n_rb_dl)
+            prbs = tuple(range(dci.rb_start * step,
+                               (dci.rb_start + dci.l_crb) * step))
+            tbs = dci.tbs()
+            # 1C carries no RV: SI uses the 36.321 SFN-derived RV
+            rv = int(np.ceil(1.5 * ((sfn // 2) % 4))) % 4 \
+                if sfn % 2 == 0 else 0
         re_idx = pdsch_flat_idx(cfg_c, cid, ctrl, prbs, sf)
-        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, dci.rv)
+        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, rv)
         llr = _eq_llrs(jnp.asarray(re_idx))
         tb, okc, _ = pdsch_mod.pdsch_decode_llrs(llr, geom, SI_RNTI, sf, cid)
         if not okc:

@@ -160,15 +160,11 @@ def pdcch_llrs_to_logical(llrs_phys: jnp.ndarray, cfg: PhyConfig,
     return pdcch_descramble_logical(logical, cfg, n_cell_id, cfi, ng, subframe)
 
 
-def pdcch_blind_decode_1a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                          n_cces: int) -> list[tuple[Dci1A, int, int]]:
-    """Blind-decode DCI format 1A in the common search space.
-
-    Returns list of (dci, cce_start, L) that passed CRC for ``rnti``.
-    All candidates are decoded in ONE batched Viterbi call.
-    """
-    size = dci_1a_size(n_rb)
-    d_len = size + 16
+def _blind_decode(logical_llrs: jnp.ndarray, payload_size: int, rnti: int,
+                  n_cces: int, unpack) -> list:
+    """Generic common-search-space blind decode: batched Viterbi over all
+    candidates, CRC16 with the RNTI mask, ``unpack(bits)`` to parse."""
+    d_len = payload_size + 16
     cands = common_search_candidates(n_cces)
     if not cands:
         return []
@@ -186,7 +182,24 @@ def pdcch_blind_decode_1a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
     for (start, l_agg), b in zip(cands, bits):
         payload, ok = check_crc(jnp.asarray(b), "16", mask_bits=mask)
         if bool(ok):
-            dci = dci_1a_unpack(np.asarray(payload), n_rb)
+            dci = unpack(np.asarray(payload))
             if dci is not None:
                 out.append((dci, start, l_agg))
     return out
+
+
+def pdcch_blind_decode_1a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int) -> list[tuple[Dci1A, int, int]]:
+    """Blind-decode DCI format 1A in the common search space.
+
+    Returns list of (dci, cce_start, L) that passed CRC for ``rnti``."""
+    return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
+                         lambda b: dci_1a_unpack(b, n_rb))
+
+
+def pdcch_blind_decode_1c(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int) -> list:
+    """Blind-decode DCI format 1C (compact SI/paging/RA grants)."""
+    from lteax.phy.channels.dci import dci_1c_size, dci_1c_unpack
+    return _blind_decode(logical_llrs, dci_1c_size(n_rb), rnti, n_cces,
+                         lambda b: dci_1c_unpack(b, n_rb))

@@ -113,3 +113,13 @@ def test_loopback_4port_fstd():
     assert r.n_ant == 4
     assert r.sib1 is not None and r.sib1.tac == 0x444
     assert r.sib2 is not None
+
+
+def test_loopback_dci_1c():
+    """SI carried with compact DCI format 1C (real networks often do)."""
+    gc = GenConfig(n_rb_dl=6, n_cell_id=99, n_frames=4, tac=0x1C1C,
+                   si_dci="1c")
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 99
+    assert r.sib1 is not None and r.sib1.tac == 0x1C1C
+    assert r.sib2 is not None
