@@ -115,20 +115,23 @@ class DlScheduler:
             if not cols:
                 continue
             n_prb = max(cols)
-            # largest MCS within CQI whose TBS the UE can fill (or smallest
-            # fitting the whole buffer)
+            # smallest MCS (within CQI) whose TBS carries at least the
+            # head-of-line SDU; fall back to the CQI max for big buffers
+            need = 8 * (len(ue.queue[0]) + 3)
             mcs = None
-            for m in range(ue.cqi_mcs, -1, -1):
+            for m in range(0, ue.cqi_mcs + 1):
                 try:
                     tbs, _ = get_tbs_for_mcs(m, n_prb)
                 except (KeyError, ValueError):
                     continue
                 mcs = m
-                if tbs <= 8 * ue.buffered + 16:
+                if tbs >= need:
                     break
             if mcs is None:
                 continue
             tbs, _ = get_tbs_for_mcs(mcs, n_prb)
+            if tbs < need:
+                continue              # SDU can't fit even at CQI max
             # fill a MAC PDU with whole SDUs up to TBS
             subs = []
             nbytes = tbs // 8
