@@ -117,3 +117,22 @@ def test_sharded_bulk_decode_matches_unsharded():
     bits8, ok8, n_ok = dec8(jnp.asarray(x))
     assert int(n_ok) == 8
     np.testing.assert_array_equal(np.asarray(bits8), np.asarray(bits1))
+
+
+def test_channel_sharded_prescan():
+    """Config #5 stage 1: PSS detection over the chan mesh axis."""
+    from lteax.shard.scanner import batched_prescan
+    from lteax.apps.file_gen import GenConfig, generate
+    rng = np.random.default_rng(4)
+    cfg = PhyConfig(n_rb_dl=6)
+    live1 = generate(GenConfig(n_rb_dl=6, n_cell_id=30, n_frames=1))
+    live2 = generate(GenConfig(n_rb_dl=6, n_cell_id=101, n_frames=1))
+    l = len(live1)
+    dead = 0.01 * (rng.standard_normal((2, l))
+                   + 1j * rng.standard_normal((2, l))).astype(np.complex64)
+    caps = np.stack([live1, dead[0], live2, dead[1]])
+    mesh = make_mesh(n_chan=4, n_time=2)
+    reports = batched_prescan(caps, cfg, mesh)
+    assert [r["detected"] for r in reports] == [True, False, True, False]
+    assert reports[0]["n_id_2"] == 30 % 3
+    assert reports[2]["n_id_2"] == 101 % 3
