@@ -43,8 +43,33 @@ def scan_channel(ch: Channel, cfg: PhyConfig) -> ScanResult:
     return scan(x, cfg)
 
 
+def prescan_channels(chans: list[Channel], cfg: PhyConfig) -> list[dict]:
+    """Device-batched stage 1: PSS detection for every channel at once,
+    sharded over the chan mesh axis (shard/scanner.py).  Channels are
+    resampled to the native rate and trimmed to a common prefix length."""
+    import jax
+    from lteax.shard.mesh import make_mesh
+    from lteax.shard.scanner import batched_prescan
+    caps = []
+    for ch in chans:
+        x = read_iq(ch.path, ch.fmt)
+        if ch.rate_hz is not None and abs(ch.rate_hz - cfg.fs) > 1.0:
+            frac = Fraction(int(round(cfg.fs)), int(round(ch.rate_hz))) \
+                .limit_denominator(1024)
+            x = np.asarray(resample_poly(jnp.asarray(x), frac.numerator,
+                                         frac.denominator))
+        caps.append(x)
+    l = min(len(c) for c in caps)
+    caps = np.stack([c[:l] for c in caps])
+    n_dev = len(jax.devices())
+    n_chan_axis = min(len(chans), n_dev)
+    mesh = make_mesh(n_chan=n_chan_axis, n_time=n_dev // n_chan_axis)
+    return batched_prescan(caps, cfg, mesh)
+
+
 def scan_channels(chans: list[Channel], cfg: PhyConfig,
-                  checkpoint_path: str | None = None) -> list[dict]:
+                  checkpoint_path: str | None = None,
+                  prescan: bool = False) -> list[dict]:
     """Scan every channel; returns JSON-able report dicts.
 
     Heavy per-channel stages (resample, PSS correlation, subframe demod,
@@ -59,10 +84,18 @@ def scan_channels(chans: list[Channel], cfg: PhyConfig,
     if checkpoint_path:
         from lteax.utils.checkpoint import ScanCheckpoint
         ckpt = ScanCheckpoint(checkpoint_path)
+    pre = prescan_channels(chans, cfg) if prescan else None
     reports = []
-    for ch in chans:
+    for ci, ch in enumerate(chans):
         if ckpt is not None and ckpt.done(ch.label):
             reports.append(ckpt.result(ch.label))
+            continue
+        if pre is not None and not pre[ci]["detected"]:
+            d = {"channel": ch.label, "mib": None, "n_cell_id": -1,
+                 "prescan": pre[ci]}
+            if ckpt is not None:
+                ckpt.record(ch.label, d)
+            reports.append(d)
             continue
         try:
             r = scan_channel(ch, cfg)

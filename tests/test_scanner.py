@@ -68,3 +68,20 @@ def test_scanner_checkpoint_resume(tmp_path):
     os.remove(p)
     r2 = scan_channels(chans, cfg, checkpoint_path=ck)
     assert r2 == r1
+
+
+def test_scanner_prescan_skips_dead_channels(tmp_path):
+    cfg = PhyConfig(n_rb_dl=6)
+    x = generate(GenConfig(n_rb_dl=6, n_cell_id=44, n_frames=4, tac=0x44))
+    rng = np.random.default_rng(1)
+    dead = 0.01 * (rng.standard_normal(len(x))
+                   + 1j * rng.standard_normal(len(x))).astype(np.complex64)
+    pl = str(tmp_path / "live.fc32")
+    pd = str(tmp_path / "dead.fc32")
+    write_iq(pl, x)
+    write_iq(pd, dead)
+    from lteax.apps.scanner import scan_channels, Channel
+    reports = scan_channels([Channel("300", pl), Channel("301", pd)], cfg,
+                            prescan=True)
+    assert reports[0]["n_cell_id"] == 44 and reports[0]["sib1"]["tac"] == 0x44
+    assert reports[1]["mib"] is None and not reports[1]["prescan"]["detected"]
