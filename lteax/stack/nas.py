@@ -205,6 +205,125 @@ def unpack_attach_accept(data: bytes) -> AttachAccept | None:
                         esm_container=data[pos:pos + elen])
 
 
+MT_DETACH_REQUEST = 0x45
+MT_DETACH_ACCEPT = 0x46
+MT_TAU_REQUEST = 0x48
+MT_TAU_ACCEPT = 0x49
+MT_SERVICE_REQUEST_HDR = 0xC  # security header type for SERVICE REQUEST
+
+
+@dataclasses.dataclass
+class DetachRequest:
+    detach_type: int = 1       # EPS detach
+    switch_off: bool = False
+    ksi: int = 0
+
+
+def pack_detach_request(m: DetachRequest) -> bytes:
+    dt = (m.detach_type & 0x7) | (0x8 if m.switch_off else 0)
+    return bytes([PD_EMM, MT_DETACH_REQUEST, (m.ksi << 4) | dt])
+
+
+def unpack_detach_request(data: bytes) -> DetachRequest | None:
+    if data[0] != PD_EMM or data[1] != MT_DETACH_REQUEST:
+        return None
+    return DetachRequest(detach_type=data[2] & 0x7,
+                         switch_off=bool(data[2] & 0x8), ksi=data[2] >> 4)
+
+
+def pack_detach_accept() -> bytes:
+    return bytes([PD_EMM, MT_DETACH_ACCEPT])
+
+
+@dataclasses.dataclass
+class TauRequest:
+    update_type: int = 0       # TA updating
+    ksi: int = 0
+    old_guti: int = 0          # 32-bit M-TMSI subset
+
+
+def pack_tau_request(m: TauRequest) -> bytes:
+    return bytes([PD_EMM, MT_TAU_REQUEST,
+                  (m.ksi << 4) | (m.update_type & 0xF)]) \
+        + struct.pack(">I", m.old_guti)
+
+
+def unpack_tau_request(data: bytes) -> TauRequest | None:
+    if data[0] != PD_EMM or data[1] != MT_TAU_REQUEST:
+        return None
+    return TauRequest(update_type=data[2] & 0xF, ksi=data[2] >> 4,
+                      old_guti=struct.unpack(">I", data[3:7])[0])
+
+
+@dataclasses.dataclass
+class TauAccept:
+    update_result: int = 0
+    t3412_s: int = 3600
+    tac: int = 0
+    mcc: tuple[int, int, int] = (0, 0, 1)
+    mnc: tuple[int, ...] = (0, 1)
+
+
+def pack_tau_accept(m: TauAccept) -> bytes:
+    plmn = _bcd([*m.mcc, *m.mnc])
+    return bytes([PD_EMM, MT_TAU_ACCEPT, m.update_result & 0xF,
+                  min(m.t3412_s // 60, 31) | 0x20, 6]) \
+        + plmn.ljust(3, b"\xff") + struct.pack(">H", m.tac) + bytes([0])
+
+
+def unpack_tau_accept(data: bytes) -> TauAccept | None:
+    if data[0] != PD_EMM or data[1] != MT_TAU_ACCEPT:
+        return None
+    plmn = _unbcd(data[5:8])
+    tac = struct.unpack(">H", data[8:10])[0]
+    return TauAccept(update_result=data[2] & 0xF,
+                     t3412_s=(data[3] & 0x1F) * 60, tac=tac,
+                     mcc=tuple(plmn[:3]), mnc=tuple(plmn[3:]))
+
+
+@dataclasses.dataclass
+class ServiceRequest:
+    """SERVICE REQUEST (24.301 §8.2.25): 2-byte compact format with its own
+    security header type, short MAC."""
+    ksi: int = 0
+    seq: int = 0
+    short_mac: int = 0
+
+
+def pack_service_request(m: ServiceRequest) -> bytes:
+    return bytes([(MT_SERVICE_REQUEST_HDR << 4) | PD_EMM,
+                  (m.ksi << 5) | (m.seq & 0x1F)]) \
+        + struct.pack(">H", m.short_mac)
+
+
+def unpack_service_request(data: bytes) -> ServiceRequest | None:
+    if (data[0] >> 4) != MT_SERVICE_REQUEST_HDR or (data[0] & 0xF) != PD_EMM:
+        return None
+    return ServiceRequest(ksi=data[1] >> 5, seq=data[1] & 0x1F,
+                          short_mac=struct.unpack(">H", data[2:4])[0])
+
+
+@dataclasses.dataclass
+class EmmInformation:
+    network_name: str = ""
+
+
+def pack_emm_information(m: EmmInformation) -> bytes:
+    name = m.network_name.encode()
+    return bytes([PD_EMM, MT_EMM_INFORMATION, 0x43, len(name) + 1, 0x80]) \
+        + name
+
+
+def unpack_emm_information(data: bytes) -> EmmInformation | None:
+    if data[0] != PD_EMM or data[1] != MT_EMM_INFORMATION:
+        return None
+    if len(data) > 4 and data[2] == 0x43:
+        ln = data[3]
+        return EmmInformation(network_name=data[5:4 + ln].decode(
+            errors="replace"))
+    return EmmInformation()
+
+
 # ---------------------------------------------------------------------------
 # ESM messages (minimal)
 # ---------------------------------------------------------------------------

@@ -83,3 +83,21 @@ def test_full_aka_flow():
                        sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED_NEW_CTX)
     got, ok = nas.unprotect(wire, k_int, 0, True, k_nas_enc=k_enc)
     assert ok and nas.unpack_security_mode_command(got) is not None
+
+
+def test_detach_tau_service_emm_info():
+    d = nas.DetachRequest(detach_type=1, switch_off=True, ksi=3)
+    assert nas.unpack_detach_request(nas.pack_detach_request(d)) == d
+    assert nas.pack_detach_accept()[1] == nas.MT_DETACH_ACCEPT
+    t = nas.TauRequest(update_type=1, ksi=2, old_guti=0xCAFEBABE)
+    assert nas.unpack_tau_request(nas.pack_tau_request(t)) == t
+    ta = nas.TauAccept(update_result=0, t3412_s=1800, tac=0x77AA,
+                       mcc=(3, 1, 0), mnc=(4, 1, 0))
+    back = nas.unpack_tau_accept(nas.pack_tau_accept(ta))
+    assert back.tac == 0x77AA and back.mcc == (3, 1, 0)
+    sr = nas.ServiceRequest(ksi=1, seq=17, short_mac=0xBEEF)
+    assert nas.unpack_service_request(nas.pack_service_request(sr)) == sr
+    ei = nas.EmmInformation(network_name="lteax")
+    assert nas.unpack_emm_information(nas.pack_emm_information(ei)) == ei
+    # service request is distinguishable from plain EMM
+    assert nas.unpack_detach_request(nas.pack_service_request(sr)) is None
