@@ -1,0 +1,66 @@
+"""Timers, user manager, HSS database (+ ctrl integration)."""
+
+import socket
+
+from lteax.stack.timers import TimerManager
+from lteax.stack.users import UserManager, Hss
+
+
+def test_timer_manager():
+    tm = TimerManager()
+    fired = []
+    t1 = tm.start(5, lambda: fired.append("a"))
+    t2 = tm.start(3, lambda: fired.append("b"))
+    t3 = tm.start(4, lambda: fired.append("c"))
+    assert tm.stop(t3)
+    assert not tm.stop(t3)
+    assert tm.tick(2) == 0 and fired == []
+    assert tm.tick(1) == 1 and fired == ["b"]
+    assert tm.running(t1) and not tm.running(t2)
+    t1b = tm.restart(t1, 10)
+    assert tm.tick(5) == 0            # old expiry cancelled
+    assert tm.tick(5) == 1 and fired == ["b", "a"]
+    assert not tm.running(t1b)
+
+
+def test_user_manager():
+    um = UserManager()
+    u1 = um.add_user("001010000000001")
+    u2 = um.add_user("001010000000002")
+    assert u1.c_rnti != u2.c_rnti
+    assert um.find(u1.c_rnti) is u1
+    assert um.find_imsi("001010000000002") is u2
+    rb = u1.add_bearer(1, "am")
+    u1.add_bearer(5, "um", lcid=3)
+    assert u1.bearers[1] is rb and u1.bearers[5].lcid == 3
+    assert um.release(u1.c_rnti)
+    assert um.find(u1.c_rnti) is None and len(um) == 1
+
+
+def test_hss_persistence_and_ctrl(tmp_path):
+    path = str(tmp_path / "hss.json")
+    h = Hss(path)
+    h.add_user("001010123456789", "465b5ce8b199b49faa5f0a2ee238a6bc",
+               "cd63cb71954a9f4e48a5994e37a02baf")
+    k, opc = h.get_user("001010123456789")
+    assert len(k) == 16 and len(opc) == 16
+    # reload from disk
+    h2 = Hss(path)
+    assert h2.get_user("001010123456789") == (k, opc)
+    # ctrl command surface (reference add_user/del_user/print_users parity)
+    from lteax.apps.ctrl import CtrlServer
+    srv = CtrlServer({}, h2.ctrl_commands(), port=0)
+    try:
+        def cmd(line):
+            with socket.create_connection(("127.0.0.1", srv.port),
+                                          timeout=5) as s:
+                s.sendall(line.encode() + b"\n")
+                return s.makefile().readline().strip()
+        assert "001010123456789" in cmd("print_users")
+        assert cmd("add_user 001019999999999 00112233445566778899aabbccddeeff"
+                   " 00112233445566778899aabbccddeeff").startswith("ok added")
+        assert cmd("del_user 001019999999999") == "ok deleted"
+        assert cmd("del_user nope") == "ok unknown imsi"
+    finally:
+        srv.stop()
+    assert h2.get_user("001019999999999") is None
