@@ -43,6 +43,7 @@ class ScanResult:
     frame_start: int = -1
     rsrp_dbfs: float = 0.0      # CRS RE power, dB full-scale
     snr_db: float = 0.0         # CRS-based post-FFT SNR estimate
+    evm_pct: float = 0.0        # PBCH equalized-symbol EVM (%)
     mib: rrc.Mib | None = None
     n_ant: int = 0
     sfn: int = -1
@@ -59,6 +60,7 @@ class ScanResult:
             "frame_start": self.frame_start,
             "rsrp_dbfs": round(self.rsrp_dbfs, 1),
             "snr_db": round(self.snr_db, 1),
+            "evm_pct": round(self.evm_pct, 2),
             "sfn": self.sfn,
             "n_ant": self.n_ant,
             "mib": dataclasses.asdict(self.mib) if self.mib else None,
@@ -144,6 +146,15 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         llrs_by_ant, cid, extended_cp=cfg.extended_cp)
     if not ok:
         return res
+    # EVM from the winning hypothesis' equalized PBCH symbols vs ideal QPSK
+    x_best, _ = (chest.equalize_res(y_pb, h0.reshape(-1)[pb_idx],
+                                    h1.reshape(-1)[pb_idx], nv0, n_ant)
+                 if n_ant <= 2 else (x_eq4, eff4))
+    hard = (jnp.sign(jnp.real(x_best)) + 1j * jnp.sign(jnp.imag(x_best))
+            ) / np.sqrt(2)
+    res.evm_pct = 100.0 * float(jnp.sqrt(
+        jnp.mean(jnp.abs(x_best - hard) ** 2)
+        / jnp.maximum(jnp.mean(jnp.abs(hard) ** 2), 1e-12)))
     res.n_ant = n_ant
     mib = rrc.unpack_mib(mib_bits, sfn_mod4=quarter)
     res.mib = mib

@@ -123,3 +123,18 @@ def test_loopback_dci_1c():
     assert r.n_cell_id == 99
     assert r.sib1 is not None and r.sib1.tac == 0x1C1C
     assert r.sib2 is not None
+
+
+@pytest.mark.slow
+def test_loopback_10mhz_epa_fading():
+    """Config #3 gate: 10 MHz under EPA multipath + noise decodes SI."""
+    from lteax.sim.channel import fade_and_awgn
+    rng = np.random.default_rng(9)
+    gc = GenConfig(n_rb_dl=50, n_cell_id=310, n_frames=4, tac=0xFAD)
+    x = generate(gc)
+    y, h = fade_and_awgn(rng, x, "epa", gc.phy.fs, snr_db=18.0)
+    r = scan(y, gc.phy)
+    assert r.n_cell_id == 310
+    assert r.mib is not None and r.mib.n_rb_dl == 50
+    assert r.sib1 is not None and r.sib1.tac == 0xFAD
+    assert r.evm_pct > 0
