@@ -73,17 +73,19 @@ def main():
 
     m_sc = alloc.m_sc
     data_syms = [s for s in range(14) if s not in DMRS_SYMS]
-    ref0 = jnp.asarray(dmrs_pusch(cid, 2 * sf, m_sc))
-    ref1 = jnp.asarray(dmrs_pusch(cid, 2 * sf + 1, m_sc))
-    inv = jnp.asarray(_inv((geom.g, alloc.qm)))
-    w = jnp.asarray([(s - DMRS_SYMS[0]) / (DMRS_SYMS[1] - DMRS_SYMS[0])
-                     for s in data_syms], dtype=jnp.float32)
-    w = jnp.clip(w, 0.0, 1.0)[:, None]
+    # closure constants MUST stay numpy: device-resident complex constants
+    # cannot be fetched for IR embedding on this backend
+    ref0 = np.conj(dmrs_pusch(cid, 2 * sf, m_sc))
+    ref1 = np.conj(dmrs_pusch(cid, 2 * sf + 1, m_sc))
+    inv = _inv((geom.g, alloc.qm))
+    w = np.clip(np.asarray([(s - DMRS_SYMS[0]) / (DMRS_SYMS[1] - DMRS_SYMS[0])
+                            for s in data_syms], dtype=np.float32),
+                0.0, 1.0)[:, None]
 
     def front(g_iq):
         grid = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
-        h0 = grid[DMRS_SYMS[0]] * jnp.conj(ref0)
-        h1 = grid[DMRS_SYMS[1]] * jnp.conj(ref1)
+        h0 = grid[DMRS_SYMS[0]] * ref0
+        h1 = grid[DMRS_SYMS[1]] * ref1
         h = (1 - w) * h0[None] + w * h1[None]
         y = grid[jnp.asarray(data_syms)]
         p = jnp.abs(h) ** 2
@@ -95,7 +97,7 @@ def main():
         llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))
         c = seq.gold_sequence(_c_init(rnti, sf, cid), geom.g)
         llr = llr * (1.0 - 2.0 * c).astype(llr.dtype)
-        llr = llr[inv]
+        llr = llr[jnp.asarray(inv)]
         return soft_dematch(llr, geom)
 
     def decode(batch_iq):
