@@ -97,7 +97,10 @@ def main():
         llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))
         c = seq.gold_sequence(_c_init(rnti, sf, cid), geom.g)
         llr = llr * (1.0 - 2.0 * c).astype(llr.dtype)
-        llr = llr[jnp.asarray(inv)]
+        # channel DE-interleaver (36.212 §5.2.2.8 data-only) is a pure
+        # rectangular transpose: (C_mux=12 symbols, R_mux, Qm) -> row-major
+        r_mux = geom.g // (12 * alloc.qm)
+        llr = llr.reshape(12, r_mux, alloc.qm).transpose(1, 0, 2).reshape(-1)
         return soft_dematch(llr, geom)
 
     def decode(batch_iq):
