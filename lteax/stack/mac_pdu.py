@@ -22,19 +22,18 @@ class MacSubPdu:
     payload: bytes = b""          # SDU or CE body
 
 
-def pack_mac_pdu(subpdus: list[MacSubPdu], pad_to: int | None = None) -> bytes:
-    """Build a MAC PDU: subheaders then SDUs/CEs, optional padding."""
-    ce_sizes = {LCID_CONT_RES: 6, LCID_TA_CMD: 1, LCID_PADDING: 0}
+def _pack_headers_bodies(items: list[MacSubPdu], final_padding: bool) -> bytes:
+    """Subheader chain then bodies.  With ``final_padding`` a padding
+    subheader terminates the chain (its body = rest of the PDU)."""
+    ce_sizes = {LCID_CONT_RES: 6, LCID_TA_CMD: 1}
     headers = b""
     bodies = b""
-    items = list(subpdus)
-    total_fixed = 0
     for i, sp in enumerate(items):
-        last = i == len(items) - 1
+        last = (i == len(items) - 1) and not final_padding
         e = 0 if last else 1
-        if sp.lcid in ce_sizes:
+        if sp.lcid in ce_sizes or sp.lcid == LCID_PADDING:
             headers += bytes([(e << 5) | sp.lcid])
-            if ce_sizes[sp.lcid]:
+            if sp.lcid in ce_sizes:
                 assert len(sp.payload) == ce_sizes[sp.lcid], sp
                 bodies += sp.payload
         else:
@@ -47,15 +46,26 @@ def pack_mac_pdu(subpdus: list[MacSubPdu], pad_to: int | None = None) -> bytes:
                 headers += bytes([(1 << 5) | sp.lcid,
                                   0x80 | ((l >> 8) & 0x7F), l & 0xFF])
             bodies += sp.payload
-    pdu = headers + bodies
-    if pad_to is not None and len(pdu) < pad_to:
-        pad = pad_to - len(pdu)
-        if pad == 1:
-            pdu = bytes([(0 << 5) | LCID_PADDING]) + pdu   # single pad header first
-        else:
-            # padding subheader appended as last subheader + zero bytes
-            pdu = pdu + bytes([LCID_PADDING] * 1) + bytes(pad - 1)
-    return pdu
+    if final_padding:
+        headers += bytes([(0 << 5) | LCID_PADDING])
+    return headers + bodies
+
+
+def pack_mac_pdu(subpdus: list[MacSubPdu], pad_to: int | None = None) -> bytes:
+    """Build a MAC PDU (36.321 §6.1.2): subheaders then SDUs/CEs.
+
+    Padding: 1-2 spare bytes become leading padding subheaders; more becomes
+    a final padding subheader whose body extends to the end of the PDU."""
+    items = list(subpdus)
+    pdu = _pack_headers_bodies(items, final_padding=False)
+    if pad_to is None or len(pdu) >= pad_to:
+        return pdu
+    pad = pad_to - len(pdu)
+    if pad <= 2:
+        lead = [MacSubPdu(LCID_PADDING)] * pad
+        return _pack_headers_bodies(lead + items, final_padding=False)
+    body = _pack_headers_bodies(items, final_padding=True)
+    return body + bytes(pad_to - len(body))
 
 
 def unpack_mac_pdu(data: bytes) -> list[MacSubPdu]:

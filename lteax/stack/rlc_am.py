@@ -101,8 +101,8 @@ class AmReceiver:
         pdu = rlc_pdu.unpack_amd(raw)
         if pdu is None:
             return
-        if pdu.sn not in self._buffer and not _sn_lt(pdu.sn, self.vr_r,
-                                                     self.vr_r):
+        fresh = ((pdu.sn - self.vr_r) % SN_MOD) < WINDOW
+        if fresh and pdu.sn not in self._buffer:
             self._buffer[pdu.sn] = pdu.data
         if pdu.poll:
             self._poll_seen = True

@@ -54,14 +54,20 @@ class UserManager:
         self._by_imsi: dict[str, int] = {}
         self._next = self.C_RNTI_START
 
+    C_RNTI_END = 0xFFF3
+
     def add_user(self, imsi: str = "") -> UserCtx:
-        while self._next in self._by_rnti:
-            self._next = (self._next + 1) & 0xFFF0 or self.C_RNTI_START
+        if len(self._by_rnti) >= self.C_RNTI_END - self.C_RNTI_START:
+            raise RuntimeError("C-RNTI space exhausted")
+        while self._next in self._by_rnti or self._next > self.C_RNTI_END:
+            self._next = self._next + 1 if self._next < self.C_RNTI_END \
+                else self.C_RNTI_START
         u = UserCtx(c_rnti=self._next, imsi=imsi)
         self._by_rnti[u.c_rnti] = u
         if imsi:
             self._by_imsi[imsi] = u.c_rnti
-        self._next += 1
+        self._next = self._next + 1 if self._next < self.C_RNTI_END \
+            else self.C_RNTI_START
         return u
 
     def find(self, c_rnti: int) -> UserCtx | None:

@@ -78,3 +78,14 @@ def test_prefetch_to_device():
     assert len(out) == 5
     for i, o in enumerate(out):
         assert float(np.asarray(o)[0, 0]) == i
+
+
+def test_mac_padding_all_sizes():
+    """36.321 padding: 1-2 bytes lead as subheaders; more trails as body."""
+    sps = [mac_pdu.MacSubPdu(0x01, b"abcdef")]
+    for target in (9, 10, 11, 12, 30):
+        pdu = mac_pdu.pack_mac_pdu(sps, pad_to=target)
+        assert len(pdu) == target, (target, len(pdu))
+        back = [s for s in mac_pdu.unpack_mac_pdu(pdu)
+                if s.lcid != mac_pdu.LCID_PADDING]
+        assert [(s.lcid, s.payload) for s in back] == [(0x01, b"abcdef")], target

@@ -53,3 +53,24 @@ def test_burst_loss():
     sdus, delivered, tx = _run_link(losses)
     assert delivered == sdus
     assert tx.all_acked
+
+
+def test_stale_duplicate_ignored():
+    """A duplicate of an already-delivered SN must not poison the window."""
+    tx = AmTransmitter(poll_every=2)
+    rx = AmReceiver()
+    for i in range(4):
+        tx.submit(bytes([i]) * 5)
+    pdus = []
+    while True:
+        p = tx.pull()
+        if p is None:
+            break
+        pdus.append(p)
+    for p in pdus:
+        rx.handle_pdu(p)
+    assert len(rx.take_delivered()) == 4
+    rx.handle_pdu(pdus[0])            # stale duplicate of SN 0
+    st_raw = rx.make_status()
+    st = rlc_pdu.unpack_status(st_raw)
+    assert st.ack_sn == 4 and st.nack_sns == ()

@@ -64,3 +64,20 @@ def test_hss_persistence_and_ctrl(tmp_path):
     finally:
         srv.stop()
     assert h2.get_user("001019999999999") is None
+
+
+def test_rnti_wrap_allocation():
+    um = UserManager()
+    um._next = UserManager.C_RNTI_END - 1
+    a = um.add_user()
+    b = um.add_user()
+    c = um.add_user()          # wraps to C_RNTI_START
+    assert a.c_rnti == UserManager.C_RNTI_END - 1
+    assert b.c_rnti == UserManager.C_RNTI_END
+    assert c.c_rnti == UserManager.C_RNTI_START
+    # collision path: start again over the same range
+    um2 = UserManager()
+    u1 = um2.add_user()
+    um2._next = u1.c_rnti      # force collision
+    u2 = um2.add_user()
+    assert u2.c_rnti != u1.c_rnti
