@@ -194,9 +194,16 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--fmt", choices=("fc32", "sc8"), default="fc32")
     p.add_argument("--tac", type=lambda s: int(s, 0), default=0x1234)
+    p.add_argument("--n-ant", type=int, choices=(1, 2, 4), default=1)
+    p.add_argument("--extended-cp", action="store_true")
+    p.add_argument("--si-dci", choices=("1a", "1c"), default="1a")
+    p.add_argument("--cfi", type=int, default=None,
+                   help="defaults to 2 (3 for 4-antenna cells)")
     a = p.parse_args(argv)
+    cfi = a.cfi if a.cfi is not None else (3 if a.n_ant == 4 else 2)
     gc = GenConfig(n_rb_dl=a.n_rb, n_cell_id=a.cell_id, n_frames=a.frames,
-                   tac=a.tac)
+                   tac=a.tac, n_ant=a.n_ant, extended_cp=a.extended_cp,
+                   si_dci=a.si_dci, cfi=cfi)
     x = generate(gc)
     write_iq(a.out, x, a.fmt)
     print(f"wrote {len(x)} samples ({a.frames} frames, {gc.phy.fs/1e6:.2f} Msps) to {a.out}")

@@ -265,8 +265,9 @@ def main(argv=None):
                    help="bandwidth of the capture (sets sample rate)")
     p.add_argument("--fmt", choices=("fc32", "sc8"), default="fc32")
     p.add_argument("--no-cfo", action="store_true")
+    p.add_argument("--extended-cp", action="store_true")
     a = p.parse_args(argv)
-    cfg = PhyConfig(n_rb_dl=a.n_rb)
+    cfg = PhyConfig(n_rb_dl=a.n_rb, extended_cp=a.extended_cp)
     x = read_iq(a.path, a.fmt)
     res = scan(x, cfg, correct_cfo=not a.no_cfo)
     print(res.to_json())

@@ -121,6 +121,10 @@ def main(argv=None):
     p.add_argument("captures", nargs="+",
                    help="LABEL=PATH[:FMT[:RATE_HZ]] per channel")
     p.add_argument("--n-rb", type=int, default=6)
+    p.add_argument("--prescan", action="store_true",
+                   help="device-batched PSS prescan; skip dead channels")
+    p.add_argument("--checkpoint", default=None,
+                   help="resume file (skip finished channels)")
     a = p.parse_args(argv)
     cfg = PhyConfig(n_rb_dl=a.n_rb)
     chans = []
@@ -130,7 +134,8 @@ def main(argv=None):
         chans.append(Channel(label=label, path=parts[0],
                              fmt=parts[1] if len(parts) > 1 else "fc32",
                              rate_hz=float(parts[2]) if len(parts) > 2 else None))
-    for rep in scan_channels(chans, cfg):
+    for rep in scan_channels(chans, cfg, checkpoint_path=a.checkpoint,
+                             prescan=a.prescan):
         print(json.dumps(rep))
 
 
