@@ -28,6 +28,30 @@ N_DATA_SYMS = 12           # normal CP: 14 symbols minus 2 DM-RS (3, 10)
 DMRS_SYMS = (3, 10)
 
 
+@lru_cache(maxsize=None)
+def _idft_matrices(m_sc: int) -> tuple[np.ndarray, np.ndarray]:
+    """(re, im) of the unitary IDFT matrix.  SC-FDMA sizes are
+    non-power-of-2 (e.g. 1200 = 2^4*3*5^2), where XLA's FFT falls back to
+    slow Bluestein paths on TPU; a dense matmul rides the MXU instead."""
+    n = np.arange(m_sc)
+    w = np.exp(2j * np.pi * np.outer(n, n) / m_sc) / np.sqrt(m_sc)
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+def idft_unitary(x: jnp.ndarray, m_sc: int) -> jnp.ndarray:
+    """Unitary IDFT over the last axis via real MXU matmuls.
+
+    HIGHEST precision: the TPU default would round the 1200-deep
+    contraction through bf16, which costs 64QAM LLR fidelity."""
+    import jax
+    wr, wi = _idft_matrices(m_sc)
+    hi = jax.lax.Precision.HIGHEST
+    xr, xi = jnp.real(x), jnp.imag(x)
+    yr = jnp.matmul(xr, wr.T, precision=hi) - jnp.matmul(xi, wi.T, precision=hi)
+    yi = jnp.matmul(xr, wi.T, precision=hi) + jnp.matmul(xi, wr.T, precision=hi)
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
 # ---------------------------------------------------------------------------
 # UL base sequences (36.211 §5.5.1) — ZC for >= 3 PRB
 # ---------------------------------------------------------------------------
@@ -211,8 +235,8 @@ def pusch_decode(grid: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
     x_f = y * jnp.conj(h) / (p + noise_var)
     scale = p / (p + noise_var)
     x_f = x_f / jnp.maximum(scale, 1e-12)
-    # IDFT de-precoding
-    x_t = jnp.fft.ifft(x_f, axis=-1) * np.sqrt(m_sc)
+    # IDFT de-precoding (dense matmul — see idft_unitary)
+    x_t = idft_unitary(x_f, m_sc)
     # effective post-IDFT noise: average over the symbol's subcarriers
     eff_nv = jnp.mean(noise_var / jnp.maximum(p, 1e-12), axis=-1,
                       keepdims=True) * jnp.ones_like(p)
