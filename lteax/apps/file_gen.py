@@ -31,6 +31,7 @@ from lteax.stack import rrc
 from lteax.io.iq import write_iq
 
 SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
 
 
 @dataclasses.dataclass
@@ -49,6 +50,7 @@ class GenConfig:
     band: int = 1
     extended_cp: bool = False
     si_dci: str = "1a"         # "1a" | "1c" — DCI format used for SI grants
+    paging_tmsi: tuple[int, ...] = ()   # S-TMSIs paged in subframe 9
 
     @property
     def phy(self) -> PhyConfig:
@@ -67,7 +69,8 @@ def _si_alloc(gc: GenConfig) -> tuple[int, int]:
 
 def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
                         pbch_quarters: np.ndarray,
-                        sib1_bits: np.ndarray, sib2_bits: np.ndarray
+                        sib1_bits: np.ndarray, sib2_bits: np.ndarray,
+                        paging_bits: np.ndarray | None = None
                         ) -> np.ndarray:
     """Build one subframe's resource grid (ports superposed: the IQ file
     models a single RX antenna with unit channels from each TX port, which
@@ -151,6 +154,28 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
         _sfbc_scatter(re_idx, pdsch_mod.pdsch_encode(
             tb, geom, SI_RNTI, sf, cid, "qpsk"))
 
+    # Paging in subframe 9 (PO for Ns=1 class configs)
+    if sf == 9 and paging_bits is not None and len(paging_bits):
+        from lteax.phy.channels.dci import Dci1C, dci_1c_pack, TBS_1C, _n_rb_step
+        step = _n_rb_step(cfg.n_rb_dl)
+        ndl = cfg.n_rb_dl // step
+        i_tbs = next(i for i, t in enumerate(TBS_1C) if t >= len(paging_bits))
+        tbs = TBS_1C[i_tbs]
+        dci_bits = dci_1c_pack(Dci1C(rb_start=0, l_crb=ndl, i_tbs=i_tbs),
+                               cfg.n_rb_dl)
+        ng = gc.phich_resource
+        pd_syms = pdcch_mod.pdcch_encode([(dci_bits, P_RNTI, 0, 4)], cfg,
+                                         cid, gc.ctrl_syms, ng, sf,
+                                         n_ant=n_ant)
+        pd_idx = pdcch_flat_idx(cfg, cid, gc.ctrl_syms, ng).reshape(-1)
+        for pp in range(pd_syms.shape[0]):
+            ports[pp][pd_idx] = np.asarray(pd_syms[pp])
+        prbs = tuple(range(0, ndl * step))
+        re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
+        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, 0)
+        _sfbc_scatter(re_idx, pdsch_mod.pdsch_encode(
+            rrc.pad_to(paging_bits, tbs), geom, P_RNTI, sf, cid, "qpsk"))
+
     return ports.sum(axis=0).reshape(cfg.n_sym_subframe, cfg.n_sc)
 
 
@@ -178,9 +203,12 @@ def generate(gc: GenConfig) -> np.ndarray:
             pbch_q = np.asarray(pbch.pbch_encode_40ms(
                 jnp.asarray(rrc.pack_mib(mib)), gc.n_ant, gc.n_cell_id,
                 extended_cp=cfg.extended_cp))
+        paging_bits = (rrc.pack_paging(rrc.Paging(
+            ue_identities=gc.paging_tmsi)) if gc.paging_tmsi else None)
         for sf in range(10):
             grids.append(build_subframe_grid(gc, sfn, sf, pbch_q,
-                                             sib1_bits, sib2_bits))
+                                             sib1_bits, sib2_bits,
+                                             paging_bits))
     batch = jnp.asarray(np.stack(grids))
     x = np.asarray(subframe_to_samples(batch, cfg))
     return x.reshape(-1)

@@ -32,6 +32,7 @@ from lteax.stack import rrc
 from lteax.io.iq import read_iq, chunk_subframes
 
 SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
 
 
 @dataclasses.dataclass
@@ -50,6 +51,7 @@ class ScanResult:
     sib1: rrc.Sib1 | None = None
     sib2: rrc.Sib2 | None = None
     sib_crc_fails: int = 0
+    paging: list | None = None
 
     def to_json(self) -> str:
         d = {
@@ -67,6 +69,7 @@ class ScanResult:
             "sib1": dataclasses.asdict(self.sib1) if self.sib1 else None,
             "sib2": dataclasses.asdict(self.sib2) if self.sib2 else None,
             "sib_crc_fails": self.sib_crc_fails,
+            "paging": self.paging,
         }
         return json.dumps(d)
 
@@ -170,6 +173,8 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
     for i in range(len(sfs)):
         sf = i % 10
         sfn = mib.sfn + i // 10
+        if sf == 9 and res.paging is None and i < max_si_subframes:
+            _try_paging(res, grids[i], cfg, cfg_c, cid, sf, n_ant, ng)
         if sf != 5 or res.sib_crc_fails > 8:
             continue
         if res.sib1 is not None and res.sib2 is not None:
@@ -256,6 +261,42 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         if si is not None and si[0] == "sib2":
             res.sib2 = si[1]
     return res
+
+
+def _try_paging(res, g, cfg, cfg_c, cid, sf, n_ant, ng):
+    """Blind-decode a P-RNTI DCI 1C in subframe 9 and parse Paging."""
+    from lteax.phy.channels.dci import _n_rb_step
+    gflat = g.reshape(-1)
+    h0f = chest.estimate_channel(g, cfg, cid, sf, port=0).reshape(-1)
+    nv = chest.estimate_noise_var(g, cfg, cid, sf)
+    cfi_idx = jnp.asarray(pcfich_flat_idx(cfg_c, cid))
+    xcfi, ecfi = chest.equalize_res(gflat[cfi_idx], h0f[cfi_idx],
+                                    h0f[cfi_idx], nv, 1)
+    cfi = int(pcfich.pcfich_decode(
+        demodulate_maxlog(xcfi, "qpsk", ecfi), cid, sf)[0])
+    ctrl = _ctrl_syms(cfi, cfg.n_rb_dl)
+    pd_idx = jnp.asarray(pdcch_flat_idx(cfg_c, cid, ctrl, ng).reshape(-1))
+    y_log = pdcch_mod.unpermute_to_logical(gflat[pd_idx], cfg_c, cid, ctrl, ng)
+    h_log = pdcch_mod.unpermute_to_logical(h0f[pd_idx], cfg_c, cid, ctrl, ng)
+    x_eq, eff = chest.equalize_res(y_log, h_log, h_log, nv, 1)
+    logical = pdcch_mod.pdcch_descramble_logical(
+        demodulate_maxlog(x_eq, "qpsk", eff), cfg_c, cid, ctrl, ng, sf)
+    found = pdcch_mod.pdcch_blind_decode_1c(
+        logical, cfg.n_rb_dl, P_RNTI, pdcch_mod.n_cce(cfg_c, cid, ctrl, ng))
+    if not found:
+        return
+    dci, _, _ = found[0]
+    step = _n_rb_step(cfg.n_rb_dl)
+    prbs = tuple(range(dci.rb_start * step, (dci.rb_start + dci.l_crb) * step))
+    re_idx = jnp.asarray(pdsch_flat_idx(cfg_c, cid, ctrl, prbs, sf))
+    xp, ep = chest.equalize_res(gflat[re_idx], h0f[re_idx], h0f[re_idx], nv, 1)
+    geom = pdsch_mod.pdsch_geometry(dci.tbs(), len(re_idx), 2, 0)
+    tb, okc, _ = pdsch_mod.pdsch_decode_llrs(
+        demodulate_maxlog(xp, "qpsk", ep), geom, P_RNTI, sf, cid)
+    if okc:
+        pg = rrc.unpack_paging(tb)
+        if pg is not None:
+            res.paging = [hex(t) for t in pg.ue_identities]
 
 
 def main(argv=None):

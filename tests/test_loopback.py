@@ -138,3 +138,13 @@ def test_loopback_10mhz_epa_fading():
     assert r.mib is not None and r.mib.n_rb_dl == 50
     assert r.sib1 is not None and r.sib1.tac == 0xFAD
     assert r.evm_pct > 0
+
+
+def test_loopback_paging():
+    """Paging records over PDSCH @ P-RNTI (DCI 1C, subframe 9)."""
+    gc = GenConfig(n_rb_dl=6, n_cell_id=200, n_frames=4,
+                   paging_tmsi=(0xDEADBEEF, 0x1234ABCD))
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 200
+    assert r.paging == [hex(0xDEADBEEF), hex(0x1234ABCD)]
+    assert r.sib1 is not None
