@@ -91,8 +91,7 @@ def main():
         p = jnp.abs(h) ** 2
         xf = y * jnp.conj(h) / (p + nv)
         xf = xf / jnp.maximum(p / (p + nv), 1e-12)
-        from lteax.phy.channels.pusch import idft_unitary
-        xt = idft_unitary(xf, m_sc)
+        xt = jnp.fft.ifft(xf, axis=-1) * np.sqrt(m_sc)
         eff = jnp.mean(nv / jnp.maximum(p, 1e-12), axis=-1, keepdims=True) \
             * jnp.ones_like(p)
         llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))

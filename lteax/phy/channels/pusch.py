@@ -42,7 +42,10 @@ def idft_unitary(x: jnp.ndarray, m_sc: int) -> jnp.ndarray:
     """Unitary IDFT over the last axis via real MXU matmuls.
 
     HIGHEST precision: the TPU default would round the 1200-deep
-    contraction through bf16, which costs 64QAM LLR fidelity."""
+    contraction through bf16, which costs 64QAM LLR fidelity.
+    NOTE: measured SLOWER than jnp.fft.ifft for the UL bench (the 6-pass
+    f32 emulation dominates) — kept as an alternative; the FFT path is the
+    default."""
     import jax
     wr, wi = _idft_matrices(m_sc)
     hi = jax.lax.Precision.HIGHEST
@@ -235,8 +238,8 @@ def pusch_decode(grid: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
     x_f = y * jnp.conj(h) / (p + noise_var)
     scale = p / (p + noise_var)
     x_f = x_f / jnp.maximum(scale, 1e-12)
-    # IDFT de-precoding (dense matmul — see idft_unitary)
-    x_t = idft_unitary(x_f, m_sc)
+    # IDFT de-precoding
+    x_t = jnp.fft.ifft(x_f, axis=-1) * np.sqrt(m_sc)
     # effective post-IDFT noise: average over the symbol's subcarriers
     eff_nv = jnp.mean(noise_var / jnp.maximum(p, 1e-12), axis=-1,
                       keepdims=True) * jnp.ones_like(p)
