@@ -156,7 +156,6 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
 
     # Paging in subframe 9 (PO for Ns=1 class configs)
     if sf == 9 and paging_bits is not None and len(paging_bits):
-        from lteax.phy.channels.dci import Dci1C, dci_1c_pack, TBS_1C, _n_rb_step
         step = _n_rb_step(cfg.n_rb_dl)
         ndl = cfg.n_rb_dl // step
         i_tbs = next(i for i, t in enumerate(TBS_1C) if t >= len(paging_bits))
