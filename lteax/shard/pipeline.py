@@ -58,8 +58,11 @@ def make_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
 
 
 def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
-                              geom, scheme, n_iter: int = 6, tb: int = 16,
+                              geom, scheme, n_iter: int = 6, tb: int | None = None,
                               interpret: bool = False):
+    import os
+    if tb is None:
+        tb = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
     """Like make_batch_decoder but the turbo stage runs as ONE flat Pallas
     batch over all (subframe x codeblock) blocks — the production path."""
     from lteax.phy import seq
@@ -82,11 +85,16 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         sgn = (1.0 - 2.0 * c_seq).astype(llr.dtype)
         return soft_dematch(llr * sgn, geom)
 
+    import os
+    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
+    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "32"))
+
     def decode(samples_iq):
         d_llr = jax.vmap(front)(samples_iq)            # (B, C, 3, D)
         bsz = d_llr.shape[0]
         flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
+                                         win=win, acq=acq,
                                          interpret=interpret)
         bits = bits.reshape(bsz, geom.info.c, geom.k)
         if geom.info.cb_crc:
