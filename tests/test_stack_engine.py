@@ -81,3 +81,28 @@ def test_rnti_wrap_allocation():
     um2._next = u1.c_rnti      # force collision
     u2 = um2.add_user()
     assert u2.c_rnti != u1.c_rnti
+
+
+def test_cnfg_db(tmp_path):
+    import pytest
+    from lteax.stack.cnfg_db import CnfgDb
+    path = str(tmp_path / "cnfg.json")
+    db = (CnfgDb(path)
+          .define("dl_earfcn", 300, lo=0, hi=65535)
+          .define("bandwidth", 6, choices=(6, 15, 25, 50, 75, 100))
+          .define("enable_pcap", False))
+    db.set("dl_earfcn", "1950")
+    assert db.get("dl_earfcn") == 1950
+    with pytest.raises(ValueError):
+        db.set("bandwidth", 7)
+    db.set("enable_pcap", "on")
+    # reload from file
+    db2 = (CnfgDb(path)
+           .define("dl_earfcn", 300, lo=0, hi=65535)
+           .define("bandwidth", 6, choices=(6, 15, 25, 50, 75, 100))
+           .define("enable_pcap", False))
+    assert db2.get("dl_earfcn") == 1950 and db2.get("enable_pcap") is True
+    # ctrl-server wiring: writes go through typing/range checks
+    view = db2.as_ctrl_params()
+    view["bandwidth"] = "25"
+    assert db2.get("bandwidth") == 25
