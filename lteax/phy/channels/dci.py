@@ -203,6 +203,112 @@ def dci_0_unpack(bits: np.ndarray, n_rb_ul: int) -> Dci0 | None:
                 dmrs_cs=cs, hopping=bool(hop), cqi_request=bool(cqi))
 
 
+# ---------------------------------------------------------------------------
+# DCI format 1 (36.212 §5.3.3.1.2) — single-codeword grant, resource
+# allocation type 0 (RBG bitmap, 36.213 §7.1.6.1)
+# ---------------------------------------------------------------------------
+
+def rbg_size(n_rb: int) -> int:
+    """P from 36.213 Table 7.1.6.1-1."""
+    if n_rb <= 10:
+        return 1
+    if n_rb <= 26:
+        return 2
+    if n_rb <= 63:
+        return 3
+    return 4
+
+
+def n_rbg(n_rb: int) -> int:
+    return math.ceil(n_rb / rbg_size(n_rb))
+
+
+def rbg_bitmap_to_prbs(bitmap: int, n_rb: int) -> list[int]:
+    """Expand a type-0 RBG bitmap (MSB = RBG 0) to sorted PRB indices.
+
+    The last RBG may be short (``n_rb mod P`` PRBs, 36.213 §7.1.6.1)."""
+    p = rbg_size(n_rb)
+    nbg = n_rbg(n_rb)
+    prbs: list[int] = []
+    for g in range(nbg):
+        if (bitmap >> (nbg - 1 - g)) & 1:
+            prbs.extend(range(g * p, min((g + 1) * p, n_rb)))
+    return prbs
+
+
+def prbs_to_rbg_bitmap(prbs, n_rb: int) -> int:
+    """Smallest type-0 bitmap covering ``prbs`` (whole-RBG granularity)."""
+    p = rbg_size(n_rb)
+    nbg = n_rbg(n_rb)
+    bitmap = 0
+    for prb in prbs:
+        if not 0 <= prb < n_rb:
+            raise ValueError(f"PRB {prb} out of range")
+        bitmap |= 1 << (nbg - 1 - prb // p)
+    return bitmap
+
+
+@dataclasses.dataclass
+class Dci1:
+    rbg_bitmap: int        # type-0 bitmap, MSB = RBG 0
+    mcs: int
+    rv: int
+    harq: int = 0
+    ndi: int = 0
+    tpc: int = 0
+
+    def prbs(self, n_rb: int) -> list[int]:
+        return rbg_bitmap_to_prbs(self.rbg_bitmap, n_rb)
+
+
+def dci_1_size(n_rb: int) -> int:
+    header = 1 if n_rb > 10 else 0         # RA type-0/1 selector bit
+    n = header + n_rbg(n_rb) + 5 + 3 + 1 + 2 + 2
+    # 36.212 §5.3.3.1.2: pad if equal to a format-0/1A size or an
+    # ambiguous size
+    while n == dci_1a_size(n_rb) or n in AMBIGUOUS_SIZES:
+        n += 1
+    return n
+
+
+def dci_1_pack(d: Dci1, n_rb: int) -> np.ndarray:
+    nbg = n_rbg(n_rb)
+    if d.rbg_bitmap >> nbg:
+        raise ValueError("bitmap wider than N_RBG")
+    bits: list[int] = []
+    if n_rb > 10:
+        _put(bits, 0, 1)                   # RA type 0
+    _put(bits, d.rbg_bitmap, nbg)
+    _put(bits, d.mcs, 5)
+    _put(bits, d.harq, 3)
+    _put(bits, d.ndi, 1)
+    _put(bits, d.rv, 2)
+    _put(bits, d.tpc, 2)
+    while len(bits) < dci_1_size(n_rb):
+        bits.append(0)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_1_unpack(bits: np.ndarray, n_rb: int) -> Dci1 | None:
+    if len(bits) != dci_1_size(n_rb):
+        return None
+    pos = 0
+    if n_rb > 10:
+        ra_type, pos = _get(bits, pos, 1)
+        if ra_type != 0:
+            return None                    # type-1 subset alloc not supported
+    bitmap, pos = _get(bits, pos, n_rbg(n_rb))
+    if bitmap == 0:
+        return None
+    mcs, pos = _get(bits, pos, 5)
+    harq, pos = _get(bits, pos, 3)
+    ndi, pos = _get(bits, pos, 1)
+    rv, pos = _get(bits, pos, 2)
+    tpc, pos = _get(bits, pos, 2)
+    return Dci1(rbg_bitmap=bitmap, mcs=mcs, rv=rv, harq=harq, ndi=ndi,
+                tpc=tpc)
+
+
 def dci_1a_unpack(bits: np.ndarray, n_rb: int) -> Dci1A | None:
     if len(bits) != dci_1a_size(n_rb):
         return None

@@ -203,3 +203,11 @@ def pdcch_blind_decode_1c(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
     from lteax.phy.channels.dci import dci_1c_size, dci_1c_unpack
     return _blind_decode(logical_llrs, dci_1c_size(n_rb), rnti, n_cces,
                          lambda b: dci_1c_unpack(b, n_rb))
+
+
+def pdcch_blind_decode_1(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                         n_cces: int) -> list:
+    """Blind-decode DCI format 1 (type-0 RBG-bitmap grants)."""
+    from lteax.phy.channels.dci import dci_1_size, dci_1_unpack
+    return _blind_decode(logical_llrs, dci_1_size(n_rb), rnti, n_cces,
+                         lambda b: dci_1_unpack(b, n_rb))

@@ -174,3 +174,55 @@ def test_tbs_cross_column_monotone():
     for itbs in range(27):
         vals = [TBS_COLUMNS[c][itbs] for c in cols]
         assert all(b >= a for a, b in zip(vals, vals[1:])), (itbs, vals)
+
+
+def test_dci_1_rbg_allocation_and_roundtrip():
+    from lteax.phy.channels.dci import (Dci1, dci_1_pack, dci_1_unpack,
+                                        dci_1_size, dci_1a_size, rbg_size,
+                                        n_rbg, rbg_bitmap_to_prbs,
+                                        prbs_to_rbg_bitmap)
+    # 36.213 Table 7.1.6.1-1 RBG sizes
+    assert [rbg_size(n) for n in (6, 15, 25, 50, 75, 100)] == [1, 2, 2, 3, 4, 4]
+    assert n_rbg(100) == 25 and n_rbg(50) == 17 and n_rbg(25) == 13
+    # short last RBG: 50 PRB, P=3 -> last RBG holds PRBs 48..49 only
+    full = (1 << n_rbg(50)) - 1
+    assert rbg_bitmap_to_prbs(full, 50) == list(range(50))
+    assert rbg_bitmap_to_prbs(1, 50) == [48, 49]
+    assert prbs_to_rbg_bitmap([0, 49], 50) == (1 << (n_rbg(50) - 1)) | 1
+    # sizes never collide with 1A (padding rule)
+    for n_rb in (6, 15, 25, 50, 75, 100):
+        assert dci_1_size(n_rb) != dci_1a_size(n_rb)
+    # pack/unpack roundtrip
+    for n_rb in (6, 25, 100):
+        bm = prbs_to_rbg_bitmap([0, n_rb - 1], n_rb)
+        d = Dci1(rbg_bitmap=bm, mcs=17, rv=2, harq=5, ndi=1, tpc=3)
+        bits = dci_1_pack(d, n_rb)
+        assert len(bits) == dci_1_size(n_rb)
+        back = dci_1_unpack(bits, n_rb)
+        assert back is not None
+        assert (back.rbg_bitmap, back.mcs, back.rv, back.harq, back.ndi,
+                back.tpc) == (bm, 17, 2, 5, 1, 3)
+    # all-zero bitmap rejected
+    z = dci_1_pack(Dci1(rbg_bitmap=prbs_to_rbg_bitmap([3], 25), mcs=0, rv=0), 25)
+    z[1 if 25 > 10 else 0:1 + n_rbg(25)] = 0
+    assert dci_1_unpack(z, 25) is None
+
+
+def test_pdcch_blind_decode_format1():
+    from lteax.phy.channels.dci import Dci1, dci_1_pack, prbs_to_rbg_bitmap
+    cfg = CFG
+    cfi, sf, ng = 3, 2, 1.0
+    rnti = 0x003D
+    ncce = pdcch.n_cce(cfg, NID, cfi, ng)
+    bm = prbs_to_rbg_bitmap([1, 4], cfg.n_rb_dl)
+    d = Dci1(rbg_bitmap=bm, mcs=9, rv=0, harq=2)
+    bits = dci_1_pack(d, cfg.n_rb_dl)
+    sym = pdcch.pdcch_encode([(bits, rnti, 0, 4)], cfg, NID, cfi, ng, sf)[0]
+    llr = np.asarray(demodulate_maxlog(sym, "qpsk"))
+    logical = pdcch.pdcch_llrs_to_logical(jnp.asarray(llr), cfg, NID, cfi,
+                                          ng, sf)
+    found = pdcch.pdcch_blind_decode_1(logical, cfg.n_rb_dl, rnti, ncce)
+    assert len(found) >= 1
+    dci, start, l_agg = found[0]
+    assert dci.rbg_bitmap == bm and dci.mcs == 9 and dci.harq == 2
+    assert dci.prbs(cfg.n_rb_dl) == [1, 4]
