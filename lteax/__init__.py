@@ -19,3 +19,11 @@ Package layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Honor LTEAX_PLATFORM before any submodule builds device constants at
+# import time (the ambient axon plugin ignores JAX_PLATFORMS from the env;
+# selection must happen in-process before first backend use — see
+# lteax/utils/platform.py).
+from lteax.utils.platform import apply_platform_env as _apply_platform_env
+
+_apply_platform_env()

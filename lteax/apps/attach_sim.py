@@ -204,6 +204,8 @@ def run(verbose: bool = True, pcap_path: str | None = None) -> dict:
 
 
 def main():
+    from lteax.utils.platform import apply_platform_env
+    apply_platform_env()
     res = run(verbose=True,
               pcap_path=os.environ.get("LTEAX_ATTACH_PCAP"))
     print({"attach_complete": all(res.values()), **res})

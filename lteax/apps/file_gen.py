@@ -214,6 +214,8 @@ def generate(gc: GenConfig) -> np.ndarray:
 
 
 def main(argv=None):
+    from lteax.utils.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="LTE DL IQ file generator")
     p.add_argument("--out", required=True)
     p.add_argument("--n-rb", type=int, default=6)

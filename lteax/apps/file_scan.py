@@ -300,6 +300,8 @@ def _try_paging(res, g, cfg, cfg_c, cid, sf, n_ant, ng):
 
 
 def main(argv=None):
+    from lteax.utils.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="LTE DL IQ file scanner")
     p.add_argument("path")
     p.add_argument("--n-rb", type=int, default=6,

@@ -56,6 +56,8 @@ def record(in_path: str, out_path: str, in_fmt: str = "fc32",
 
 
 def main(argv=None):
+    from lteax.utils.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="IQ stream recorder")
     p.add_argument("--in-path", required=True)
     p.add_argument("--out", required=True)

@@ -116,6 +116,8 @@ def scan_channels(chans: list[Channel], cfg: PhyConfig,
 
 
 def main(argv=None):
+    from lteax.utils.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(
         description="multi-carrier LTE cell scanner over IQ captures")
     p.add_argument("captures", nargs="+",
