@@ -103,3 +103,48 @@ def desegment_bits(blocks: np.ndarray, info: SegmentInfo) -> np.ndarray:
     out = np.concatenate(parts)
     assert len(out) == info.b, (len(out), info.b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# General (mixed K+/K-) segmentation — 36.212 §5.1.2 without the uniform
+# restriction.  No TBS in the 36.213 tables produces a mixed split (verified
+# over all 151 carried TBS values), so this path exists for spec completeness
+# and arbitrary-B users; the batched device pipeline keeps the single-K fast
+# path.  Blocks are grouped per K so each bucket is still a static-shape
+# device batch (C-, K-) / (C+, K+).
+# ---------------------------------------------------------------------------
+
+def segment_bits_general(bits: np.ndarray, info: SegmentInfo) -> list:
+    """TB bits (B,) -> list of C payload arrays (K_r - 24 if cb_crc else K_r).
+
+    Block order is the spec's: the C- short blocks first, then C+ long ones;
+    filler zeros prepend block 0."""
+    out: list[np.ndarray] = []
+    pos = 0
+    for ci, k in enumerate(info.k_list):
+        payload = k - (L_CB if info.cb_crc else 0)
+        blk = np.zeros(payload, dtype=np.int64)
+        start = info.f if ci == 0 else 0
+        take = payload - start
+        blk[start:] = bits[pos:pos + take]
+        pos += take
+        out.append(blk)
+    assert pos == info.b, (pos, info.b)
+    return out
+
+
+def desegment_bits_general(blocks: list, info: SegmentInfo) -> np.ndarray:
+    """Inverse of segment_bits_general: list of (K_payload_r,) -> (B,)."""
+    parts = [np.asarray(blocks[0])[info.f:]]
+    parts.extend(np.asarray(b) for b in blocks[1:])
+    out = np.concatenate(parts)
+    assert len(out) == info.b, (len(out), info.b)
+    return out
+
+
+def k_buckets(info: SegmentInfo) -> list:
+    """(k, block_indices) per distinct K — each a static-shape device batch."""
+    buckets: dict[int, list[int]] = {}
+    for ci, k in enumerate(info.k_list):
+        buckets.setdefault(k, []).append(ci)
+    return sorted(buckets.items())
