@@ -128,3 +128,24 @@ def test_group_hopping_pattern():
     d1 = dmrs_pusch(301, 4, 72, group_hopping=True)
     d2 = dmrs_pusch(301, 4, 72, group_hopping=False)
     assert not np.allclose(d1, d2)
+
+
+def test_factored_dft_matches_fft_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from lteax.phy.dft import dft_factored, _split
+    rng = np.random.default_rng(3)
+    for n in (12, 300, 600, 1200, 13):      # 13 exercises the prime fallback
+        n1, n2 = _split(n)
+        assert n1 * n2 == n
+        x = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+             ).astype(np.complex64)
+        got = np.asarray(dft_factored(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-1),
+                                   rtol=0, atol=2e-4 * np.sqrt(n))
+        gi = np.asarray(dft_factored(jnp.asarray(x), inverse=True))
+        np.testing.assert_allclose(gi, np.fft.ifft(x, axis=-1),
+                                   rtol=0, atol=2e-4)
+        gu = np.asarray(dft_factored(jnp.asarray(x), unitary=True))
+        np.testing.assert_allclose(gu, np.fft.fft(x, axis=-1) / np.sqrt(n),
+                                   rtol=0, atol=2e-4)
