@@ -21,6 +21,17 @@ class RadioBearer:
     mode: str = "am"           # tm | um | am
     lcid: int = 1
 
+    def make_rlc(self):
+        """Instantiate this bearer's RLC entity pair (tx, rx) per mode;
+        TM has no entity state (transparent pass-through) -> (None, None)."""
+        if self.mode == "am":
+            from lteax.stack.rlc_am import AmTransmitter, AmReceiver
+            return AmTransmitter(), AmReceiver()
+        if self.mode == "um":
+            from lteax.stack.rlc_um import UmTransmitter, UmReceiver
+            return UmTransmitter(), UmReceiver()
+        return None, None
+
 
 @dataclasses.dataclass
 class SecurityCtx:
