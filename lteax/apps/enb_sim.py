@@ -1,0 +1,231 @@
+"""Software eNodeB TTI loop (no RF): full DL user-plane over the real PHY.
+
+(reference capability: the DL half of ``LTE_fdd_enb`` — ``LTE_fdd_enb_phy``'s
+TTI callback driving MAC scheduling, RLC/PDCP bearers, and resource-grid
+construction; UHD radio replaced by an IQ sample sink, UL feedback by a
+direct return channel (this is a DL PHY simulator, like the reference's
+file_gen path but with live per-TTI scheduling instead of canned SI).)
+
+Per TTI: `DlScheduler` grants (SI + round-robin user data), each data grant
+carries a MAC PDU of RLC PDUs from the UE's bearers (SRB1 = RLC AM under
+PDCP integrity+ciphering; DRB = RLC UM under PDCP ciphering), encoded on
+PDSCH with a C-RNTI DCI 1A in the common search space.  `UeSim` decodes the
+same subframe grids blindly (PDCCH blind decode at its C-RNTI) and pushes
+payloads back up through RLC/PDCP; RLC AM STATUS PDUs flow back over the
+direct return channel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from lteax.phy.config import PhyConfig
+from lteax.phy.grid import pdsch_flat_idx, pdcch_flat_idx
+from lteax.phy.channels import pdcch as pdcch_mod, pdsch as pdsch_mod
+from lteax.phy.channels.dci import Dci1A, dci_1a_pack
+from lteax.phy.mod import demodulate_maxlog
+from lteax.phy.tables.tbs import get_tbs_for_mcs
+from lteax.stack import mac_pdu, rrc
+from lteax.stack.mac_sched import DlScheduler
+from lteax.stack.pdcp import PdcpEntity
+from lteax.stack.rlc_am import AmTransmitter, AmReceiver
+from lteax.stack.rlc_um import UmTransmitter, UmReceiver
+from lteax.stack.security import generate_as_keys
+from lteax.apps.file_gen import GenConfig, build_subframe_grid
+
+SRB_LCID = 0x01
+DRB_LCID = 0x03
+
+
+@dataclasses.dataclass
+class _EnbUe:
+    rnti: int
+    srb_pdcp: PdcpEntity
+    drb_pdcp: PdcpEntity
+    srb_tx: AmTransmitter
+    drb_tx: UmTransmitter
+
+
+class EnbSim:
+    """DL TTI loop: bearers -> scheduler -> PDSCH grids."""
+
+    def __init__(self, gc: GenConfig):
+        self.gc = gc
+        self.cfg: PhyConfig = gc.phy
+        self.sched = DlScheduler(gc.n_rb_dl)
+        self.ues: dict[int, _EnbUe] = {}
+        self._mib = rrc.Mib(n_rb_dl=gc.n_rb_dl,
+                            phich_duration_extended=False,
+                            phich_resource=gc.phich_resource, sfn=0)
+        self._pbch_quarters = None
+        sib1 = rrc.Sib1(mcc=gc.mcc, mnc=gc.mnc, tac=gc.tac,
+                        cell_identity=gc.cell_identity,
+                        freq_band_indicator=gc.band,
+                        scheduling=(rrc.SchedulingInfo(8, (3,)),))
+        self._sib1_bits = rrc.pack_sib1(sib1)
+        self._sib2_bits = rrc.pack_sib2(rrc.Sib2())
+        from lteax.phy.tables.tbs import tbs_1a
+        need = max(len(self._sib1_bits), len(self._sib2_bits))
+        while tbs_1a(self.gc.sib1_mcs, 2) < need:
+            self.gc = dataclasses.replace(self.gc,
+                                          sib1_mcs=self.gc.sib1_mcs + 1)
+
+    def add_ue(self, rnti: int, k_enb: bytes, cqi_mcs: int = 9) -> _EnbUe:
+        ke, ki, ku = generate_as_keys(k_enb)
+        ue = _EnbUe(
+            rnti=rnti,
+            srb_pdcp=PdcpEntity(srb=True, rb_id=1, direction_tx=1,
+                                k_enc=ke, k_int=ki),
+            drb_pdcp=PdcpEntity(srb=False, rb_id=3, direction_tx=1,
+                                k_enc=ku),
+            srb_tx=AmTransmitter(),
+            drb_tx=UmTransmitter())
+        self.ues[rnti] = ue
+        self.sched.add_ue(rnti, cqi_mcs=cqi_mcs)
+        return ue
+
+    # -- user-plane inputs -------------------------------------------------
+    def send_rrc(self, rnti: int, sdu: bytes) -> None:
+        ue = self.ues[rnti]
+        ue.srb_tx.submit(ue.srb_pdcp.encode(sdu))
+
+    def send_data(self, rnti: int, sdu: bytes) -> None:
+        ue = self.ues[rnti]
+        self.sched.enqueue(rnti, ue.drb_tx.send(ue.drb_pdcp.encode(sdu)),
+                           lcid=DRB_LCID)
+
+    def handle_status(self, rnti: int, status_raw: bytes) -> None:
+        """RLC AM STATUS from the UE (direct return channel)."""
+        from lteax.stack import rlc_pdu
+        st = rlc_pdu.unpack_status(status_raw)
+        if st is not None:
+            self.ues[rnti].srb_tx.handle_status(st)
+
+    def _pump_srb(self) -> None:
+        for rnti, ue in self.ues.items():
+            while True:
+                pdu = ue.srb_tx.pull()
+                if pdu is None:
+                    break
+                self.sched.enqueue(rnti, pdu, lcid=SRB_LCID)
+
+    # -- TTI ---------------------------------------------------------------
+    def tti_grid(self, sfn: int, sf: int) -> np.ndarray:
+        """One subframe resource grid (n_sym, n_sc) with SI + user data."""
+        from lteax.phy.channels import pbch
+        gc, cfg, cid = self.gc, self.cfg, self.gc.n_cell_id
+        self._pump_srb()
+        if sfn % 4 == 0 or self._pbch_quarters is None:
+            self._mib.sfn = sfn - (sfn % 4)
+            self._pbch_quarters = np.asarray(pbch.pbch_encode_40ms(
+                jnp.asarray(rrc.pack_mib(self._mib)), gc.n_ant, cid,
+                extended_cp=cfg.extended_cp))
+        grid = build_subframe_grid(gc, sfn, sf, self._pbch_quarters,
+                                   self._sib1_bits, self._sib2_bits)
+        grid = np.asarray(grid).reshape(-1)
+
+        if sf in (0, 5, 9):            # PBCH/sync/SI/paging subframes: no data
+            return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
+        grants = [g for g in self.sched.schedule(sfn, sf) if g.kind == "data"]
+        # one DCI 1A per grant at aggregation 4 in the common search space;
+        # small cells fit fewer L=4 candidates than grants — defer the rest
+        # (round-robin serves them next TTI)
+        n_cces = pdcch_mod.n_cce(cfg, cid, gc.ctrl_syms, gc.phich_resource)
+        max_dcis = max(1, n_cces // 4) if n_cces >= 4 else 0
+        deferred = grants[max_dcis:]
+        grants = grants[:max_dcis]
+        for g in deferred:                    # requeue the original SDUs
+            subs = [s for s in mac_pdu.unpack_mac_pdu(g.payload)
+                    if s.lcid in (SRB_LCID, DRB_LCID)]
+            for s_ in reversed(subs):
+                self.sched.ues[g.rnti].queue.appendleft((s_.lcid, s_.payload))
+        if not grants:
+            return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
+        dcis = []
+        for i, g in enumerate(grants):
+            bits = dci_1a_pack(Dci1A(rb_start=g.rb_start, l_crb=g.n_prb,
+                                     mcs=g.mcs, rv=0, tpc=1), cfg.n_rb_dl)
+            dcis.append((bits, g.rnti, 4 * i, 4))
+        pd_syms = pdcch_mod.pdcch_encode(dcis, gc.phy, cid, gc.ctrl_syms,
+                                         gc.phich_resource, sf,
+                                         n_ant=gc.n_ant)
+        pd_idx = pdcch_flat_idx(cfg, cid, gc.ctrl_syms,
+                                gc.phich_resource).reshape(-1)
+        grid[pd_idx] = np.asarray(pd_syms[0])
+        # PDSCH per grant
+        for g, _ in zip(grants, dcis):
+            prbs = tuple(range(g.rb_start, g.rb_start + g.n_prb))
+            re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
+            _, scheme = get_tbs_for_mcs(g.mcs, g.n_prb)
+            qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[scheme]
+            geom = pdsch_mod.pdsch_geometry(g.tbs, len(re_idx), qm, 0)
+            tb = np.unpackbits(
+                np.frombuffer(g.payload, dtype=np.uint8)).astype(np.int64)
+            grid[re_idx] = np.asarray(pdsch_mod.pdsch_encode(
+                tb, geom, g.rnti, sf, cid, scheme))
+        return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
+
+
+class UeSim:
+    """Blind DL decode at one C-RNTI + RLC/PDCP receive entities."""
+
+    def __init__(self, gc: GenConfig, rnti: int, k_enb: bytes):
+        self.gc, self.cfg, self.rnti = gc, gc.phy, rnti
+        ke, ki, ku = generate_as_keys(k_enb)
+        self.srb_pdcp = PdcpEntity(srb=True, rb_id=1, direction_tx=0,
+                                   k_enc=ke, k_int=ki)
+        self.drb_pdcp = PdcpEntity(srb=False, rb_id=3, direction_tx=0,
+                                   k_enc=ku)
+        self.srb_rx = AmReceiver()
+        self.drb_rx = UmReceiver()
+        self.rrc_sdus: list[bytes] = []
+        self.data_sdus: list[bytes] = []
+
+    def handle_grid(self, grid: np.ndarray, sf: int) -> bytes | None:
+        """Decode one subframe grid; returns a STATUS PDU to send back
+        (direct return channel) when the AM receiver was polled."""
+        gc, cfg, cid = self.gc, self.cfg, self.gc.n_cell_id
+        if sf in (0, 5, 9):
+            return None
+        flat = jnp.asarray(np.asarray(grid).reshape(-1))
+        pd_idx = pdcch_flat_idx(cfg, cid, gc.ctrl_syms,
+                                gc.phich_resource).reshape(-1)
+        llr = demodulate_maxlog(flat[jnp.asarray(pd_idx)], "qpsk")
+        logical = pdcch_mod.pdcch_llrs_to_logical(
+            llr, cfg, cid, gc.ctrl_syms, gc.phich_resource, sf)
+        n_cce = pdcch_mod.n_cce(cfg, cid, gc.ctrl_syms, gc.phich_resource)
+        found = pdcch_mod.pdcch_blind_decode_1a(logical, cfg.n_rb_dl,
+                                                self.rnti, n_cce)
+        if not found:
+            return None
+        dci = found[0][0]
+        tbs, scheme = get_tbs_for_mcs(dci.mcs, dci.l_crb)
+        qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[scheme]
+        prbs = tuple(range(dci.rb_start, dci.rb_start + dci.l_crb))
+        re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
+        llr_d = demodulate_maxlog(flat[jnp.asarray(re_idx)], scheme)
+        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), qm, 0)
+        bits, ok, _ = pdsch_mod.pdsch_decode_llrs(llr_d, geom, self.rnti,
+                                                  sf, cid)
+        if not bool(np.asarray(ok)):
+            return None
+        payload = np.packbits(np.asarray(bits).astype(np.uint8)).tobytes()
+        status = None
+        for sub in mac_pdu.unpack_mac_pdu(payload):
+            if sub.lcid == SRB_LCID:
+                self.srb_rx.handle_pdu(sub.payload)
+                for pdcp_raw in self.srb_rx.take_delivered():
+                    sdu = self.srb_pdcp.decode(pdcp_raw)
+                    if sdu is not None:
+                        self.rrc_sdus.append(sdu)
+                status = self.srb_rx.make_status() or status
+            elif sub.lcid == DRB_LCID:
+                self.drb_rx.handle_pdu(sub.payload)
+                for pdcp_raw in self.drb_rx.take_delivered():
+                    sdu = self.drb_pdcp.decode(pdcp_raw)
+                    if sdu is not None:
+                        self.data_sdus.append(sdu)
+        return status

@@ -35,7 +35,7 @@ class UeCtx:
 
     @property
     def buffered(self) -> int:
-        return sum(len(s) for s in self.queue)
+        return sum(len(s) for _, s in self.queue)
 
 
 class DlScheduler:
@@ -61,8 +61,8 @@ class DlScheduler:
         self._rr.append(rnti)
         return ue
 
-    def enqueue(self, rnti: int, sdu: bytes) -> None:
-        self.ues[rnti].queue.append(sdu)
+    def enqueue(self, rnti: int, sdu: bytes, lcid: int = 0x03) -> None:
+        self.ues[rnti].queue.append((lcid, sdu))
 
     def on_prach(self, rapid: int) -> int:
         tc = self._next_tc_rnti
@@ -117,7 +117,7 @@ class DlScheduler:
             n_prb = max(cols)
             # smallest MCS (within CQI) whose TBS carries at least the
             # head-of-line SDU; fall back to the CQI max for big buffers
-            need = 8 * (len(ue.queue[0]) + 3)
+            need = 8 * (len(ue.queue[0][1]) + 3)
             mcs = None
             for m in range(0, ue.cqi_mcs + 1):
                 try:
@@ -136,9 +136,9 @@ class DlScheduler:
             subs = []
             nbytes = tbs // 8
             used = 0
-            while ue.queue and used + len(ue.queue[0]) + 3 <= nbytes:
-                sdu = ue.queue.popleft()
-                subs.append(mac_pdu.MacSubPdu(0x03, sdu))
+            while ue.queue and used + len(ue.queue[0][1]) + 3 <= nbytes:
+                lcid, sdu = ue.queue.popleft()
+                subs.append(mac_pdu.MacSubPdu(lcid, sdu))
                 used += len(sdu) + 3
             if not subs:          # SDU bigger than grant: skip this round
                 continue
