@@ -52,11 +52,15 @@ class _EnbUe:
 class EnbSim:
     """DL TTI loop: bearers -> scheduler -> PDSCH grids."""
 
-    def __init__(self, gc: GenConfig):
+    def __init__(self, gc: GenConfig, pcap_path: str | None = None):
         self.gc = gc
         self.cfg: PhyConfig = gc.phy
         self.sched = DlScheduler(gc.n_rb_dl)
         self.ues: dict[int, _EnbUe] = {}
+        self.pcap = None
+        if pcap_path:
+            from lteax.io.pcap import MacPcapWriter
+            self.pcap = MacPcapWriter(pcap_path)
         self._mib = rrc.Mib(n_rb_dl=gc.n_rb_dl,
                             phich_duration_extended=False,
                             phich_resource=gc.phich_resource, sfn=0)
@@ -144,6 +148,10 @@ class EnbSim:
                 self.sched.ues[g.rnti].queue.appendleft((s_.lcid, s_.payload))
         if not grants:
             return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
+        if self.pcap is not None:
+            for g in grants:
+                self.pcap.write(g.payload, rnti=g.rnti,
+                                subframe=10 * (sfn % 1024) + sf)
         dcis = []
         for i, g in enumerate(grants):
             bits = dci_1a_pack(Dci1A(rb_start=g.rb_start, l_crb=g.n_prb,
