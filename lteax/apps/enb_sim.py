@@ -35,6 +35,10 @@ from lteax.stack.rlc_am import AmTransmitter, AmReceiver
 from lteax.stack.rlc_um import UmTransmitter, UmReceiver
 from lteax.stack.security import generate_as_keys
 from lteax.apps.file_gen import GenConfig, build_subframe_grid
+from lteax.phy.channels import pusch as pusch_mod
+from lteax.phy.channels.pdsch import pdsch_prepare_cbs
+
+UL_ALLOC = dict(n_prb=6, rb_start=0, mcs_tbs=1032, qm=4)  # fixed UL grant
 
 SRB_LCID = 0x01
 DRB_LCID = 0x03
@@ -47,6 +51,8 @@ class _EnbUe:
     drb_pdcp: PdcpEntity
     srb_tx: AmTransmitter
     drb_tx: UmTransmitter
+    ul_rlc: UmReceiver = dataclasses.field(default_factory=UmReceiver)
+    ul_sdus: list = dataclasses.field(default_factory=list)
 
 
 class EnbSim:
@@ -100,6 +106,25 @@ class EnbSim:
         ue = self.ues[rnti]
         self.sched.enqueue(rnti, ue.drb_tx.send(ue.drb_pdcp.encode(sdu)),
                            lcid=DRB_LCID)
+
+    def handle_pusch(self, rnti: int, ul_grid: np.ndarray, sf: int) -> None:
+        """Decode one UE PUSCH subframe grid -> DRB UL SDUs."""
+        import jax.numpy as _jnp
+        alloc = pusch_mod.PuschAlloc(**UL_ALLOC)
+        bits, ok, _ = pusch_mod.pusch_decode(
+            _jnp.asarray(np.asarray(ul_grid).astype(np.complex64)), alloc,
+            rnti, sf, self.gc.n_cell_id)
+        if not bool(np.asarray(ok)):
+            return
+        payload = np.packbits(np.asarray(bits).astype(np.uint8)).tobytes()
+        ue = self.ues[rnti]
+        for sub in mac_pdu.unpack_mac_pdu(payload):
+            if sub.lcid == DRB_LCID:
+                ue.ul_rlc.handle_pdu(sub.payload)
+                for raw in ue.ul_rlc.take_delivered():
+                    sdu = ue.drb_pdcp.decode(raw)
+                    if sdu is not None:
+                        ue.ul_sdus.append(sdu)
 
     def handle_status(self, rnti: int, status_raw: bytes) -> None:
         """RLC AM STATUS from the UE (direct return channel)."""
@@ -191,6 +216,34 @@ class UeSim:
         self.drb_rx = UmReceiver()
         self.rrc_sdus: list[bytes] = []
         self.data_sdus: list[bytes] = []
+        self.ul_tx = UmTransmitter()
+        self._ul_queue: list[bytes] = []
+
+    def send_ul(self, sdu: bytes) -> None:
+        self._ul_queue.append(self.ul_tx.send(self.drb_pdcp.encode(sdu)))
+
+    def ul_tti_grid(self, sf: int) -> np.ndarray | None:
+        """(14, m_sc) SC-FDMA grid for this TTI's fixed UL grant, or None
+        when the UL buffer is empty."""
+        if not self._ul_queue:
+            return None
+        alloc = pusch_mod.PuschAlloc(**UL_ALLOC)
+        nbytes = alloc.mcs_tbs // 8
+        subs = []
+        used = 0
+        while self._ul_queue and used + len(self._ul_queue[0]) + 3 <= nbytes:
+            pdu = self._ul_queue.pop(0)
+            subs.append(mac_pdu.MacSubPdu(DRB_LCID, pdu))
+            used += len(pdu) + 3
+        if not subs:
+            return None
+        payload = mac_pdu.pack_mac_pdu(subs, pad_to=nbytes)
+        tb = np.unpackbits(np.frombuffer(payload, np.uint8)).astype(np.int64)
+        cbs = jnp.asarray(pdsch_prepare_cbs(tb, alloc.geom))
+        grid = pusch_mod.pusch_encode_cbs(cbs, alloc, self.rnti, sf,
+                                          self.gc.n_cell_id)
+        return pusch_mod.pusch_add_dmrs(np.asarray(grid), alloc,
+                                        self.gc.n_cell_id, sf)
 
     def handle_grid(self, grid: np.ndarray, sf: int) -> bytes | None:
         """Decode one subframe grid; returns a STATUS PDU to send back

@@ -56,3 +56,19 @@ def test_srb_survives_lost_subframe():
     enb.ues[0x100].srb_tx.poll_retransmit()
     _run(enb, {0x100: ue}, n_frames=1)
     assert ue.rrc_sdus == [b"must-arrive"]
+
+
+def test_uplink_pusch_leg():
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    enb = EnbSim(gc)
+    enb.add_ue(0x100, K1)
+    ue = UeSim(gc, 0x100, K1)
+    for i in range(3):
+        ue.send_ul(f"ul-report-{i}".encode())
+    for sf in range(1, 5):
+        g = ue.ul_tti_grid(sf)
+        if g is None:
+            break
+        enb.handle_pusch(0x100, g, sf)
+    assert enb.ues[0x100].ul_sdus == [b"ul-report-0", b"ul-report-1",
+                                      b"ul-report-2"]
