@@ -23,8 +23,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from lteax.phy.config import PhyConfig
-from lteax.phy.grid import pdsch_flat_idx, pdcch_flat_idx
-from lteax.phy.channels import pdcch as pdcch_mod, pdsch as pdsch_mod
+from lteax.phy.grid import (pdsch_flat_idx, pdcch_flat_idx,
+                            phich_flat_idx)
+from lteax.phy.channels import (pdcch as pdcch_mod,
+                                pdsch as pdsch_mod,
+                                phich as phich_mod)
 from lteax.phy.channels.dci import Dci1A, dci_1a_pack
 from lteax.phy.mod import demodulate_maxlog
 from lteax.phy.tables.tbs import get_tbs_for_mcs
@@ -51,6 +54,7 @@ class _EnbUe:
     drb_pdcp: PdcpEntity
     srb_tx: AmTransmitter
     drb_tx: UmTransmitter
+    n_phich_seq: int = 0
     ul_rlc: UmReceiver = dataclasses.field(default_factory=UmReceiver)
     ul_sdus: list = dataclasses.field(default_factory=list)
 
@@ -63,6 +67,7 @@ class EnbSim:
         self.cfg: PhyConfig = gc.phy
         self.sched = DlScheduler(gc.n_rb_dl)
         self.ues: dict[int, _EnbUe] = {}
+        self._pending_hi: dict[int, int] = {}
         self.pcap = None
         if pcap_path:
             from lteax.io.pcap import MacPcapWriter
@@ -93,6 +98,7 @@ class EnbSim:
                                 k_enc=ku),
             srb_tx=AmTransmitter(),
             drb_tx=UmTransmitter())
+        ue.n_phich_seq = len(self.ues) % 8
         self.ues[rnti] = ue
         self.sched.add_ue(rnti, cqi_mcs=cqi_mcs)
         return ue
@@ -114,7 +120,10 @@ class EnbSim:
         bits, ok, _ = pusch_mod.pusch_decode(
             _jnp.asarray(np.asarray(ul_grid).astype(np.complex64)), alloc,
             rnti, sf, self.gc.n_cell_id)
-        if not bool(np.asarray(ok)):
+        ok = bool(np.asarray(ok))
+        # HARQ indicator on the next DL subframe's PHICH (group 0)
+        self._pending_hi[self.ues[rnti].n_phich_seq] = 1 if ok else 0
+        if not ok:
             return
         payload = np.packbits(np.asarray(bits).astype(np.uint8)).tobytes()
         ue = self.ues[rnti]
@@ -155,6 +164,10 @@ class EnbSim:
         grid = build_subframe_grid(gc, sfn, sf, self._pbch_quarters,
                                    self._sib1_bits, self._sib2_bits)
         grid = np.asarray(grid).reshape(-1)
+        if self._pending_hi:
+            grid[phich_flat_idx(cfg, cid, gc.phich_resource, 0)] = \
+                phich_mod.phich_group_encode(self._pending_hi, cid, sf)
+            self._pending_hi = {}
 
         if sf in (0, 5, 9):            # PBCH/sync/SI/paging subframes: no data
             return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
@@ -244,6 +257,15 @@ class UeSim:
                                           self.gc.n_cell_id)
         return pusch_mod.pusch_add_dmrs(np.asarray(grid), alloc,
                                         self.gc.n_cell_id, sf)
+
+    def read_phich(self, grid: np.ndarray, sf: int, n_seq: int = 0,
+                   group: int = 0) -> bool:
+        """True if the eNB ACKed on this subframe's PHICH."""
+        gc, cfg, cid = self.gc, self.cfg, self.gc.n_cell_id
+        flat = np.asarray(grid).reshape(-1)
+        vals = flat[phich_flat_idx(cfg, cid, gc.phich_resource, group)]
+        m = phich_mod.phich_group_decode(vals, cid, sf, n_seq)
+        return m < 0                       # negative metric = HI bit 1 = ACK
 
     def handle_grid(self, grid: np.ndarray, sf: int) -> bytes | None:
         """Decode one subframe grid; returns a STATUS PDU to send back

@@ -205,6 +205,15 @@ def phich_reg_indices(cfg: PhyConfig, n_cell_id: int, ng: float) -> tuple[tuple[
 
 
 @lru_cache(maxsize=None)
+def phich_flat_idx(cfg: PhyConfig, n_cell_id: int, ng: float,
+                   group: int) -> np.ndarray:
+    """(12,) flat RE indices of PHICH group ``group`` (3 REGs in symbol 0)."""
+    regs = regs_in_symbol(cfg, 0, n_cell_id)
+    gidx = phich_reg_indices(cfg, n_cell_id, ng)[group]
+    return np.concatenate([regs[ri][1] for ri in gidx]).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
 def pdcch_reg_list(cfg: PhyConfig, n_cell_id: int, cfi: int,
                    ng: float) -> tuple[tuple[int, int], ...]:
     """Ordered REG pool for PDCCH after removing PCFICH+PHICH REGs.

@@ -72,3 +72,52 @@ def test_uplink_pusch_leg():
         enb.handle_pusch(0x100, g, sf)
     assert enb.ues[0x100].ul_sdus == [b"ul-report-0", b"ul-report-1",
                                       b"ul-report-2"]
+
+
+def test_phich_loopback_orthogonality():
+    import numpy as np
+    from lteax.phy.channels import phich
+    cid, sf = 211, 4
+    sym = phich.phich_group_encode({2: 1, 5: 0}, cid, sf)
+    assert sym.shape == (12,)
+    m2 = phich.phich_group_decode(sym, cid, sf, 2)
+    m5 = phich.phich_group_decode(sym, cid, sf, 5)
+    m0 = phich.phich_group_decode(sym, cid, sf, 0)
+    assert m2 < 0 and m5 > 0              # ACK / NACK recovered
+    assert abs(m0) < 1e-4 * max(abs(m2), abs(m5))   # orthogonal sequence
+
+
+def test_phich_grid_placement_disjoint():
+    import numpy as np
+    from lteax.phy.config import PhyConfig
+    from lteax.phy.grid import (phich_flat_idx, pcfich_flat_idx,
+                                n_phich_groups)
+    cfg = PhyConfig(n_rb_dl=6)
+    cid, ng = 211, 1.0
+    pc = set(pcfich_flat_idx(cfg, cid).tolist())
+    seen = set()
+    for g in range(n_phich_groups(cfg, ng)):
+        idx = phich_flat_idx(cfg, cid, ng, g)
+        assert len(idx) == 12
+        s = set(idx.tolist())
+        assert not (s & pc) and not (s & seen)
+        seen |= s
+
+
+def test_ul_with_phich_feedback():
+    from lteax.apps.enb_sim import EnbSim, UeSim
+    from lteax.apps.file_gen import GenConfig
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    K = bytes(range(32))
+    enb = EnbSim(gc)
+    enb.add_ue(0x100, K)
+    ue = UeSim(gc, 0x100, K)
+    ue.send_ul(b"measurement-report")
+    g_ul = ue.ul_tti_grid(2)
+    enb.handle_pusch(0x100, g_ul, 2)
+    assert enb.ues[0x100].ul_sdus == [b"measurement-report"]
+    dl = enb.tti_grid(0, 3)                   # PHICH rides the next DL grid
+    assert ue.read_phich(dl, 3, n_seq=0) is True
+    # and a grid without PHICH reads as NACK-ish / not-ACK
+    dl2 = enb.tti_grid(0, 4)
+    assert ue.read_phich(dl2, 4, n_seq=0) is False
