@@ -83,7 +83,8 @@ def main():
             grids.reshape(b_uniq, cfg.n_sym_subframe, cfg.n_sc)), cfg))
     x = np.tile(x, (b // b_uniq + (1 if b % b_uniq else 0), 1))[:b]
     tb_bits = np.tile(tb_bits, (b // b_uniq + (1 if b % b_uniq else 0), 1))[:b]
-    nv = 10 ** (-2.5)   # 25 dB SNR — comfortably above the 64QAM r~0.93 bound
+    snr_db = float(__import__("os").environ.get("LTEAX_BENCH_SNR", "25"))
+    nv = 10 ** (-snr_db / 10)  # default 25 dB — above the 64QAM r~0.93 bound
     x = x + (rng.standard_normal(x.shape)
              + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
     from lteax.io.iq import to_iq_f32

@@ -103,10 +103,15 @@ def main():
         llr = llr.reshape(12, r_mux, alloc.qm).transpose(1, 0, 2).reshape(-1)
         return soft_dematch(llr, geom)
 
+    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
+    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
+    tbt = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
+
     def decode(batch_iq):
         d_llr = jax.vmap(front)(batch_iq)
         flat = d_llr.reshape(-1, 3, geom.k + 4)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
+                                         win=win, acq=acq, tb=tbt,
                                          interpret=a.cpu)
         bits = bits.reshape(b, geom.info.c, geom.k)
         payload, cb_ok = check_crc(bits, "24B")

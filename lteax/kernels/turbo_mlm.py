@@ -135,13 +135,19 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "interpret"))
+@partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "interpret"))
 def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
-                          tb: int = 8, interpret: bool = False):
+                          tb: int = 8, gb: int = 1, interpret: bool = False):
     """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
 
     Returns (L (B, N), a_next (B, n_w, 8), b_next (B, n_w, 8)) matching the
     XLA reference ``_half_iteration`` (same NII convention).
+
+    ``gb`` folds that many codeblocks into the lane (window) axis: windows
+    of different blocks are independent trellis chains, so extra blocks are
+    just extra windows.  This fills the 128-lane VPU axis when
+    n_w = ceil(n/win) is small (e.g. K=5824/win=128 -> n_w=46 -> 36 % lane
+    occupancy at gb=1, 92/128 at gb=2).
     """
     bsz, n_in = u.shape
     assert n_in == n
@@ -165,10 +171,27 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
     um, ua, ub = resh(u)
     vm, va, vb = resh(v)
 
-    kernel = _make_kernel(win, acq, n_w, n, tb)
-    grid = (bsz // tb,) if bsz % tb == 0 else (-(-bsz // tb),)
-    if bsz % tb != 0:
-        padb = grid[0] * tb - bsz
+    # ---- fold gb codeblocks into the lane axis ----
+    padg = (-bsz) % gb
+    bf = (bsz + padg) // gb
+    n_we = gb * n_w
+
+    def fold_t(x):        # (t, B, n_w) -> (t, bf, gb*n_w)
+        xp = jnp.pad(x, ((0, 0), (0, padg), (0, 0)))
+        return xp.reshape(x.shape[0], bf, n_we)
+
+    def fold_i(x):        # (B, n_w, 8) -> (bf, gb*n_w, 8)
+        xp = jnp.pad(x, ((0, padg), (0, 0), (0, 0)))
+        return xp.reshape(bf, n_we, 8)
+
+    if gb > 1:
+        um, ua, ub, vm, va, vb = map(fold_t, (um, ua, ub, vm, va, vb))
+        a_init, b_init = fold_i(a_init), fold_i(b_init)
+
+    kernel = _make_kernel(win, acq, n_we, n, tb)
+    grid = (bf // tb,) if bf % tb == 0 else (-(-bf // tb),)
+    if bf % tb != 0:
+        padb = grid[0] * tb - bf
         um, ua, ub, vm, va, vb = [jnp.pad(x, ((0, 0), (0, padb), (0, 0)))
                                   for x in (um, ua, ub, vm, va, vb)]
         a_init = jnp.pad(a_init, ((0, padb), (0, 0), (0, 0)))
@@ -180,7 +203,7 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                             memory_space=pltpu.VMEM)
 
     def bs_stepmajor(t_len):
-        return pl.BlockSpec((t_len, tb, n_w), lambda i: (0, i, 0),
+        return pl.BlockSpec((t_len, tb, n_we), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def bcast(shape):
@@ -188,27 +211,35 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                             memory_space=pltpu.VMEM)
 
     lv_main, lv_aacq, lv_bacq = _live_masks(win, acq, n_w, n)
+    if gb > 1:   # same positions for every folded block
+        lv_main, lv_aacq, lv_bacq = [np.tile(m, (1, gb))
+                                     for m in (lv_main, lv_aacq, lv_bacq)]
     l_out, a_nii, b_nii = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bcast((win, n_w)), bcast((acq, n_w)), bcast((acq, n_w)),
+        in_specs=[bcast((win, n_we)), bcast((acq, n_we)), bcast((acq, n_we)),
                   bs_stepmajor(win), bs_stepmajor(win),
                   bs_stepmajor(acq), bs_stepmajor(acq),
                   bs_stepmajor(acq), bs_stepmajor(acq),
-                  bs((n_w, 8)), bs((n_w, 8))],
-        out_specs=[bs_stepmajor(win), bs((n_w, 8)), bs((n_w, 8))],
-        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_w), jnp.float32),
-                   jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32),
-                   jax.ShapeDtypeStruct((bpad, n_w, 8), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((win, 8, tb, n_w), jnp.float32),
-                        pltpu.VMEM((win, 8, tb, n_w), jnp.float32)],
+                  bs((n_we, 8)), bs((n_we, 8))],
+        out_specs=[bs_stepmajor(win), bs((n_we, 8)), bs((n_we, 8))],
+        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((win, 8, tb, n_we), jnp.float32),
+                        pltpu.VMEM((win, 8, tb, n_we), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(lv_main), jnp.asarray(lv_aacq), jnp.asarray(lv_bacq),
       um, vm, ua, va, ub, vb, a_init, b_init)
 
-    l = l_out.transpose(1, 2, 0).reshape(bpad, npad)[:bsz, :n]
+    # unfold the gb blocks back out of the lane axis
+    l = (l_out.transpose(1, 2, 0)                 # (bpad, n_we, win)
+         .reshape(bpad * gb, n_w, win)
+         .reshape(bpad * gb, npad)[:bsz, :n])
+    a_nii = a_nii.reshape(bpad * gb, n_w, 8)
+    b_nii = b_nii.reshape(bpad * gb, n_w, 8)
     # shift NII into init position (next iteration):
     #   a_init'[w] = a_nii[w-1],  b_init'[w] = b_nii[w+1]
     a_next = jnp.roll(a_nii[:bsz], 1, axis=1)
@@ -229,18 +260,24 @@ def _pin_boundaries(a_init, b_init):
 
 def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               acq: int = 32, ext_scale: float = 0.75,
-                              tb: int = 8, interpret: bool = False):
+                              tb: int = 8, gb: int | None = None,
+                              interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
     llr_d: (C, 3, K+4) -> (C, K) hard bits.  Matches
     ``lteax.phy.fec.turbo.turbo_decode_batch`` numerically (same windowed
     max-log-MAP + NII schedule).
+
+    gb=None picks the lane fold automatically: enough codeblocks share the
+    128-lane axis to fill it (bounded by the batch size).
     """
     from lteax.phy.tables.turbo_qpp import qpp_interleaver, qpp_deinterleaver
 
     c = llr_d.shape[0]
     n = k + 3
     n_w = -(-n // win)
+    if gb is None:
+        gb = max(1, min(128 // n_w, c))
     pi = jnp.asarray(qpp_interleaver(k))
     inv = jnp.asarray(qpp_deinterleaver(k))
     d0, d1, d2 = llr_d[:, 0], llr_d[:, 1], llr_d[:, 2]
@@ -262,14 +299,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         u1 = jnp.concatenate([ls + le21, sys_t1], axis=1)
         a1p, b1p = _pin_boundaries(a1, b1)
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
-                                             tb=tb, interpret=interpret)
+                                             tb=tb, gb=gb, interpret=interpret)
         l1 = l1[:, :k]
         le12 = ext_scale * (l1 - ls - le21)
         la2 = le12[:, pi]
         u2 = jnp.concatenate([ls_int + la2, sys_t2], axis=1)
         a2p, b2p = _pin_boundaries(a2, b2)
         l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
-                                             tb=tb, interpret=interpret)
+                                             tb=tb, gb=gb, interpret=interpret)
         l2 = l2[:, :k]
         le21_new = (ext_scale * (l2 - ls_int - la2))[:, inv]
         return (le21_new, a1n, b1n, a2n, b2n), l2[:, inv]

@@ -39,3 +39,22 @@ def test_pallas_high_rate():
     got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=6, tb=2,
                                                interpret=True))
     np.testing.assert_array_equal(got, bits)
+
+
+@pytest.mark.parametrize("gb", [2, 4])
+def test_lane_fold_invariance(gb):
+    """gb>1 folds codeblocks into the lane axis; output must be identical
+    to gb=1 (windows of different blocks are independent chains)."""
+    rng = np.random.default_rng(7)
+    k, c = 496, 6          # n_w=4 at win=128 -> gb up to 32; c%gb != 0 for gb=4
+    bits = rng.integers(0, 2, size=(c, k)).astype(np.int32)
+    d = np.asarray(turbo_encode_batch(jnp.asarray(bits), k)).astype(np.float32)
+    sigma = 0.7
+    rx = (1.0 - 2.0 * d) + sigma * rng.standard_normal(d.shape).astype(np.float32)
+    llr = jnp.asarray(2.0 * rx / sigma**2)
+    ref = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=4, tb=2, gb=1,
+                                               interpret=True))
+    got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=4, tb=2, gb=gb,
+                                               interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(ref, bits)
