@@ -51,6 +51,7 @@ class GenConfig:
     extended_cp: bool = False
     si_dci: str = "1a"         # "1a" | "1c" — DCI format used for SI grants
     paging_tmsi: tuple[int, ...] = ()   # S-TMSIs paged in subframe 9
+    extra_sibs: tuple = ()     # Sib3..Sib11 bodies carried in the SI message
 
     @property
     def phy(self) -> PhyConfig:
@@ -183,12 +184,17 @@ def generate(gc: GenConfig) -> np.ndarray:
     cfg = gc.phy
     mib = rrc.Mib(n_rb_dl=gc.n_rb_dl, phich_duration_extended=False,
                   phich_resource=gc.phich_resource, sfn=0)
+    # the SI window carries SIB2 plus any configured SIB3..SIB11 bodies;
+    # SIB1's sib-MappingInfo advertises every type >= 3 in that SI message
+    # (legacy default (3,) when none are carried)
+    extra_types = tuple(sorted({rrc.SIB_TYPE_INDEX[type(s)] + 2
+                                for s in gc.extra_sibs})) or (3,)
     sib1 = rrc.Sib1(mcc=gc.mcc, mnc=gc.mnc, tac=gc.tac,
                     cell_identity=gc.cell_identity,
                     freq_band_indicator=gc.band,
-                    scheduling=(rrc.SchedulingInfo(8, (3,)),))
+                    scheduling=(rrc.SchedulingInfo(8, extra_types),))
     sib1_bits = rrc.pack_sib1(sib1)
-    sib2_bits = rrc.pack_sib2(rrc.Sib2())
+    sib2_bits = rrc.pack_si(rrc.Sib2(), *gc.extra_sibs)
     # auto-raise the SI MCS until both messages fit the N_PRB_1A=2 TBS
     need = max(len(sib1_bits), len(sib2_bits))
     while tbs_1a(gc.sib1_mcs, 2) < need:

@@ -50,6 +50,7 @@ class ScanResult:
     sfn: int = -1
     sib1: rrc.Sib1 | None = None
     sib2: rrc.Sib2 | None = None
+    sibs: dict = dataclasses.field(default_factory=dict)  # sib3..sib11 bodies
     sib_crc_fails: int = 0
     paging: list | None = None
 
@@ -68,10 +69,12 @@ class ScanResult:
             "mib": dataclasses.asdict(self.mib) if self.mib else None,
             "sib1": dataclasses.asdict(self.sib1) if self.sib1 else None,
             "sib2": dataclasses.asdict(self.sib2) if self.sib2 else None,
+            "sibs": {k: dataclasses.asdict(v) for k, v in self.sibs.items()},
             "sib_crc_fails": self.sib_crc_fails,
             "paging": self.paging,
         }
-        return json.dumps(d)
+        return json.dumps(d, default=lambda o: o.hex()
+                          if isinstance(o, bytes) else str(o))
 
 
 def _ctrl_syms(cfi: int, n_rb: int) -> int:
@@ -257,9 +260,11 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         if sib1 is not None and res.sib1 is None:
             res.sib1 = sib1
             continue
-        si = rrc.unpack_si(tb)
-        if si is not None and si[0] == "sib2":
-            res.sib2 = si[1]
+        for name, body in rrc.unpack_si_list(tb):
+            if name == "sib2":
+                res.sib2 = body
+            elif name not in res.sibs:
+                res.sibs[name] = body
     return res
 
 

@@ -437,115 +437,163 @@ def _unpack_sib2_body(r) -> Sib2:
     return s
 
 
-def pack_sib2(s: Sib2) -> np.ndarray:
-    """BCCH-DL-SCH-Message carrying SystemInformation(SIB2), UNALIGNED PER.
+# re-export the Rel-8 SIB3..SIB11 UPER codecs (lteax.stack.rrc_sibs)
+from lteax.stack.rrc_sibs import (  # noqa: E402,F401
+    Sib3, Sib4, Sib5, Sib6, Sib7, Sib8, Sib9, Sib10, Sib11,
+    IntraFreqNeighCell, InterFreqCarrier, InterFreqNeighCell,
+    PhysCellIdRange, SpeedStateScaleFactors, SpeedStateReselectionPars,
+    MobilityStateParameters, UtraCarrierFdd, UtraCarrierTdd,
+    GeranCarrierFreqs, GeranCarrierInfo, BandClassInfoCdma, NeighCellCdma,
+    NeighCellsPerBandclassCdma, CellReselParamsCdma, PreRegistrationInfoHrpd,
+    CsfbRegistrationParam1xrtt, SIB_REGISTRY, SIB_TYPE_INDEX,
+)
+
+
+def pack_si(*sibs) -> np.ndarray:
+    """BCCH-DL-SCH-Message carrying SystemInformation with 1..32 SIBs,
+    UNALIGNED PER.
 
     Wrapper: c1(0) -> systemInformation(0); criticalExtensions CHOICE
     systemInformation-r8(0); bitmap [nonCriticalExtension absent];
-    sib-TypeAndInfo SIZE(1..32)=1; element CHOICE (extensible, root
-    sib2..sib11): ext=0, index sib2=0; then the SIB2 body."""
+    sib-TypeAndInfo SIZE(1..32); each element a CHOICE (extensible, root
+    sib2(0)..sib11(9)) followed by the SIB body."""
     from lteax.stack.uper import UperWriter
     w = UperWriter()
     w.bit(0)                            # c1
     w.bit(0)                            # systemInformation
     w.bit(0)                            # criticalExtensions: r8
     w.opt(False)                        # nonCriticalExtension absent
-    w.length(1, 1, 32)                  # one SIB in this SI
-    w.bit(0)                            # sib-TypeAndInfo CHOICE: not extended
-    w.cint(0, 0, 9)                     # sib2
-    _pack_sib2_body(w, s)
+    w.length(len(sibs), 1, 32)
+    for s in sibs:
+        w.bit(0)                        # sib-TypeAndInfo CHOICE: not extended
+        if isinstance(s, Sib2):
+            w.cint(0, 0, 9)
+            _pack_sib2_body(w, s)
+        else:
+            idx = SIB_TYPE_INDEX[type(s)]
+            w.cint(idx, 0, 9)
+            SIB_REGISTRY[idx][1](w, s)
     return w.array()
 
 
-def unpack_si(bits: np.ndarray):
-    """Unpack a SystemInformation message -> ("sib2", Sib2) | None."""
-    from lteax.stack.uper import UperReader
-    try:
-        r = UperReader(bits)
-        if r.bit() != 0 or r.bit() != 0:
-            return None                 # not c1/systemInformation
-        if r.bit() != 0:
-            return None                 # criticalExtensionsFuture
-        r.opt()                         # nonCriticalExtension flag
-        n = r.length(1, 32)
-        if n != 1:
-            return None
-        if r.bit() != 0:
-            return None                 # extended SIB type
-        t = r.cint(0, 9)
-        if t != 0:
-            return None                 # only sib2 handled
-        return "sib2", _unpack_sib2_body(r)
-    except (IndexError, ValueError):
-        return None
-
-
-@dataclasses.dataclass
-class Sib3:
-    q_hyst_db: int = 2
-    s_non_intra_search: int = 6
-    thresh_serving_low: int = 4
-    cell_resel_priority: int = 4
-    q_rx_lev_min: int = -70
-    t_resel_eutra_s: int = 1
+def pack_sib2(s: Sib2) -> np.ndarray:
+    return pack_si(s)
 
 
 def pack_sib3(s: Sib3) -> np.ndarray:
-    w = _BitWriter()
-    w.put(MSG_SI, 2)
-    w.put(3, 5)
-    w.put(s.q_hyst_db, 4)
-    w.put(s.s_non_intra_search, 5)
-    w.put(s.thresh_serving_low, 5)
-    w.put(s.cell_resel_priority, 3)
-    w.put(s.q_rx_lev_min + 70, 6)
-    w.put(s.t_resel_eutra_s, 3)
-    return w.array()
+    return pack_si(s)
+
+
+def unpack_si_list(bits: np.ndarray) -> list[tuple[str, object]]:
+    """Unpack a SystemInformation message -> [("sib2", Sib2), ...].
+
+    Stops (returning what it has) at the first extended/unsupported entry,
+    since UPER root alternatives carry no skip-length."""
+    from lteax.stack.uper import UperReader
+    out: list[tuple[str, object]] = []
+    try:
+        r = UperReader(bits)
+        if r.bit() != 0 or r.bit() != 0:
+            return out                  # not c1/systemInformation
+        if r.bit() != 0:
+            return out                  # criticalExtensionsFuture
+        r.opt()                         # nonCriticalExtension flag
+        n = r.length(1, 32)
+        for _ in range(n):
+            if r.bit() != 0:
+                break                   # extended SIB type: cannot skip
+            t = r.cint(0, 9)
+            if t == 0:
+                out.append(("sib2", _unpack_sib2_body(r)))
+            elif t in SIB_REGISTRY:
+                name, _, unpack = SIB_REGISTRY[t]
+                out.append((name, unpack(r)))
+            else:
+                break
+    except (IndexError, ValueError):
+        pass
+    return out
+
+
+def unpack_si(bits: np.ndarray):
+    """Unpack a SystemInformation message -> first ("sibN", body) | None."""
+    got = unpack_si_list(bits)
+    return got[0] if got else None
+
+
+def unpack_si_ext(bits: np.ndarray):
+    """Back-compat alias of :func:`unpack_si` (SIB3+ now ride the standard
+    SystemInformation wrapper)."""
+    return unpack_si(bits)
 
 
 @dataclasses.dataclass
 class Paging:
-    ue_identities: tuple[int, ...] = ()     # S-TMSI (32-bit subset)
+    """PCCH Paging (36.331 §6.2.2), S-TMSI paging records.
+
+    ``ue_identities`` carry 40-bit S-TMSI values (mmec << 32 | m-TMSI);
+    values < 2^32 are m-TMSI with mmec 0."""
+    ue_identities: tuple[int, ...] = ()
     system_info_modification: bool = False
+    etws_indication: bool = False
 
 
 def pack_paging(p: Paging) -> np.ndarray:
-    """PCCH paging message (36.331 §6.2.2 Paging, subset)."""
-    w = _BitWriter()
-    w.put(2, 2)                 # PCCH message tag (distinct from SIB1/SI)
-    w.put(1 if p.system_info_modification else 0, 1)
-    w.put(len(p.ue_identities), 3)
-    for tmsi in p.ue_identities:
-        w.put(tmsi, 32)
+    """PCCH-Message in UNALIGNED PER.
+
+    Layout: PCCH-MessageType CHOICE c1(0); c1 CHOICE {paging} (single
+    alternative: 0 bits); Paging SEQUENCE bitmap [pagingRecordList,
+    systemInfoModification, etws-Indication, nonCriticalExtension];
+    PagingRecord = extensible SEQUENCE {ue-Identity CHOICE s-TMSI(0)
+    {mmec BIT STRING(8), m-TMSI BIT STRING(32)}, cn-Domain ENUM{ps,cs}}."""
+    from lteax.stack.uper import UperWriter
+    w = UperWriter()
+    w.bit(0)                            # PCCH-MessageType: c1
+    w.opt(len(p.ue_identities) > 0)     # pagingRecordList
+    w.opt(p.system_info_modification)   # systemInfoModification ENUM{true}
+    w.opt(p.etws_indication)            # etws-Indication ENUM{true}
+    w.opt(False)                        # nonCriticalExtension absent
+    if p.ue_identities:
+        w.length(len(p.ue_identities), 1, 16)
+        for tmsi in p.ue_identities:
+            w.bit(0)                    # PagingRecord extension bit
+            w.bit(0)                    # ue-Identity CHOICE: s-TMSI (ext=0)
+            w.bit(0)                    #   root index (s-TMSI=0 of 2)
+            w.bitstring((tmsi >> 32) & 0xFF, 8)     # mmec
+            w.bitstring(tmsi & 0xFFFFFFFF, 32)      # m-TMSI
+            w.enum(0, 2)                # cn-Domain: ps
     return w.array()
 
 
 def unpack_paging(bits: np.ndarray) -> Paging | None:
+    """Decode a PCCH Paging message.  Returns None for empty pagings (no
+    records and no indications) — a content-free Paging is never sent, and
+    rejecting it keeps zero-padded non-PCCH payloads from false-decoding."""
+    from lteax.stack.uper import UperReader
     try:
-        r = _BitReader(bits)
-        if r.get(2) != 2:
+        r = UperReader(bits)
+        if r.bit() != 0:
+            return None                 # messageClassExtension
+        has_rec, has_sim, has_etws, has_ext = (r.opt(), r.opt(),
+                                               r.opt(), r.opt())
+        if has_ext or not (has_rec or has_sim or has_etws):
             return None
-        sim = bool(r.get(1))
-        n = r.get(3)
-        ids = tuple(r.get(32) for _ in range(n))
-        return Paging(ue_identities=ids, system_info_modification=sim)
-    except (IndexError, ValueError):
-        return None
-
-
-def unpack_si_ext(bits: np.ndarray):
-    """Extended SI unpack: returns ("sib2", Sib2) | ("sib3", Sib3) | None."""
-    got = unpack_si(bits)
-    if got is not None:
-        return got
-    try:
-        r = _BitReader(bits)
-        if r.get(2) != MSG_SI or r.get(5) != 3:
-            return None
-        return "sib3", Sib3(
-            q_hyst_db=r.get(4), s_non_intra_search=r.get(5),
-            thresh_serving_low=r.get(5), cell_resel_priority=r.get(3),
-            q_rx_lev_min=r.get(6) - 70, t_resel_eutra_s=r.get(3))
+        ids: list[int] = []
+        if has_rec:
+            for _ in range(r.length(1, 16)):
+                if r.bit():
+                    return None         # extended PagingRecord
+                if r.bit():
+                    return None         # extended ue-Identity CHOICE
+                if r.bit():
+                    return None         # imsi paging unsupported
+                mmec = r.bitstring(8)
+                mtmsi = r.bitstring(32)
+                ids.append((mmec << 32) | mtmsi)
+                r.enum(2)               # cn-Domain
+        return Paging(ue_identities=tuple(ids),
+                      system_info_modification=has_sim,
+                      etws_indication=has_etws)
     except (IndexError, ValueError):
         return None
 

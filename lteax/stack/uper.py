@@ -47,6 +47,32 @@ class UperWriter:
     def opt(self, present: bool):
         self.bit(1 if present else 0)
 
+    def ulength(self, n: int):
+        """General length determinant (X.691 §10.9), unfragmented forms:
+        n < 128 -> '0' + 7 bits; n < 16384 -> '10' + 14 bits."""
+        if n < 128:
+            self.bit(0)
+            self.bitstring(n, 7)
+        elif n < 16384:
+            self.bit(1)
+            self.bit(0)
+            self.bitstring(n, 14)
+        else:
+            raise ValueError("fragmented lengths unsupported")
+
+    def octets(self, data: bytes, lo: int | None = None,
+               hi: int | None = None):
+        """OCTET STRING: fixed size (lo==hi), constrained (lo..hi), or
+        unconstrained (lo=hi=None, general length determinant)."""
+        if lo is None:
+            self.ulength(len(data))
+        elif lo != hi:
+            self.length(len(data), lo, hi)
+        else:
+            assert len(data) == lo, (len(data), lo)
+        for b in data:
+            self.bitstring(b, 8)
+
     def array(self) -> np.ndarray:
         return np.asarray(self.bits, dtype=np.int32)
 
@@ -84,3 +110,19 @@ class UperReader:
 
     def opt(self) -> bool:
         return bool(self.bit())
+
+    def ulength(self) -> int:
+        if self.bit() == 0:
+            return self.bitstring(7)
+        if self.bit() == 0:
+            return self.bitstring(14)
+        raise ValueError("fragmented lengths unsupported")
+
+    def octets(self, lo: int | None = None, hi: int | None = None) -> bytes:
+        if lo is None:
+            n = self.ulength()
+        elif lo != hi:
+            n = self.length(lo, hi)
+        else:
+            n = lo
+        return bytes(self.bitstring(8) for _ in range(n))

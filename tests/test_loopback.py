@@ -148,3 +148,26 @@ def test_loopback_paging():
     assert r.n_cell_id == 200
     assert r.paging == [hex(0xDEADBEEF), hex(0x1234ABCD)]
     assert r.sib1 is not None
+
+
+def test_loopback_extra_sibs():
+    """gen carries SIB3/SIB5/SIB9 alongside SIB2 in the SI window; scan
+    decodes and reports them (multi-SIB SystemInformation end-to-end)."""
+    from lteax.stack import rrc
+    s3 = rrc.Sib3(q_hyst_db=6, cell_resel_priority=5, q_rx_lev_min=-64)
+    s5 = rrc.Sib5(carriers=(rrc.InterFreqCarrier(
+        dl_earfcn=6400, cell_resel_priority=2,
+        neigh_cells=(rrc.InterFreqNeighCell(17, 4),)),))
+    s9 = rrc.Sib9(hnb_name=b"lteax-home")
+    gc = GenConfig(n_rb_dl=6, n_cell_id=150, n_frames=4, tac=0xBEEF,
+                   extra_sibs=(s3, s5, s9))
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 150
+    assert r.sib1 is not None
+    assert r.sib1.scheduling[0].sib_mapping == (3, 5, 9)
+    assert r.sib2 is not None
+    assert r.sibs["sib3"] == s3
+    assert r.sibs["sib5"] == s5
+    assert r.sibs["sib9"] == s9
+    assert r.sib_crc_fails == 0
+    r.to_json()   # bytes fields must serialize

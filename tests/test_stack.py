@@ -118,3 +118,85 @@ def test_sib3_and_paging_roundtrip():
                    system_info_modification=True)
     assert rrc.unpack_paging(rrc.pack_paging(p)) == p
     assert rrc.unpack_paging(rrc.pack_sib3(s3)) is None
+
+
+def test_sib4_to_sib11_uper_roundtrips():
+    """Rel-8 SIB3..SIB11 UPER codecs: pack->unpack identity, including
+    multi-SIB SystemInformation messages and optional-field permutations."""
+    s3 = rrc.Sib3(q_hyst_db=8, s_non_intra_search=None, p_max=23,
+                  s_intra_search=12, allowed_meas_bandwidth=5,
+                  presence_antenna_port1=True, neigh_cell_config=2,
+                  speed_state=rrc.SpeedStateReselectionPars(
+                      rrc.MobilityStateParameters(1, 2, 3, 16), 0, 2),
+                  t_resel_eutra_sf=rrc.SpeedStateScaleFactors(1, 2))
+    s4 = rrc.Sib4(
+        neigh_cells=(rrc.IntraFreqNeighCell(503, -24),
+                     rrc.IntraFreqNeighCell(7, 24)),
+        black_cells=(rrc.PhysCellIdRange(100, 12),
+                     rrc.PhysCellIdRange(400, None)),
+        csg_pci_range=rrc.PhysCellIdRange(0, 504))
+    s5 = rrc.Sib5(carriers=(
+        rrc.InterFreqCarrier(dl_earfcn=6400, p_max=10, cell_resel_priority=3,
+                             q_offset_freq_db=-6,
+                             neigh_cells=(rrc.InterFreqNeighCell(44, 2),),
+                             black_cells=(rrc.PhysCellIdRange(5, 8),)),
+        rrc.InterFreqCarrier(dl_earfcn=65535),
+    ))
+    s6 = rrc.Sib6(
+        carriers_fdd=(rrc.UtraCarrierFdd(10713, cell_resel_priority=2,
+                                         q_qual_min=-24),),
+        carriers_tdd=(rrc.UtraCarrierTdd(11504),),
+        t_resel_utra_s=3, t_resel_utra_sf=rrc.SpeedStateScaleFactors(0, 1))
+    s7 = rrc.Sib7(
+        t_resel_geran_s=2,
+        carriers=(
+            rrc.GeranCarrierInfo(
+                freqs=rrc.GeranCarrierFreqs(512, 1,
+                                            explicit_arfcns=(1, 2, 1023)),
+                cell_resel_priority=1, q_rx_lev_min=45, p_max_geran=39),
+            rrc.GeranCarrierInfo(
+                freqs=rrc.GeranCarrierFreqs(0, 0, equally_spaced=(8, 31))),
+            rrc.GeranCarrierInfo(
+                freqs=rrc.GeranCarrierFreqs(99, 0, bitmap=b"\xa5\x5a")),
+        ))
+    s8 = rrc.Sib8(
+        cdma_eutra_sync=True, system_time=(1 << 39) - 5,
+        search_window_size=9,
+        pre_reg_hrpd=rrc.PreRegistrationInfoHrpd(True, 200, (1, 2)),
+        cell_resel_hrpd=rrc.CellReselParamsCdma(
+            band_class_list=(rrc.BandClassInfoCdma(17, 4, 63, 0),),
+            neigh_cell_list=(rrc.NeighCellCdma(
+                1, (rrc.NeighCellsPerBandclassCdma(2047, (0, 511)),)),),
+            t_resel_s=5),
+        params_1xrtt=True,
+        csfb_1xrtt=rrc.CsfbRegistrationParam1xrtt(
+            sid=0x7FFF, nid=0xFFFF, home_reg=True, power_up_reg=True,
+            registration_zone=0xABC, zone_timer=5),
+        long_code_state_1xrtt=(1 << 42) - 3)
+    s9 = rrc.Sib9(hnb_name="cell-one".encode())
+    s10 = rrc.Sib10(message_identifier=0x1100, serial_number=0x3000,
+                    warning_type=b"\x01\x80",
+                    warning_security_info=bytes(range(50)))
+    s11 = rrc.Sib11(message_identifier=0x1102, serial_number=0x3001,
+                    last_segment=False, segment_number=2,
+                    warning_segment=b"quake warning segment",
+                    data_coding_scheme=b"\x01")
+    for sib in (s3, s4, s5, s6, s7, s8, s9, s10, s11):
+        got = rrc.unpack_si_list(rrc.pack_si(sib))
+        assert len(got) == 1 and got[0][1] == sib, type(sib).__name__
+    # multi-SIB SI message (one SystemInformation carrying three SIBs)
+    multi = rrc.pack_si(rrc.Sib2(), s3, s4)
+    got = rrc.unpack_si_list(multi)
+    assert [k for k, _ in got] == ["sib2", "sib3", "sib4"]
+    assert got[1][1] == s3 and got[2][1] == s4
+    # padded to a TB still decodes
+    got2 = rrc.unpack_si_list(rrc.pad_to(multi, len(multi) + 61))
+    assert got2 == got
+
+
+def test_paging_uper_records():
+    # 40-bit S-TMSI (mmec != 0), etws indication, empty rejected
+    p = rrc.Paging(ue_identities=((0xA5 << 32) | 0xDEADBEEF,),
+                   etws_indication=True)
+    assert rrc.unpack_paging(rrc.pack_paging(p)) == p
+    assert rrc.unpack_paging(rrc.pack_paging(rrc.Paging())) is None
