@@ -118,7 +118,8 @@ def main():
 
     baseline = 75.376   # Mbit/s — reference real-time bound at this config
     print(json.dumps({
-        "metric": "decoded DL-SCH throughput, 20 MHz MCS28 (TBS 75376), 6-iter turbo",
+        "metric": "decoded DL-SCH throughput, 20 MHz MCS28 (TBS 75376), "
+                  "turbo max-6-iter with CRC early stop",
         "value": round(mbps, 2),
         "unit": "Mbit/s/chip",
         "vs_baseline": round(mbps / baseline, 3),

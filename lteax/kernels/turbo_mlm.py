@@ -261,6 +261,7 @@ def _pin_boundaries(a_init, b_init):
 def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               acq: int = 32, ext_scale: float = 0.75,
                               tb: int = 8, gb: int | None = None,
+                              early_crc: str | None = None,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
@@ -270,6 +271,12 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
     gb=None picks the lane fold automatically: enough codeblocks share the
     128-lane axis to fill it (bounded by the batch size).
+
+    early_crc ("24A"/"24B"/None): CRC-based early termination — stop
+    iterating once EVERY codeblock's CRC checks (the standard production
+    stopping rule).  Worst case (any failing block) runs all n_iter
+    iterations, identical to early_crc=None; on convergent batches the
+    remaining iterations are skipped batch-wide.
     """
     from lteax.phy.tables.turbo_qpp import qpp_interleaver, qpp_deinterleaver
 
@@ -294,8 +301,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
     zero = jnp.zeros((c, n_w, 8), jnp.float32)
 
-    def body(carry, _):
-        le21, a1, b1, a2, b2 = carry
+    def one_iteration(le21, a1, b1, a2, b2):
         u1 = jnp.concatenate([ls + le21, sys_t1], axis=1)
         a1p, b1p = _pin_boundaries(a1, b1)
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
@@ -309,9 +315,30 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                                              tb=tb, gb=gb, interpret=interpret)
         l2 = l2[:, :k]
         le21_new = (ext_scale * (l2 - ls_int - la2))[:, inv]
-        return (le21_new, a1n, b1n, a2n, b2n), l2[:, inv]
+        return le21_new, a1n, b1n, a2n, b2n, l2[:, inv]
 
-    (_, _, _, _, _), l_hist = jax.lax.scan(
-        body, (jnp.zeros_like(ls), zero, zero, zero, zero), None,
-        length=n_iter)
-    return (l_hist[-1] < 0).astype(jnp.int32)
+    init = (jnp.zeros_like(ls), zero, zero, zero, zero)
+
+    if early_crc is None:
+        def body(carry, _):
+            out = one_iteration(*carry)
+            return out[:5], out[5]
+        _, l_hist = jax.lax.scan(body, init, None, length=n_iter)
+        return (l_hist[-1] < 0).astype(jnp.int32)
+
+    from lteax.phy.fec.crc import check_crc
+
+    def cond(carry):
+        it, done = carry[0], carry[1]
+        return jnp.logical_and(it < n_iter, jnp.logical_not(done))
+
+    def body(carry):
+        it, _, le21, a1, b1, a2, b2, _ = carry
+        le21n, a1n, b1n, a2n, b2n, l2d = one_iteration(le21, a1, b1, a2, b2)
+        bits = (l2d < 0).astype(jnp.int32)
+        _, ok = check_crc(bits, early_crc)
+        return (it + 1, jnp.all(ok), le21n, a1n, b1n, a2n, b2n, l2d)
+
+    carry = (jnp.int32(0), jnp.bool_(False), *init, jnp.zeros_like(ls))
+    carry = jax.lax.while_loop(cond, body, carry)
+    return (carry[-1] < 0).astype(jnp.int32)

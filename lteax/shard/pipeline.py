@@ -93,6 +93,9 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
     gb_env = os.environ.get("LTEAX_PALLAS_GB", "auto")
     gb = None if gb_env == "auto" else int(gb_env)
+    # CRC-based early termination: stop once every codeblock checks
+    early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
+    early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
 
     def decode(samples_iq):
         d_llr = jax.vmap(front)(samples_iq)            # (B, C, 3, D)
@@ -100,6 +103,7 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
                                          win=win, acq=acq, gb=gb,
+                                         early_crc=early_crc,
                                          interpret=interpret)
         bits = bits.reshape(bsz, geom.info.c, geom.k)
         if geom.info.cb_crc:

@@ -58,3 +58,29 @@ def test_lane_fold_invariance(gb):
                                                interpret=True))
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_array_equal(ref, bits)
+
+
+def test_early_crc_termination():
+    """early_crc stopping returns CRC-valid bits (identical payloads) and
+    degrades to the full-iteration decode on garbage input."""
+    from lteax.phy.fec.crc import attach_crc, check_crc
+    rng = np.random.default_rng(11)
+    k, c = 232, 4
+    payload = rng.integers(0, 2, size=(c, k - 24)).astype(np.int32)
+    bits = np.asarray(attach_crc(jnp.asarray(payload), "24B"))
+    d = np.asarray(turbo_encode_batch(jnp.asarray(bits), k)).astype(np.float32)
+    sigma = 0.6
+    rx = (1.0 - 2.0 * d) + sigma * rng.standard_normal(d.shape).astype(np.float32)
+    llr = jnp.asarray(2.0 * rx / sigma**2)
+    got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=6, tb=2,
+                                               early_crc="24B",
+                                               interpret=True))
+    pay, ok = check_crc(jnp.asarray(got), "24B")
+    assert np.all(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(pay), payload)
+    # garbage input: must not hang/crash, CRC simply fails
+    garbage = jnp.asarray(rng.standard_normal(llr.shape).astype(np.float32))
+    got2 = turbo_decode_batch_pallas(garbage, k, n_iter=2, tb=2,
+                                     early_crc="24B", interpret=True)
+    _, ok2 = check_crc(got2, "24B")
+    assert not np.all(np.asarray(ok2))
