@@ -331,3 +331,124 @@ def dci_1a_unpack(bits: np.ndarray, n_rb: int) -> Dci1A | None:
         return None
     return Dci1A(rb_start=rb_start, l_crb=l_crb, mcs=mcs, rv=rv, harq=harq,
                  ndi=ndi, tpc=tpc, distributed=bool(dist))
+
+
+# ---------------------------------------------------------------------------
+# DCI formats 2 / 2A — two-codeword spatial multiplexing grants
+# (36.212 §5.3.3.1.5 / §5.3.3.1.5A; FDD, 2 antenna ports, RA type 0)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Dci2A:
+    """Format 2A (TM3, large-delay CDD).  Two transport blocks."""
+    rbg_bitmap: int        # type-0 bitmap, MSB = RBG 0
+    mcs0: int
+    mcs1: int
+    rv0: int = 0
+    rv1: int = 0
+    ndi0: int = 0
+    ndi1: int = 0
+    harq: int = 0
+    tpc: int = 0
+    swap: int = 0          # TB-to-codeword swap flag
+
+    def prbs(self, n_rb: int) -> list[int]:
+        return rbg_bitmap_to_prbs(self.rbg_bitmap, n_rb)
+
+
+@dataclasses.dataclass
+class Dci2(Dci2A):
+    """Format 2 (TM4, closed loop): adds precoding information.
+
+    ``precoding`` carries the 2-port 2-layer codebook index (0..2,
+    36.211 Table 6.3.4.2.3-2) directly; the exact 36.212 Table
+    5.3.3.1.5-4 bit-field semantics are [U] pending spec verification."""
+    precoding: int = 1
+
+
+def _dci_2x_size(n_rb: int, precoding_bits: int) -> int:
+    header = 1 if n_rb > 10 else 0         # RA type-0/1 selector bit
+    n = header + n_rbg(n_rb) + 2 + 3 + 1 + 2 * (5 + 1 + 2) + precoding_bits
+    while n == dci_1a_size(n_rb) or n in AMBIGUOUS_SIZES:
+        n += 1
+    return n
+
+
+def dci_2a_size(n_rb: int) -> int:
+    return _dci_2x_size(n_rb, 0)           # 2 antenna ports: no precoding
+
+
+def dci_2_size(n_rb: int) -> int:
+    return _dci_2x_size(n_rb, 3)           # 2 antenna ports: 3 bits
+
+
+def _dci_2x_pack(d, n_rb: int, precoding_bits: int, size: int) -> np.ndarray:
+    nbg = n_rbg(n_rb)
+    if d.rbg_bitmap >> nbg:
+        raise ValueError("bitmap wider than N_RBG")
+    bits: list[int] = []
+    if n_rb > 10:
+        _put(bits, 0, 1)                   # RA type 0
+    _put(bits, d.rbg_bitmap, nbg)
+    _put(bits, d.tpc, 2)
+    _put(bits, d.harq, 3)
+    _put(bits, d.swap, 1)
+    _put(bits, d.mcs0, 5)
+    _put(bits, d.ndi0, 1)
+    _put(bits, d.rv0, 2)
+    _put(bits, d.mcs1, 5)
+    _put(bits, d.ndi1, 1)
+    _put(bits, d.rv1, 2)
+    if precoding_bits:
+        _put(bits, d.precoding, precoding_bits)
+    while len(bits) < size:
+        bits.append(0)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_2a_pack(d: Dci2A, n_rb: int) -> np.ndarray:
+    return _dci_2x_pack(d, n_rb, 0, dci_2a_size(n_rb))
+
+
+def dci_2_pack(d: Dci2, n_rb: int) -> np.ndarray:
+    return _dci_2x_pack(d, n_rb, 3, dci_2_size(n_rb))
+
+
+def _dci_2x_unpack(bits: np.ndarray, n_rb: int, precoding_bits: int):
+    pos = 0
+    if n_rb > 10:
+        ra_type, pos = _get(bits, pos, 1)
+        if ra_type != 0:
+            return None                    # type-1 subset alloc unsupported
+    bitmap, pos = _get(bits, pos, n_rbg(n_rb))
+    if bitmap == 0:
+        return None
+    tpc, pos = _get(bits, pos, 2)
+    harq, pos = _get(bits, pos, 3)
+    swap, pos = _get(bits, pos, 1)
+    mcs0, pos = _get(bits, pos, 5)
+    ndi0, pos = _get(bits, pos, 1)
+    rv0, pos = _get(bits, pos, 2)
+    mcs1, pos = _get(bits, pos, 5)
+    ndi1, pos = _get(bits, pos, 1)
+    rv1, pos = _get(bits, pos, 2)
+    fields = dict(rbg_bitmap=bitmap, mcs0=mcs0, mcs1=mcs1, rv0=rv0, rv1=rv1,
+                  ndi0=ndi0, ndi1=ndi1, harq=harq, tpc=tpc, swap=swap)
+    if precoding_bits:
+        pre, pos = _get(bits, pos, precoding_bits)
+        if pre > 2:
+            return None                    # only 2-layer codebook 0..2
+        return Dci2(precoding=pre, **fields)
+    return Dci2A(**fields)
+
+
+def dci_2a_unpack(bits: np.ndarray, n_rb: int) -> Dci2A | None:
+    if len(bits) != dci_2a_size(n_rb):
+        return None
+    return _dci_2x_unpack(bits, n_rb, 0)
+
+
+def dci_2_unpack(bits: np.ndarray, n_rb: int) -> Dci2 | None:
+    if len(bits) != dci_2_size(n_rb):
+        return None
+    return _dci_2x_unpack(bits, n_rb, 3)

@@ -211,3 +211,19 @@ def pdcch_blind_decode_1(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
     from lteax.phy.channels.dci import dci_1_size, dci_1_unpack
     return _blind_decode(logical_llrs, dci_1_size(n_rb), rnti, n_cces,
                          lambda b: dci_1_unpack(b, n_rb))
+
+
+def pdcch_blind_decode_2a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int) -> list:
+    """Blind-decode DCI format 2A (TM3 two-codeword grants)."""
+    from lteax.phy.channels.dci import dci_2a_size, dci_2a_unpack
+    return _blind_decode(logical_llrs, dci_2a_size(n_rb), rnti, n_cces,
+                         lambda b: dci_2a_unpack(b, n_rb))
+
+
+def pdcch_blind_decode_2(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                         n_cces: int) -> list:
+    """Blind-decode DCI format 2 (TM4 two-codeword grants)."""
+    from lteax.phy.channels.dci import dci_2_size, dci_2_unpack
+    return _blind_decode(logical_llrs, dci_2_size(n_rb), rnti, n_cces,
+                         lambda b: dci_2_unpack(b, n_rb))

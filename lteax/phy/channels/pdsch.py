@@ -128,13 +128,14 @@ def pdsch_prepare_cbs(tb_bits: np.ndarray, geom: PdschGeometry) -> np.ndarray:
 
 
 def pdsch_encode_cbs(cbs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
-                     n_cell_id, scheme: str) -> jnp.ndarray:
+                     n_cell_id, scheme: str, codeword: int = 0) -> jnp.ndarray:
     """Device stage (fully jittable): (C, K_payload) -> (n_re,) symbols."""
     if geom.info.cb_crc:
         cbs = attach_crc(cbs, "24B")
     d = turbo_encode_batch(cbs, geom.k)              # (C, 3, K+4)
     e = d.reshape(-1)[jnp.asarray(_global_rm_idx(geom))]
-    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id, codeword),
+                          geom.g)
     return modulate((e + c) % 2, scheme)
 
 
@@ -148,20 +149,22 @@ def pdsch_encode_bits(tb_bits: np.ndarray, geom: PdschGeometry) -> jnp.ndarray:
 
 
 def pdsch_encode(tb_bits: np.ndarray, geom: PdschGeometry, rnti, subframe,
-                 n_cell_id, scheme: str) -> jnp.ndarray:
+                 n_cell_id, scheme: str, codeword: int = 0) -> jnp.ndarray:
     """-> (n_re,) modulated symbols in RE-mapping order."""
     return pdsch_encode_cbs(jnp.asarray(pdsch_prepare_cbs(tb_bits, geom)),
-                            geom, rnti, subframe, n_cell_id, scheme)
+                            geom, rnti, subframe, n_cell_id, scheme,
+                            codeword)
 
 
 def pdsch_decode_llrs(llrs: jnp.ndarray, geom: PdschGeometry, rnti, subframe,
-                      n_cell_id, n_iter: int = 6):
+                      n_cell_id, n_iter: int = 6, codeword: int = 0):
     """Descramble + de-match + turbo decode + CRC.
 
     llrs: (G,) channel LLRs in codeword bit order (post-demapper).
     Returns (tb_bits (TBS,) np.ndarray | None, crc_ok, cb_crc_oks).
     """
-    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id, codeword),
+                          geom.g)
     sgn = (1.0 - 2.0 * c).astype(llrs.dtype)
     d_llr = soft_dematch(llrs * sgn, geom)
     bits = turbo_decode_batch(d_llr, geom.k, n_iter=n_iter)   # (C, K)
