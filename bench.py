@@ -46,7 +46,7 @@ def main():
     re_idx = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
     geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 6, 0)
 
-    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "256"))
+    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "384"))
     n_iter = int(__import__("os").environ.get("LTEAX_BENCH_TURBO_ITERS", "6"))
     reps = int(__import__("os").environ.get("LTEAX_BENCH_REPS", "10"))
 
