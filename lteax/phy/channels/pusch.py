@@ -289,3 +289,215 @@ def pusch_decode(grid: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
     tb_with_crc = pdsch_mod.desegment_device(payload, geom.info)
     tb, ok = check_crc(tb_with_crc, "24A")
     return tb, ok, cb_oks
+
+
+# ---------------------------------------------------------------------------
+# UCI on PUSCH — HARQ-ACK / RI multiplexing (36.212 §5.2.2.6-§5.2.2.8)
+# ---------------------------------------------------------------------------
+#
+# The channel-interleaver matrix has C_mux=12 columns (data SC-FDMA symbols,
+# time order) and R'_mux = M_sc rows of Qm-bit groups.  RI groups are
+# RESERVED bottom-up in columns {1,4,7,10} (data+CQI skip them); HARQ-ACK
+# groups PUNCTURE bottom-up in columns {2,3,8,9} (the symbols adjacent to
+# the DM-RS at l=3,10).  Q' coded symbols per UCI field:
+#   Q' = min(ceil(O * M_sc * N_symb * beta_offset / sum_r K_r), 4*M_sc)
+# Coded ACK/RI bits here use hypothesis-decodable repetition/simplex words
+# cycled over the Qm*Q' positions (the 36.211 x/y scrambling placeholders
+# are not modeled — [U], self-consistent encode/decode pair).
+
+RI_COLS = (1, 4, 7, 10)
+ACK_COLS = (2, 3, 8, 9)
+
+
+@dataclasses.dataclass(frozen=True)
+class PuschUci:
+    """UCI multiplexing config: numbers of ACK/RI bits and beta offsets."""
+    n_ack: int = 0            # 0..2 HARQ-ACK bits
+    n_ri: int = 0             # 0..2 RI bits
+    beta_ack: float = 2.0     # beta_offset^HARQ-ACK (36.213 Table 8.6.3-1)
+    beta_ri: float = 1.25
+
+
+def uci_q_prime(n_bits: int, alloc: PuschAlloc, beta: float) -> int:
+    """Number of coded UCI symbols (36.212 §5.2.2.6, same-TB grant)."""
+    if n_bits == 0:
+        return 0
+    geom = alloc.geom
+    k_sum = geom.info.c * geom.k
+    qp = int(np.ceil(n_bits * alloc.m_sc * N_DATA_SYMS * beta / k_sum))
+    return max(1, min(qp, 4 * alloc.m_sc))
+
+
+def _bottom_up_groups(q: int, cols: tuple[int, ...], r_mux: int) -> np.ndarray:
+    """Group indices (row*12+col) filled bottom-up cycling the column set."""
+    i = np.arange(q)
+    rows = r_mux - 1 - (i // len(cols))
+    colv = np.asarray(cols)[i % len(cols)]
+    return (rows * N_DATA_SYMS + colv).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def uci_layout(m_sc: int, qm: int, q_ri: int, q_ack: int):
+    """Interleaver layout with UCI.
+
+    Returns (read_bit_idx, data_grp, ri_grp, ack_grp):
+    - read_bit_idx (n_re*qm,): output bit i (column-major symbol stream) =
+      matrix_bits[read_bit_idx[i]] where matrix_bits is group-major
+      (n_grp, qm) flattened.
+    - data_grp (n_data_grp,): matrix group index of each data/CQI group in
+      fill order (row-major, skipping reserved RI groups).
+    - ri_grp (q_ri,), ack_grp (q_ack,): matrix group indices (ACK groups
+      puncture data groups in place).
+    """
+    r_mux = m_sc
+    n_grp = r_mux * N_DATA_SYMS
+    ri_grp = _bottom_up_groups(q_ri, RI_COLS, r_mux)
+    ack_grp = _bottom_up_groups(q_ack, ACK_COLS, r_mux)
+    reserved = np.zeros(n_grp, dtype=bool)
+    reserved[ri_grp] = True
+    data_grp = np.nonzero(~reserved)[0].astype(np.int32)   # row-major order
+    # column-major read over the (r_mux, 12) group matrix
+    grp = np.arange(n_grp, dtype=np.int64).reshape(r_mux, N_DATA_SYMS)
+    order = grp.T.reshape(-1)
+    read_bit_idx = (order[:, None] * qm
+                    + np.arange(qm)[None, :]).reshape(-1).astype(np.int32)
+    return read_bit_idx, data_grp, ri_grp, ack_grp
+
+
+def _uci_word(bits: tuple[int, ...], n_coded: int) -> np.ndarray:
+    """Hypothesis word: repetition (1 bit) / simplex (2 bits: o0,o1,o0^o1)
+    cycled over n_coded positions."""
+    if len(bits) == 1:
+        base = [bits[0]]
+    else:
+        base = [bits[0], bits[1], bits[0] ^ bits[1]]
+    return np.asarray([base[i % len(base)] for i in range(n_coded)],
+                      dtype=np.int32)
+
+
+def alloc_geom_uci(alloc: PuschAlloc, uci: PuschUci) -> PdschGeometry:
+    """Data geometry with the RI-reserved symbols removed from G."""
+    q_ri = uci_q_prime(uci.n_ri, alloc, uci.beta_ri)
+    return pdsch_geometry(alloc.mcs_tbs, alloc.n_re - q_ri, alloc.qm,
+                          alloc.rv)
+
+
+def pusch_encode_cbs_uci(cbs: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
+                         n_cell_id, uci: PuschUci,
+                         ack: tuple[int, ...] = (),
+                         ri: tuple[int, ...] = ()) -> jnp.ndarray:
+    """Like pusch_encode_cbs but multiplexing HARQ-ACK/RI bits."""
+    from lteax.phy.fec.crc import attach_crc
+    from lteax.phy.fec.turbo import turbo_encode_batch
+    from lteax.phy.channels.pdsch import _global_rm_idx
+    geom = alloc_geom_uci(alloc, uci)
+    q_ri = uci_q_prime(uci.n_ri, alloc, uci.beta_ri)
+    q_ack = uci_q_prime(uci.n_ack, alloc, uci.beta_ack)
+    read_idx, data_grp, ri_grp, ack_grp = uci_layout(
+        alloc.m_sc, alloc.qm, q_ri, q_ack)
+    if geom.info.cb_crc:
+        cbs = attach_crc(cbs, "24B")
+    d = turbo_encode_batch(cbs, geom.k)
+    e = d.reshape(-1)[jnp.asarray(_global_rm_idx(geom))]     # (g_data,)
+    n_grp = alloc.m_sc * N_DATA_SYMS
+    mat = jnp.zeros((n_grp, alloc.qm), dtype=e.dtype)
+    mat = mat.at[jnp.asarray(data_grp)].set(e.reshape(-1, alloc.qm))
+    if q_ri:
+        w = _uci_word(tuple(ri), q_ri * alloc.qm).reshape(q_ri, alloc.qm)
+        mat = mat.at[jnp.asarray(ri_grp)].set(jnp.asarray(w))
+    if q_ack:
+        w = _uci_word(tuple(ack), q_ack * alloc.qm).reshape(q_ack, alloc.qm)
+        mat = mat.at[jnp.asarray(ack_grp)].set(jnp.asarray(w))
+    stream = mat.reshape(-1)[jnp.asarray(read_idx)]
+    g_total = alloc.n_re * alloc.qm
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), g_total)
+    sym = modulate((stream + c) % 2, alloc.scheme)
+    data = sym.reshape(N_DATA_SYMS, alloc.m_sc)
+    f = _ul_dft(data, inverse=False)
+    grid = jnp.zeros((14, alloc.m_sc), dtype=jnp.complex64)
+    data_syms = [s for s in range(14) if s not in DMRS_SYMS]
+    return grid.at[jnp.asarray(data_syms)].set(f.astype(jnp.complex64))
+
+
+def _uci_ml_decode(llrs: jnp.ndarray, n_bits: int) -> tuple[int, ...]:
+    """ML decode of the repetition/simplex word from descrambled LLRs
+    (positive LLR = bit 0)."""
+    n = len(llrs)
+    best, best_m = None, None
+    for hyp in range(2 ** n_bits):
+        bits = tuple((hyp >> i) & 1 for i in range(n_bits))
+        w = _uci_word(bits, n)
+        m = float(jnp.sum(jnp.asarray(1.0 - 2.0 * w) * llrs))
+        if best_m is None or m > best_m:
+            best, best_m = bits, m
+    return best
+
+
+def pusch_decode_uci(grid: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
+                     n_cell_id, uci: PuschUci, noise_var: float = 1e-3,
+                     n_dmrs: int = 0, n_iter: int = 6):
+    """Receive with UCI demultiplexing.
+
+    Returns (tb, tb_ok, cb_oks, ack_bits, ri_bits).  Punctured ACK
+    positions are excluded from the data LLRs (the turbo code recovers the
+    punctured bits)."""
+    from lteax.phy.channels.pdsch import _global_rm_idx
+    from lteax.phy.fec.turbo import turbo_decode_batch
+    from lteax.phy.fec.crc import check_crc
+    geom = alloc_geom_uci(alloc, uci)
+    m_sc = alloc.m_sc
+    q_ri = uci_q_prime(uci.n_ri, alloc, uci.beta_ri)
+    q_ack = uci_q_prime(uci.n_ack, alloc, uci.beta_ack)
+    read_idx, data_grp, ri_grp, ack_grp = uci_layout(m_sc, alloc.qm,
+                                                     q_ri, q_ack)
+    h_slots = []
+    for slot_i, sym in enumerate(DMRS_SYMS):
+        ns = 2 * subframe + slot_i
+        ref = jnp.asarray(dmrs_pusch(n_cell_id, ns, m_sc, n_dmrs=n_dmrs))
+        h_slots.append(grid[sym] * jnp.conj(ref))
+    h0, h1 = h_slots
+    data_syms = [s for s in range(14) if s not in DMRS_SYMS]
+    w = jnp.asarray([(s - DMRS_SYMS[0]) / (DMRS_SYMS[1] - DMRS_SYMS[0])
+                     for s in data_syms], dtype=jnp.float32)
+    w = jnp.clip(w, 0.0, 1.0)[:, None]
+    h = (1 - w) * h0[None, :] + w * h1[None, :]
+    y = grid[jnp.asarray(data_syms)]
+    p = jnp.abs(h) ** 2
+    x_f = y * jnp.conj(h) / (p + noise_var)
+    x_f = x_f / jnp.maximum(p / (p + noise_var), 1e-12)
+    x_t = _ul_dft(x_f, inverse=True)
+    eff_nv = jnp.mean(noise_var / jnp.maximum(p, 1e-12), axis=-1,
+                      keepdims=True) * jnp.ones_like(p)
+    llr = demodulate_maxlog(x_t.reshape(-1), alloc.scheme,
+                            eff_nv.reshape(-1))
+    g_total = alloc.n_re * alloc.qm
+    c = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), g_total)
+    llr = llr * (1.0 - 2.0 * c).astype(llr.dtype)
+    # invert the column-major read: matrix-order LLRs
+    inv = np.empty_like(read_idx)
+    inv[read_idx] = np.arange(len(read_idx), dtype=np.int32)
+    mat = llr[jnp.asarray(inv)].reshape(-1, alloc.qm)
+    ack_bits = ri_bits = ()
+    if q_ack:
+        ack_bits = _uci_ml_decode(mat[jnp.asarray(ack_grp)].reshape(-1),
+                                  uci.n_ack)
+    if q_ri:
+        ri_bits = _uci_ml_decode(mat[jnp.asarray(ri_grp)].reshape(-1),
+                                 uci.n_ri)
+    # data LLRs: fill-order groups, with punctured ACK groups zeroed
+    zeroed = mat
+    if q_ack:
+        zeroed = zeroed.at[jnp.asarray(ack_grp)].set(0.0)
+    d_llr = zeroed[jnp.asarray(data_grp)].reshape(-1)
+    d_len = geom.k + 4
+    buf = jnp.zeros((geom.info.c * 3 * d_len,), dtype=d_llr.dtype)
+    buf = buf.at[jnp.asarray(_global_rm_idx(geom))].add(d_llr)
+    bits = turbo_decode_batch(buf.reshape(geom.info.c, 3, d_len), geom.k,
+                              n_iter=n_iter)
+    if geom.info.cb_crc:
+        payload, cb_oks = check_crc(bits, "24B")
+    else:
+        payload, cb_oks = bits, jnp.ones((geom.info.c,), dtype=bool)
+    tb_with_crc = pdsch_mod.desegment_device(payload, geom.info)
+    tb, ok = check_crc(tb_with_crc, "24A")
+    return tb, ok, cb_oks, ack_bits, ri_bits

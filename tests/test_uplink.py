@@ -149,3 +149,42 @@ def test_factored_dft_matches_fft_reference():
         gu = np.asarray(dft_factored(jnp.asarray(x), unitary=True))
         np.testing.assert_allclose(gu, np.fft.fft(x, axis=-1) / np.sqrt(n),
                                    rtol=0, atol=2e-4)
+
+
+def test_uci_on_pusch_ack_ri():
+    """HARQ-ACK + RI multiplexed with UL-SCH data: UCI recovered, data
+    decodes despite ACK puncturing; layout degenerates to the plain
+    channel interleaver with no UCI."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lteax.phy.channels import pusch
+    from lteax.phy.channels.pdsch import pdsch_prepare_cbs
+
+    # layout consistency: q_ri = q_ack = 0 equals channel_interleaver_idx
+    read_idx, data_grp, ri_grp, ack_grp = pusch.uci_layout(72, 2, 0, 0)
+    np.testing.assert_array_equal(read_idx,
+                                  pusch.channel_interleaver_idx(72 * 24, 2))
+    assert len(ri_grp) == 0 and len(ack_grp) == 0
+    np.testing.assert_array_equal(data_grp, np.arange(72 * 12))
+
+    rng = np.random.default_rng(4)
+    cid, sf, rnti = 150, 2, 0x77
+    alloc = pusch.PuschAlloc(n_prb=6, rb_start=0, mcs_tbs=936, qm=2)
+    uci = pusch.PuschUci(n_ack=2, n_ri=1)
+    geom = pusch.alloc_geom_uci(alloc, uci)
+    assert geom.g < alloc.n_re * alloc.qm     # RI reserved symbols removed
+    tb = rng.integers(0, 2, size=alloc.mcs_tbs).astype(np.int32)
+    cbs = jnp.asarray(pdsch_prepare_cbs(tb, geom))
+    for ack, ri in (((1, 0), (1,)), ((0, 1), (0,)), ((1, 1), (1,))):
+        g = pusch.pusch_encode_cbs_uci(cbs, alloc, rnti, sf, cid, uci,
+                                       ack=ack, ri=ri)
+        g = pusch.pusch_add_dmrs(np.asarray(g), alloc, cid, sf)
+        nv = 10 ** (-12 / 10)
+        g = g + (rng.standard_normal(g.shape)
+                 + 1j * rng.standard_normal(g.shape)) * np.sqrt(nv / 2)
+        tb_hat, ok, cb_oks, ack_hat, ri_hat = pusch.pusch_decode_uci(
+            jnp.asarray(g.astype(np.complex64)), alloc, rnti, sf, cid, uci,
+            noise_var=nv)
+        assert bool(ok), (ack, ri)
+        np.testing.assert_array_equal(np.asarray(tb_hat), tb)
+        assert ack_hat == ack and ri_hat == ri
