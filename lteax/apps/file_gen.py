@@ -51,7 +51,12 @@ class GenConfig:
     extended_cp: bool = False
     si_dci: str = "1a"         # "1a" | "1c" — DCI format used for SI grants
     paging_tmsi: tuple[int, ...] = ()   # S-TMSIs paged in subframe 9
-    extra_sibs: tuple = ()     # Sib3..Sib11 bodies carried in the SI message
+    extra_sibs: tuple = ()     # Sib3..Sib11 bodies carried in SI messages
+    # optional multi-SI schedule: ((periodicity_rf, (sib_types...)), ...).
+    # Entry 0 is SI message 1 (SIB2 is always prepended to it, 36.331
+    # §5.2.3); entries n>=2 are sent in their own SI windows.  None keeps
+    # the legacy single-SI behavior (SIB2 + all extra_sibs, sf5 odd frames).
+    si_schedule: tuple = ()
 
     @property
     def phy(self) -> PhyConfig:
@@ -71,7 +76,8 @@ def _si_alloc(gc: GenConfig) -> tuple[int, int]:
 def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
                         pbch_quarters: np.ndarray,
                         sib1_bits: np.ndarray, sib2_bits: np.ndarray,
-                        paging_bits: np.ndarray | None = None
+                        paging_bits: np.ndarray | None = None,
+                        extra_si_bits: np.ndarray | None = None
                         ) -> np.ndarray:
     """Build one subframe's resource grid (ports superposed: the IQ file
     models a single RX antenna with unit channels from each TX port, which
@@ -155,6 +161,27 @@ def build_subframe_grid(gc: GenConfig, sfn: int, sf: int,
         _sfbc_scatter(re_idx, pdsch_mod.pdsch_encode(
             tb, geom, SI_RNTI, sf, cid, "qpsk"))
 
+    # Additional SI message in its 36.331 §5.2.3 SI window (n>=2 entries of
+    # schedulingInfoList; generate() picks the window subframe)
+    if extra_si_bits is not None:
+        tbs = tbs_1a(gc.sib1_mcs, 2)
+        rb_start, l_crb = _si_alloc(gc)
+        dci_bits = dci_1a_pack(Dci1A(rb_start=rb_start, l_crb=l_crb,
+                                     mcs=gc.sib1_mcs, rv=0, tpc=0),
+                               cfg.n_rb_dl)
+        ng = gc.phich_resource
+        pd_syms = pdcch_mod.pdcch_encode([(dci_bits, SI_RNTI, 0, 4)], cfg,
+                                         cid, gc.ctrl_syms, ng, sf,
+                                         n_ant=n_ant)
+        pd_idx = pdcch_flat_idx(cfg, cid, gc.ctrl_syms, ng).reshape(-1)
+        for p in range(pd_syms.shape[0]):
+            ports[p][pd_idx] = np.asarray(pd_syms[p])
+        prbs = tuple(range(rb_start, rb_start + l_crb))
+        re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
+        geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, 0)
+        _sfbc_scatter(re_idx, pdsch_mod.pdsch_encode(
+            rrc.pad_to(extra_si_bits, tbs), geom, SI_RNTI, sf, cid, "qpsk"))
+
     # Paging in subframe 9 (PO for Ns=1 class configs)
     if sf == 9 and paging_bits is not None and len(paging_bits):
         step = _n_rb_step(cfg.n_rb_dl)
@@ -184,21 +211,48 @@ def generate(gc: GenConfig) -> np.ndarray:
     cfg = gc.phy
     mib = rrc.Mib(n_rb_dl=gc.n_rb_dl, phich_duration_extended=False,
                   phich_resource=gc.phich_resource, sfn=0)
-    # the SI window carries SIB2 plus any configured SIB3..SIB11 bodies;
-    # SIB1's sib-MappingInfo advertises every type >= 3 in that SI message
-    # (legacy default (3,) when none are carried)
-    extra_types = tuple(sorted({rrc.SIB_TYPE_INDEX[type(s)] + 2
-                                for s in gc.extra_sibs})) or (3,)
+    bodies = {rrc.SIB_TYPE_INDEX[type(s)] + 2: s for s in gc.extra_sibs}
+    if gc.si_schedule:
+        entries = tuple(rrc.SchedulingInfo(p, tuple(ts))
+                        for p, ts in gc.si_schedule)
+        si_payloads = []
+        for j, (p, ts) in enumerate(gc.si_schedule):
+            sibs = [bodies[t] for t in ts]
+            if j == 0:
+                sibs = [rrc.Sib2()] + sibs      # SIB2 rides SI message 1
+            si_payloads.append(rrc.pack_si(*sibs))
+    else:
+        # legacy single-SI: SIB2 + all extra_sibs in one message; the
+        # sib-MappingInfo advertises every carried type >= 3 ((3,) default)
+        extra_types = tuple(sorted({rrc.SIB_TYPE_INDEX[type(s)] + 2
+                                    for s in gc.extra_sibs})) or (3,)
+        entries = (rrc.SchedulingInfo(8, extra_types),)
+        si_payloads = [rrc.pack_si(rrc.Sib2(), *gc.extra_sibs)]
     sib1 = rrc.Sib1(mcc=gc.mcc, mnc=gc.mnc, tac=gc.tac,
                     cell_identity=gc.cell_identity,
                     freq_band_indicator=gc.band,
-                    scheduling=(rrc.SchedulingInfo(8, extra_types),))
+                    scheduling=entries)
     sib1_bits = rrc.pack_sib1(sib1)
-    sib2_bits = rrc.pack_si(rrc.Sib2(), *gc.extra_sibs)
-    # auto-raise the SI MCS until both messages fit the N_PRB_1A=2 TBS
-    need = max(len(sib1_bits), len(sib2_bits))
+    sib2_bits = si_payloads[0]
+    # auto-raise the SI MCS until every message fits the N_PRB_1A=2 TBS
+    need = max(len(sib1_bits), *(len(p) for p in si_payloads))
     while tbs_1a(gc.sib1_mcs, 2) < need:
         gc = dataclasses.replace(gc, sib1_mcs=gc.sib1_mcs + 1)
+
+    def extra_si_at(sfn: int, sf: int) -> np.ndarray | None:
+        """SI window placement (36.331 §5.2.3): SI message n (n>=2) in
+        window x = (n-1)*w starting at frame SFN % T == floor(x/10),
+        transmitted at the first non-reserved subframe of the window."""
+        w = sib1.si_window_ms
+        for j in range(1, len(si_payloads)):
+            t = entries[j].si_periodicity_rf
+            x = j * w
+            sf_tx = x % 10
+            while sf_tx in (0, 5, 9):
+                sf_tx = (sf_tx + 1) % 10
+            if sfn % t == (x // 10) % t and sf == sf_tx:
+                return si_payloads[j]
+        return None
 
     grids = []
     pbch_q = None
@@ -213,7 +267,8 @@ def generate(gc: GenConfig) -> np.ndarray:
         for sf in range(10):
             grids.append(build_subframe_grid(gc, sfn, sf, pbch_q,
                                              sib1_bits, sib2_bits,
-                                             paging_bits))
+                                             paging_bits,
+                                             extra_si_at(sfn, sf)))
     batch = jnp.asarray(np.stack(grids))
     x = np.asarray(subframe_to_samples(batch, cfg))
     return x.reshape(-1)

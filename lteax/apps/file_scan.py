@@ -173,14 +173,37 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
     ng = mib.phich_resource
     cfg_c = PhyConfig(n_rb_dl=cfg.n_rb_dl, n_ant=n_ant,
                       extended_cp=cfg.extended_cp)
+    si_done: set[int] = set()
+
+    def _win_entry(sfn: int, sf: int):
+        """Pending n>=2 SI-window entry covering (sfn, sf), else None
+        (36.331 §5.2.3: window x=(n-1)*w from frame SFN % T == x//10)."""
+        if res.sib1 is None or sf in (0, 5, 9):
+            return None
+        w = res.sib1.si_window_ms
+        for j in range(1, len(res.sib1.scheduling)):
+            if j in si_done:
+                continue
+            t = res.sib1.scheduling[j].si_periodicity_rf
+            x = j * w
+            rel = (((sfn % t) - (x // 10) % t) * 10 + sf - x % 10) % (t * 10)
+            if 0 <= rel < w:
+                return j
+        return None
+
+    def _all_si_done() -> bool:
+        return (res.sib1 is not None
+                and len(si_done) >= len(res.sib1.scheduling) - 1)
+
     for i in range(len(sfs)):
         sf = i % 10
         sfn = mib.sfn + i // 10
         if sf == 9 and res.paging is None and i < max_si_subframes:
             _try_paging(res, grids[i], cfg, cfg_c, cid, sf, n_ant, ng)
-        if sf != 5 or res.sib_crc_fails > 8:
+        win_j = _win_entry(sfn, sf) if sf != 5 else None
+        if (sf != 5 and win_j is None) or res.sib_crc_fails > 8:
             continue
-        if res.sib1 is not None and res.sib2 is not None:
+        if res.sib1 is not None and res.sib2 is not None and _all_si_done():
             break
         if i >= max_si_subframes:
             break
@@ -265,6 +288,8 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
                 res.sib2 = body
             elif name not in res.sibs:
                 res.sibs[name] = body
+        if win_j is not None:
+            si_done.add(win_j)
     return res
 
 

@@ -171,3 +171,24 @@ def test_loopback_extra_sibs():
     assert r.sibs["sib9"] == s9
     assert r.sib_crc_fails == 0
     r.to_json()   # bytes fields must serialize
+
+
+def test_loopback_multi_si_windows():
+    """Three SI messages with distinct periodicities: SI1 (SIB2+SIB3) at
+    the legacy sf5 slots, SI2 (SIB5) and SI3 (SIB9) in their own 36.331
+    SI windows; scan recovers all of them."""
+    from lteax.stack import rrc
+    s3 = rrc.Sib3(q_hyst_db=6)
+    s5 = rrc.Sib5(carriers=(rrc.InterFreqCarrier(dl_earfcn=2850),))
+    s9 = rrc.Sib9(hnb_name=b"win-cell")
+    gc = GenConfig(n_rb_dl=6, n_cell_id=99, n_frames=8, tac=0xC0DE,
+                   extra_sibs=(s3, s5, s9),
+                   si_schedule=((8, (3,)), (8, (5,)), (8, (9,))))
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 99
+    assert r.sib1 is not None
+    assert tuple(e.si_periodicity_rf for e in r.sib1.scheduling) == (8, 8, 8)
+    assert r.sib2 is not None
+    assert r.sibs["sib3"] == s3
+    assert r.sibs["sib5"] == s5, sorted(r.sibs)
+    assert r.sibs["sib9"] == s9, sorted(r.sibs)
