@@ -1,0 +1,151 @@
+"""2x2 TM3 (dual-codeword spatial multiplexing) decode throughput, 20 MHz.
+
+Full receive chain per subframe: OFDM demod on 2 RX antennas -> CRS
+channel estimation per (rx, port) -> TM3 effective channel -> per-RE 2x2
+MMSE demix -> per-layer 64QAM max-log demap -> per-codeword descramble /
+de-match -> one fused Pallas turbo batch over BOTH codewords -> CRC.
+
+Two TBS-75376 codewords per subframe = 150.752 Mbit per TTI-second — a
+capability beyond the reference's single-codeword ceiling.
+
+    python bench/mimo_throughput.py [--batch 192] [--reps 6]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=192)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--mcs", type=int, default=28)
+    a = ap.parse_args()
+    import jax
+    import jax.numpy as jnp
+    from lteax.phy.config import PhyConfig
+    from lteax.phy import seq, chest, mimo
+    from lteax.phy.grid import crs_flat_idx, crs_symbols, pdsch_flat_idx
+    from lteax.phy.ofdm import subframe_to_samples, samples_to_subframe
+    from lteax.phy.mod import demodulate_maxlog
+    from lteax.phy.channels import pdsch as pdsch_mod
+    from lteax.phy.channels.pdsch import _c_init, soft_dematch
+    from lteax.phy.fec.crc import check_crc
+    from lteax.phy.tables.tbs import get_tbs_for_mcs
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    cfg = PhyConfig(n_rb_dl=100, n_ant=2)
+    cid, sf, rnti, cfi = 214, 1, 0x1234, 1
+    prbs = tuple(range(100))
+    tbs, scheme = get_tbs_for_mcs(a.mcs, 100)
+    re_idx_np = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
+    m = len(re_idx_np)
+    geom = pdsch_mod.pdsch_geometry(tbs, m, 6, 0)
+    print(f"n_re {m}, TBS {tbs} x2, code rate "
+          f"{(tbs + 24) / (m * 6):.3f}/cw", file=sys.stderr)
+    b = a.batch
+    rng = np.random.default_rng(0)
+
+    # ---- build inputs on host CPU ----
+    cpu = jax.devices("cpu")[0]
+    b_uniq = min(b, 16)
+    tb_bits = rng.integers(0, 2, size=(2, b_uniq, tbs)).astype(np.int32)
+    with jax.default_device(cpu):
+        d = [jax.vmap(lambda cb, q=q: pdsch_mod.pdsch_encode_cbs(
+                cb, geom, rnti, sf, cid, scheme, codeword=q))(
+                jnp.asarray(np.stack([pdsch_mod.pdsch_prepare_cbs(
+                    tb_bits[q, i], geom) for i in range(b_uniq)])))
+             for q in range(2)]
+        p0, p1 = mimo.precode_tm3(mimo.layer_map_2cw(d[0], d[1]))
+        # per-port grids with both ports' CRS
+        ports = np.zeros((2, b_uniq, cfg.n_sym_subframe * cfg.n_sc),
+                         np.complex64)
+        for p in range(2):
+            vals = []
+            for sym in crs_symbols(p, cfg):
+                slot = sym // cfg.n_sym_slot
+                vals.append(seq.crs_values(cid, 2 * sf + slot,
+                                           sym % cfg.n_sym_slot, cfg.n_rb_dl))
+            ports[p][:, crs_flat_idx(cfg, cid, p)] = np.concatenate(vals)
+        ports[0][:, re_idx_np] = np.asarray(p0)
+        ports[1][:, re_idx_np] = np.asarray(p1)
+        tx = np.stack([np.asarray(subframe_to_samples(jnp.asarray(
+            ports[p].reshape(b_uniq, cfg.n_sym_subframe, cfg.n_sc)), cfg))
+            for p in range(2)])                      # (2tx, b, n_samps)
+    # well-conditioned fixed 2x2 channel + AWGN at 25 dB
+    cmat = np.array([[1.0 + 0.1j, 0.3 - 0.25j],
+                     [0.2 + 0.3j, -0.95 + 0.1j]], np.complex64)
+    nv = 10 ** (-2.5)
+    rx = np.einsum("rt,tbn->rbn", cmat, tx)
+    rx = rx + (rng.standard_normal(rx.shape)
+               + 1j * rng.standard_normal(rx.shape)) * np.sqrt(nv / 2)
+    reps_t = b // b_uniq + (1 if b % b_uniq else 0)
+    rx = np.tile(rx, (1, reps_t, 1))[:, :b]
+    x_iq = np.stack([rx.real, rx.imag], -1).astype(np.float32)  # (2,b,n,2)
+
+    re_idx = jnp.asarray(re_idx_np)
+
+    def front(sub_iq):                       # sub_iq (2rx, n_samps, 2)
+        s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
+        grids = jax.vmap(lambda ss: samples_to_subframe(ss, cfg))(s)
+        h = jnp.stack([jnp.stack([
+            chest.estimate_channel(grids[r], cfg, cid, sf, port=t)
+            .reshape(-1)[re_idx] for t in range(2)]) for r in range(2)])
+        nvar = chest.estimate_noise_var(grids[0], cfg, cid, sf)
+        y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
+        heff = mimo.heff_tm3(h)
+        x_hat, eff = mimo.mmse_demix_2layers(y, heff, nvar)
+        outs = []
+        for q in range(2):
+            llr = demodulate_maxlog(x_hat[q], scheme, eff[q])
+            c = seq.gold_sequence(_c_init(rnti, sf, cid, q), geom.g)
+            outs.append(soft_dematch(llr * (1.0 - 2.0 * c).astype(llr.dtype),
+                                     geom))
+        return jnp.stack(outs)               # (2, C, 3, K+4)
+
+    def decode(batch_iq):                    # (2rx, b, n, 2)
+        d_llr = jax.vmap(front, in_axes=1)(batch_iq)   # (b, 2, C, 3, D)
+        flat = d_llr.reshape(-1, 3, geom.k + 4)
+        bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
+                                         tb=16, acq=16, early_crc="24B")
+        bits = bits.reshape(b * 2, geom.info.c, geom.k)
+        payload, cb_ok = check_crc(bits, "24B")
+        tb_full = pdsch_mod.desegment_device(payload, geom.info)
+        tbh, ok = check_crc(tb_full, "24A")
+        return tbh, ok & jnp.all(cb_ok, axis=-1)
+
+    f = jax.jit(decode)
+    xd = jax.device_put(jnp.asarray(x_iq))
+    t0 = time.time()
+    out = f(xd)
+    jax.block_until_ready(out)
+    n_ok = int(np.sum(np.asarray(out[1])))
+    print(f"compile+run {time.time()-t0:.1f}s; crc ok {n_ok}/{2*b}",
+          file=sys.stderr)
+    ts = []
+    for _ in range(a.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(xd))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    mbps = 2 * b * tbs / t / 1e6
+    print(f"median {t*1e3:.1f} ms / {b} subframes (2 codewords each)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "decoded 2x2 TM3 dual-codeword DL-SCH, 20 MHz MCS"
+                  f"{a.mcs}",
+        "value": round(mbps, 2), "unit": "Mbit/s/chip",
+        "crc_ok": n_ok, "batch": b}))
+
+
+if __name__ == "__main__":
+    main()
