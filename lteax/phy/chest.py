@@ -213,6 +213,39 @@ def equalize_res(y: jnp.ndarray, h0: jnp.ndarray, h1, noise_var, n_ant: int):
     return combine_sfbc(y, h0, h1, noise_var)
 
 
+def equalize_mrc(y: jnp.ndarray, h: jnp.ndarray, noise_var):
+    """Maximum-ratio combining over RX antennas (1 TX layer, N_rx >= 1).
+
+    y, h: (..., n_rx, n_re) received REs and per-antenna channel.
+    Returns (x_hat (..., n_re), eff_noise_var (..., n_re)): matched-filter
+    combine x = sum_r conj(h_r) y_r / sum_r |h_r|^2, post-combining noise
+    nv / sum_r |h_r|^2 — the receive-diversity upgrade of equalize_siso
+    (which it reduces to at n_rx=1)."""
+    p = jnp.sum(jnp.abs(h) ** 2, axis=-2)
+    x = jnp.sum(jnp.conj(h) * y, axis=-2) / jnp.maximum(p, 1e-12)
+    return x, noise_var / jnp.maximum(p, 1e-12)
+
+
+def combine_sfbc_mrc(y: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray,
+                     noise_var):
+    """SFBC (2 TX ports) + MRC over RX antennas.
+
+    y, h0, h1: (..., n_rx, n_re) with n_re even; Alamouti combining summed
+    across receive antennas (diversity order 2*n_rx)."""
+    y0, y1 = y[..., 0::2], y[..., 1::2]
+    g0, g1 = h0[..., 0::2], h1[..., 0::2]
+    p = jnp.sum(jnp.abs(g0) ** 2 + jnp.abs(g1) ** 2, axis=-2)
+    x0 = jnp.sum(jnp.conj(g0) * y0 + g1 * jnp.conj(y1),
+                 axis=-2) / jnp.maximum(p, 1e-12)
+    x1 = jnp.sum(jnp.conj(g0) * y1 - g1 * jnp.conj(y0),
+                 axis=-2) / jnp.maximum(p, 1e-12)
+    lead = y.shape[:-2]
+    x = jnp.stack([x0, x1], axis=-1).reshape(*lead, -1)
+    eff = noise_var / jnp.maximum(p, 1e-12)
+    eff_nv = jnp.stack([eff, eff], axis=-1).reshape(*lead, -1)
+    return x * jnp.sqrt(2.0), eff_nv * 2.0
+
+
 def combine_sfbc(y: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, noise_var):
     """Alamouti (SFBC, 2 TX ports, 36.211 §6.3.4.3) combining.
 

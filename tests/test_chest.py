@@ -62,3 +62,50 @@ def test_mmse_beats_ls_under_eva():
         mmse_err.append(np.mean(np.abs(h_mmse[5] - h_true) ** 2))
     assert np.mean(mmse_err) < np.mean(ls_err), (np.mean(mmse_err),
                                                  np.mean(ls_err))
+
+
+def test_mrc_receive_diversity():
+    """equalize_mrc: 2-RX MRC recovers symbols and reports the diversity
+    noise gain; combine_sfbc_mrc matches combine_sfbc at n_rx=1 and
+    decodes a 2TX x 2RX Alamouti transmission."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lteax.phy import chest
+    from lteax.phy.chest import precode_sfbc
+
+    rng = np.random.default_rng(6)
+    m = 256
+    x = (rng.standard_normal(m) + 1j * rng.standard_normal(m)
+         ).astype(np.complex64)
+    h = (rng.standard_normal((2, m)) + 1j * rng.standard_normal((2, m))
+         ).astype(np.complex64)
+    nv = 1e-4
+    noise = (rng.standard_normal((2, m)) + 1j * rng.standard_normal((2, m))
+             ).astype(np.complex64) * np.sqrt(nv / 2)
+    y = h * x[None] + noise
+    xh, eff = chest.equalize_mrc(jnp.asarray(y), jnp.asarray(h), nv)
+    assert float(jnp.median(jnp.abs(xh - jnp.asarray(x)))) < 0.05
+    # diversity: post-combining noise below the better single branch
+    eff1 = nv / np.abs(h) ** 2
+    assert float(jnp.mean(eff)) < float(np.mean(eff1.min(axis=0)))
+
+    # SFBC over 2 RX
+    p0, p1 = precode_sfbc(jnp.asarray(x))
+    g0 = (rng.standard_normal((2, m)) + 1j * rng.standard_normal((2, m))
+          ).astype(np.complex64)
+    g1 = (rng.standard_normal((2, m)) + 1j * rng.standard_normal((2, m))
+          ).astype(np.complex64)
+    # channel ~constant over RE pairs (SFBC assumption)
+    g0 = np.repeat(g0[..., 0::2], 2, axis=-1)
+    g1 = np.repeat(g1[..., 0::2], 2, axis=-1)
+    y2 = g0 * np.asarray(p0)[None] + g1 * np.asarray(p1)[None] + noise
+    xh2, _ = chest.combine_sfbc_mrc(jnp.asarray(y2), jnp.asarray(g0),
+                                    jnp.asarray(g1), nv)
+    assert float(jnp.median(jnp.abs(xh2 - jnp.asarray(x)))) < 0.05
+    # n_rx=1 path equals the plain SFBC combiner
+    a, ea = chest.combine_sfbc_mrc(jnp.asarray(y2[:1]), jnp.asarray(g0[:1]),
+                                   jnp.asarray(g1[:1]), nv)
+    b, eb = chest.combine_sfbc(jnp.asarray(y2[0]), jnp.asarray(g0[0]),
+                               jnp.asarray(g1[0]), nv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ea), np.asarray(eb), rtol=1e-5)
