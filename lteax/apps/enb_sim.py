@@ -41,7 +41,11 @@ from lteax.apps.file_gen import GenConfig, build_subframe_grid
 from lteax.phy.channels import pusch as pusch_mod
 from lteax.phy.channels.pdsch import pdsch_prepare_cbs
 
-UL_ALLOC = dict(n_prb=6, rb_start=0, mcs_tbs=1032, qm=4)  # fixed UL grant
+# fixed UL grant: PRBs 1..4 carry PUSCH; edge PRBs 0 and 5 are the PUCCH
+# region (ACK/NACK on resource m=0, SR on m=1)
+UL_ALLOC = dict(n_prb=4, rb_start=1, mcs_tbs=1032, qm=4)
+PUCCH_M_ACK = 0
+PUCCH_M_SR = 1
 
 SRB_LCID = 0x01
 DRB_LCID = 0x03
@@ -68,6 +72,8 @@ class EnbSim:
         self.sched = DlScheduler(gc.n_rb_dl)
         self.ues: dict[int, _EnbUe] = {}
         self._pending_hi: dict[int, int] = {}
+        self._last_dl: dict[int, bytes] = {}   # last MAC PDU per rnti
+        self._sr_pending: set[int] = set()     # SRs awaiting a DCI-0 grant
         self.pcap = None
         if pcap_path:
             from lteax.io.pcap import MacPcapWriter
@@ -114,12 +120,44 @@ class EnbSim:
                            lcid=DRB_LCID)
 
     def handle_pusch(self, rnti: int, ul_grid: np.ndarray, sf: int) -> None:
-        """Decode one UE PUSCH subframe grid -> DRB UL SDUs."""
+        """Process one UE UL subframe: PUCCH (ACK/NACK + SR) and, when
+        present, the PUSCH data region -> DRB UL SDUs.
+
+        Accepts either a full-band (14, n_rb*12) grid with the PUCCH
+        region at the edge PRBs, or the legacy PUSCH-only subgrid."""
         import jax.numpy as _jnp
+        from lteax.phy.channels import pucch
         alloc = pusch_mod.PuschAlloc(**UL_ALLOC)
+        ul_grid = np.asarray(ul_grid).astype(np.complex64)
+        full_band = ul_grid.shape[-1] == self.gc.n_rb_dl * 12
+        if full_band:
+            n_rb = self.gc.n_rb_dl
+            # HARQ ACK/NACK for our last DL transmission (format 1a)
+            if pucch.pucch_present(ul_grid, PUCCH_M_ACK, n_rb):
+                res = pucch.pucch_extract(ul_grid, PUCCH_M_ACK, n_rb)
+                (bit,), _ = pucch.pucch_format1_decode(
+                    res, self.gc.n_cell_id, sf, n_bits=1)
+                if bit == 1:               # HARQ-ACK bit 1 = ACK
+                    self._last_dl.pop(rnti, None)
+                else:                      # NACK: requeue the MAC SDUs
+                    payload = self._last_dl.pop(rnti, None)
+                    if payload is not None:
+                        subs = [s for s in mac_pdu.unpack_mac_pdu(payload)
+                                if s.lcid in (SRB_LCID, DRB_LCID)]
+                        for s_ in reversed(subs):
+                            self.sched.ues[rnti].queue.appendleft(
+                                (s_.lcid, s_.payload))
+            # scheduling request -> UL grant (DCI 0) on the next DL TTI
+            if pucch.pucch_present(ul_grid, PUCCH_M_SR, n_rb):
+                self._sr_pending.add(rnti)
+            sub = ul_grid[:, 12 * alloc.rb_start:
+                          12 * (alloc.rb_start + alloc.n_prb)]
+            # PUSCH presence: DM-RS symbol energy in the data region
+            if float(np.mean(np.abs(sub[3]) ** 2)) < 0.1:
+                return
+            ul_grid = sub
         bits, ok, _ = pusch_mod.pusch_decode(
-            _jnp.asarray(np.asarray(ul_grid).astype(np.complex64)), alloc,
-            rnti, sf, self.gc.n_cell_id)
+            _jnp.asarray(ul_grid), alloc, rnti, sf, self.gc.n_cell_id)
         ok = bool(np.asarray(ok))
         # HARQ indicator on the next DL subframe's PHICH (group 0)
         self._pending_hi[self.ues[rnti].n_phich_seq] = 1 if ok else 0
@@ -184,7 +222,7 @@ class EnbSim:
                     if s.lcid in (SRB_LCID, DRB_LCID)]
             for s_ in reversed(subs):
                 self.sched.ues[g.rnti].queue.appendleft((s_.lcid, s_.payload))
-        if not grants:
+        if not grants and not self._sr_pending:
             return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
         if self.pcap is not None:
             for g in grants:
@@ -195,6 +233,16 @@ class EnbSim:
             bits = dci_1a_pack(Dci1A(rb_start=g.rb_start, l_crb=g.n_prb,
                                      mcs=g.mcs, rv=0, tpc=1), cfg.n_rb_dl)
             dcis.append((bits, g.rnti, 4 * i, 4))
+            self._last_dl[g.rnti] = g.payload
+        # answer pending SRs with UL grants (DCI 0) in leftover CCEs
+        if self._sr_pending and len(dcis) < max_dcis:
+            from lteax.phy.channels.dci import Dci0, dci_0_pack, dci_1a_size
+            for rnti in sorted(self._sr_pending)[:max_dcis - len(dcis)]:
+                b0 = dci_0_pack(Dci0(rb_start=UL_ALLOC["rb_start"],
+                                     l_crb=UL_ALLOC["n_prb"], mcs=0),
+                                cfg.n_rb_dl, dci_1a_size(cfg.n_rb_dl))
+                dcis.append((b0, rnti, 4 * len(dcis), 4))
+                self._sr_pending.discard(rnti)
         pd_syms = pdcch_mod.pdcch_encode(dcis, gc.phy, cid, gc.ctrl_syms,
                                          gc.phich_resource, sf,
                                          n_ant=gc.n_ant)
@@ -218,8 +266,14 @@ class EnbSim:
 class UeSim:
     """Blind DL decode at one C-RNTI + RLC/PDCP receive entities."""
 
-    def __init__(self, gc: GenConfig, rnti: int, k_enb: bytes):
+    def __init__(self, gc: GenConfig, rnti: int, k_enb: bytes,
+                 standing_grant: bool = True):
         self.gc, self.cfg, self.rnti = gc, gc.phy, rnti
+        # UL control state: standing_grant=False requires an SR -> DCI-0
+        # grant handshake before PUSCH; pending_ack carries HARQ feedback
+        # for the last DL TB (1 = ACK) onto the next PUCCH
+        self.granted = standing_grant
+        self.pending_ack: int | None = None
         ke, ki, ku = generate_as_keys(k_enb)
         self.srb_pdcp = PdcpEntity(srb=True, rb_id=1, direction_tx=0,
                                    k_enc=ke, k_int=ki)
@@ -236,11 +290,29 @@ class UeSim:
         self._ul_queue.append(self.ul_tx.send(self.drb_pdcp.encode(sdu)))
 
     def ul_tti_grid(self, sf: int) -> np.ndarray | None:
-        """(14, m_sc) SC-FDMA grid for this TTI's fixed UL grant, or None
-        when the UL buffer is empty."""
-        if not self._ul_queue:
-            return None
+        """Full-band (14, n_rb*12) UL grid for this TTI: PUSCH in the
+        granted PRBs, HARQ ACK/NACK on PUCCH m=0, SR on PUCCH m=1.
+        None when there is nothing to send."""
+        from lteax.phy.channels import pucch
+        n_rb = self.gc.n_rb_dl
         alloc = pusch_mod.PuschAlloc(**UL_ALLOC)
+        want_data = bool(self._ul_queue)
+        want_sr = want_data and not self.granted
+        want_ack = self.pending_ack is not None
+        if not (want_ack or want_sr or (want_data and self.granted)):
+            return None
+        full = np.zeros((14, n_rb * 12), np.complex64)
+        if want_ack:
+            syms = pucch.pucch_format1_encode((self.pending_ack,),
+                                              self.gc.n_cell_id, sf)
+            full = pucch.pucch_map_format1(full, syms, PUCCH_M_ACK, n_rb)
+            self.pending_ack = None
+        if want_sr:
+            syms = pucch.pucch_format1_encode((), self.gc.n_cell_id, sf)
+            full = pucch.pucch_map_format1(full, syms, PUCCH_M_SR, n_rb)
+            return full
+        if not want_data or not self.granted:
+            return full
         nbytes = alloc.mcs_tbs // 8
         subs = []
         used = 0
@@ -249,14 +321,17 @@ class UeSim:
             subs.append(mac_pdu.MacSubPdu(DRB_LCID, pdu))
             used += len(pdu) + 3
         if not subs:
-            return None
+            return full if (want_ack or want_sr) else None
         payload = mac_pdu.pack_mac_pdu(subs, pad_to=nbytes)
         tb = np.unpackbits(np.frombuffer(payload, np.uint8)).astype(np.int64)
         cbs = jnp.asarray(pdsch_prepare_cbs(tb, alloc.geom))
         grid = pusch_mod.pusch_encode_cbs(cbs, alloc, self.rnti, sf,
                                           self.gc.n_cell_id)
-        return pusch_mod.pusch_add_dmrs(np.asarray(grid), alloc,
+        grid = pusch_mod.pusch_add_dmrs(np.asarray(grid), alloc,
                                         self.gc.n_cell_id, sf)
+        full[:, 12 * alloc.rb_start:
+             12 * (alloc.rb_start + alloc.n_prb)] = grid
+        return full
 
     def read_phich(self, grid: np.ndarray, sf: int, n_seq: int = 0,
                    group: int = 0) -> bool:
@@ -280,6 +355,11 @@ class UeSim:
         logical = pdcch_mod.pdcch_llrs_to_logical(
             llr, cfg, cid, gc.ctrl_syms, gc.phich_resource, sf)
         n_cce = pdcch_mod.n_cce(cfg, cid, gc.ctrl_syms, gc.phich_resource)
+        # UL grant (DCI 0) answering our SR
+        found0 = pdcch_mod.pdcch_blind_decode_0(logical, cfg.n_rb_dl,
+                                                self.rnti, n_cce)
+        if found0:
+            self.granted = True
         found = pdcch_mod.pdcch_blind_decode_1a(logical, cfg.n_rb_dl,
                                                 self.rnti, n_cce)
         if not found:
@@ -294,7 +374,9 @@ class UeSim:
         bits, ok, _ = pdsch_mod.pdsch_decode_llrs(llr_d, geom, self.rnti,
                                                   sf, cid)
         if not bool(np.asarray(ok)):
+            self.pending_ack = 0           # NACK on the next PUCCH
             return None
+        self.pending_ack = 1               # ACK
         payload = np.packbits(np.asarray(bits).astype(np.uint8)).tobytes()
         status = None
         for sub in mac_pdu.unpack_mac_pdu(payload):

@@ -227,3 +227,11 @@ def pdcch_blind_decode_2(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
     from lteax.phy.channels.dci import dci_2_size, dci_2_unpack
     return _blind_decode(logical_llrs, dci_2_size(n_rb), rnti, n_cces,
                          lambda b: dci_2_unpack(b, n_rb))
+
+
+def pdcch_blind_decode_0(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                         n_cces: int) -> list:
+    """Blind-decode DCI format 0 (UL grants; same padded size as 1A)."""
+    from lteax.phy.channels.dci import dci_1a_size, dci_0_unpack
+    return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
+                         lambda b: dci_0_unpack(b, n_rb))

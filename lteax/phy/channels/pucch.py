@@ -211,3 +211,43 @@ def pucch_format2_decode(rx: np.ndarray, n_cell_id: int, subframe: int,
     c = seq_mod.gold_sequence_np(cinit, 20)
     llr *= (1.0 - 2.0 * c)
     return rm20_decode(llr, a)
+
+
+# ---------------------------------------------------------------------------
+# Grid mapping (36.211 §5.4.3): PUCCH region at the band edges with slot
+# hopping — resource m occupies PRB m//2 at one edge in one slot and the
+# mirrored PRB in the other.
+# ---------------------------------------------------------------------------
+
+def pucch_prb(m: int, slot: int, n_rb_ul: int) -> int:
+    """PRB index of PUCCH resource m in the given slot (0/1)."""
+    if (m + slot) % 2 == 0:
+        return m // 2
+    return n_rb_ul - 1 - m // 2
+
+
+def pucch_map_format1(grid: np.ndarray, syms: np.ndarray, m: int,
+                      n_rb_ul: int) -> np.ndarray:
+    """Place (2, 7, 12) format-1 symbols into a (14, n_rb_ul*12) UL grid."""
+    g = np.asarray(grid).copy()
+    for slot in range(2):
+        prb = pucch_prb(m, slot, n_rb_ul)
+        g[slot * 7:(slot + 1) * 7, prb * 12:(prb + 1) * 12] = syms[slot]
+    return g
+
+
+def pucch_extract(grid: np.ndarray, m: int, n_rb_ul: int) -> np.ndarray:
+    """Gather PUCCH resource m back out of a (14, n_rb_ul*12) grid."""
+    g = np.asarray(grid)
+    out = np.zeros((2, 7, 12), dtype=np.complex64)
+    for slot in range(2):
+        prb = pucch_prb(m, slot, n_rb_ul)
+        out[slot] = g[slot * 7:(slot + 1) * 7, prb * 12:(prb + 1) * 12]
+    return out
+
+
+def pucch_present(grid: np.ndarray, m: int, n_rb_ul: int,
+                  thresh: float = 0.1) -> bool:
+    """Energy detector: mean per-RE power on resource m above thresh."""
+    res = pucch_extract(grid, m, n_rb_ul)
+    return float(np.mean(np.abs(res) ** 2)) > thresh

@@ -121,3 +121,51 @@ def test_ul_with_phich_feedback():
     # and a grid without PHICH reads as NACK-ish / not-ACK
     dl2 = enb.tti_grid(0, 4)
     assert ue.read_phich(dl2, 4, n_seq=0) is False
+
+
+def test_pucch_sr_grant_and_harq_ack_loop():
+    """UL control loop: UE without a standing grant raises an SR on PUCCH
+    m=1, the eNB answers with a DCI-0 UL grant, the UE then sends PUSCH;
+    HARQ ACK/NACK on PUCCH m=0 drives DL MAC retransmission."""
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    enb = EnbSim(gc)
+    enb.add_ue(0x100, K1)
+    ue = UeSim(gc, 0x100, K1, standing_grant=False)
+    ue.send_ul(b"ul-needs-grant")
+    assert not ue.granted
+
+    # TTI 1: UE sends SR-only grid; eNB detects it
+    g_ul = ue.ul_tti_grid(1)
+    assert g_ul is not None and g_ul.shape == (14, 72)
+    enb.handle_pusch(0x100, g_ul, 1)
+    assert 0x100 in enb._sr_pending
+    assert enb.ues[0x100].ul_sdus == []    # SR-only: no data decoded yet
+
+    # TTI 2: eNB DL carries the DCI-0 grant; UE decodes it
+    grid = enb.tti_grid(0, 2)
+    ue.handle_grid(grid, 2)
+    assert ue.granted
+
+    # TTI 3: UE now transmits PUSCH; eNB decodes the UL SDU
+    g_ul = ue.ul_tti_grid(3)
+    enb.handle_pusch(0x100, g_ul, 3)
+    assert enb.ues[0x100].ul_sdus == [b"ul-needs-grant"]
+
+    # --- HARQ feedback: corrupt a DL data subframe -> NACK -> retx ---
+    enb.send_data(0x100, b"harq-payload")
+    grid = enb.tti_grid(0, 4)              # carries the DL TB
+    assert 0x100 in enb._last_dl
+    noisy = np.asarray(grid).copy()        # corrupt PDSCH, keep PDCCH
+    noisy[4:] += 10.0
+    ue.handle_grid(noisy, 4)
+    assert ue.pending_ack == 0             # CRC failed -> NACK queued
+    g_ul = ue.ul_tti_grid(6)               # PUCCH NACK (no UL data left)
+    enb.handle_pusch(0x100, g_ul, 6)
+    # NACK requeued the MAC SDUs; next TTI retransmits
+    grid = enb.tti_grid(0, 7)
+    ue.handle_grid(grid, 7)
+    assert ue.data_sdus == [b"harq-payload"]
+    assert ue.pending_ack == 1             # ACK for the retransmission
+    g_ul = ue.ul_tti_grid(8)
+    enb.handle_pusch(0x100, g_ul, 8)
+    assert 0x100 not in enb._last_dl       # ACK cleared the retx buffer
