@@ -55,6 +55,29 @@ def record(in_path: str, out_path: str, in_fmt: str = "fc32",
     return total
 
 
+def record_tcp(src, out_path: str, n_samples: int, out_fmt: str = "fc32",
+               chunk: int = 1 << 18, timeout_ms: int = 5000,
+               progress=None) -> tuple[int, int]:
+    """Record ``n_samples`` from a live ``native.IqTcpSource`` into a
+    file.  Returns (samples_recorded, overrun_drop_count) — the drop
+    counter is the reference's radio-overrun accounting equivalent."""
+    out_chunks = []
+    total = 0
+    while total < n_samples:
+        block = src.read(min(chunk, n_samples - total),
+                         timeout_ms=timeout_ms)
+        if not len(block):
+            break
+        out_chunks.append(block)
+        total += len(block)
+        if progress:
+            progress(total)
+    x = (np.concatenate(out_chunks) if out_chunks
+         else np.zeros(0, np.complex64))
+    write_iq(out_path, x, out_fmt)
+    return total, src.dropped
+
+
 def main(argv=None):
     from lteax.utils.platform import apply_platform_env
     apply_platform_env()

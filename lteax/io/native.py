@@ -104,3 +104,76 @@ class IqStream:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _load_tcp():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.iq_tcp_open, "_wired"):
+        lib.iq_tcp_open.restype = ctypes.c_void_p
+        lib.iq_tcp_open.argtypes = [ctypes.c_uint16, ctypes.c_int,
+                                    ctypes.c_int64]
+        lib.iq_tcp_port.restype = ctypes.c_int
+        lib.iq_tcp_port.argtypes = [ctypes.c_void_p]
+        lib.iq_tcp_connected.restype = ctypes.c_int
+        lib.iq_tcp_connected.argtypes = [ctypes.c_void_p]
+        lib.iq_tcp_dropped.restype = ctypes.c_int64
+        lib.iq_tcp_dropped.argtypes = [ctypes.c_void_p]
+        lib.iq_tcp_read.restype = ctypes.c_int64
+        lib.iq_tcp_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int]
+        lib.iq_tcp_close.argtypes = [ctypes.c_void_p]
+        lib.iq_tcp_open._wired = True
+    return lib
+
+
+class IqTcpSource:
+    """Native TCP IQ ingest: a C++ receive thread converts sc8/sc16/fc32
+    to float32 I/Q into a ring buffer outside the GIL; overruns are
+    dropped and counted (the reference's radio overrun accounting).
+
+    (reference capability: gr-osmosdr / UHD streaming sources of
+    LTE_fdd_dl_scan and LTE_fdd_enb_radio — TCP transport in place of
+    SDR hardware, rtl_tcp-style.)
+    """
+
+    def __init__(self, port: int = 0, fmt: str = "fc32",
+                 ring_samples: int = 1 << 22):
+        self._lib = _load_tcp()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.iq_tcp_open(port, _FMT[fmt], ring_samples)
+        if not self._h:
+            raise OSError(f"cannot bind IQ server on port {port}")
+
+    @property
+    def port(self) -> int:
+        return int(self._lib.iq_tcp_port(self._h))
+
+    @property
+    def connected(self) -> bool:
+        return bool(self._lib.iq_tcp_connected(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.iq_tcp_dropped(self._h))
+
+    def read(self, max_samples: int, timeout_ms: int = 1000) -> np.ndarray:
+        """Up to max_samples complex64 samples (possibly empty)."""
+        out = np.empty(2 * max_samples, dtype=np.float32)
+        n = self._lib.iq_tcp_read(
+            self._h, out.ctypes.data_as(ctypes.c_void_p), max_samples,
+            timeout_ms)
+        return out[:2 * n].view(np.complex64)
+
+    def close(self):
+        if self._h:
+            self._lib.iq_tcp_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

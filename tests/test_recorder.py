@@ -54,3 +54,40 @@ def test_record_via_ctrl(tmp_path):
     th.join(timeout=15)
     assert resp == "ok recorded 5000", resp
     assert len(read_iq(dst, "fc32")) == 5000
+
+
+def test_record_from_tcp_source(tmp_path):
+    """End-to-end live-ingest: a generated capture streamed over TCP as
+    sc8 is recorded to file and scan-decodes to the right cell."""
+    import socket
+    import threading
+    import numpy as np
+    from lteax.io import native
+    from lteax.io.iq import to_iq_f32, read_iq
+    from lteax.apps.recorder import record_tcp
+    from lteax.apps.file_gen import GenConfig, generate
+    from lteax.apps.file_scan import scan
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    gc = GenConfig(n_rb_dl=6, n_cell_id=42, n_frames=2)
+    x = generate(gc)
+    x = (x / (4 * np.max(np.abs(x)))).astype(np.complex64)  # sc8 headroom
+    sc8 = np.clip(np.round(to_iq_f32(x).reshape(-1) * 127), -128,
+                  127).astype(np.int8)
+
+    with native.IqTcpSource(fmt="sc8") as src:
+        def sender():
+            with socket.create_connection(("127.0.0.1", src.port),
+                                          timeout=5) as c:
+                c.sendall(sc8.tobytes())
+        t = threading.Thread(target=sender)
+        t.start()
+        out = str(tmp_path / "cap.fc32")
+        n, dropped = record_tcp(src, out, n_samples=len(x))
+        t.join()
+    assert n == len(x) and dropped == 0
+    r = scan(read_iq(out, "fc32"), gc.phy)
+    assert r.n_cell_id == 42 and r.mib is not None
