@@ -33,12 +33,17 @@ from lteax.utils.checkpoint import ScanCheckpoint
 
 
 class StreamScanService:
-    def __init__(self, path: str, cfg: PhyConfig, fmt: str = "fc32",
+    def __init__(self, path: str | None, cfg: PhyConfig, fmt: str = "fc32",
                  window_sf: int = 60, ckpt_path: str | None = None,
-                 port: int = 0):
+                 port: int = 0, tcp_source=None, live_idle_s: float = 5.0):
+        """path is the capture file; alternatively pass a live
+        ``native.IqTcpSource`` as tcp_source (rtl_tcp-style ingest) and
+        windows are scanned as samples arrive."""
         self.path = path
         self.cfg = cfg
         self.fmt = fmt
+        self.tcp = tcp_source
+        self.live_idle_s = live_idle_s
         self.window_sf = window_sf
         self.ckpt = ScanCheckpoint(ckpt_path) if ckpt_path else None
         self.results: dict[int, dict] = {}
@@ -55,13 +60,31 @@ class StreamScanService:
 
     def status(self) -> dict:
         last = self.results.get(self.windows_done - 1, {})
-        return {"windows_done": self.windows_done,
-                "window_sf": self.window_sf,
-                "last_cell_id": last.get("n_cell_id"),
-                "running": not self._stop.is_set()}
+        d = {"windows_done": self.windows_done,
+             "window_sf": self.window_sf,
+             "last_cell_id": last.get("n_cell_id"),
+             "running": not self._stop.is_set()}
+        if self.tcp is not None:
+            d["live"] = True
+            d["overruns_dropped"] = self.tcp.dropped
+        return d
 
     def _read_window(self, w: int) -> np.ndarray:
         n = self.window_sf * self.cfg.n_samps_subframe
+        if self.tcp is not None:
+            chunks, got, idle = [], 0, 0.0
+            while got < n and not self._stop.is_set():
+                b = self.tcp.read(n - got, timeout_ms=500)
+                if len(b):
+                    chunks.append(b)
+                    got += len(b)
+                    idle = 0.0
+                else:
+                    idle += 0.5
+                    if idle >= self.live_idle_s:
+                        break              # sender idle/gone: partial window
+            return (np.concatenate(chunks) if chunks
+                    else np.zeros(0, np.complex64))
         off = w * n
         if native.available():
             # native reader returns (n, 2) float32 IQ pairs
@@ -104,8 +127,11 @@ def main(argv=None):
     from lteax.utils.platform import apply_platform_env
     apply_platform_env()
     ap = argparse.ArgumentParser(description="streaming LTE capture scanner")
-    ap.add_argument("path")
-    ap.add_argument("--fmt", default="fc32", choices=("fc32", "sc8"))
+    ap.add_argument("path", nargs="?", default=None)
+    ap.add_argument("--tcp-port", type=int, default=None,
+                    help="listen for live IQ on this TCP port instead of "
+                         "reading a file (0 = ephemeral; rtl_tcp-style)")
+    ap.add_argument("--fmt", default="fc32", choices=("fc32", "sc8", "sc16"))
     ap.add_argument("--n-rb", type=int, default=6)
     ap.add_argument("--window-sf", type=int, default=60)
     ap.add_argument("--max-windows", type=int, default=None)
@@ -113,14 +139,23 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=0)
     args = ap.parse_args(argv)
 
+    src = None
+    if args.tcp_port is not None:
+        src = native.IqTcpSource(port=args.tcp_port, fmt=args.fmt)
+        print(f"iq port {src.port}", flush=True)
+    elif args.path is None:
+        ap.error("either a capture path or --tcp-port is required")
     svc = StreamScanService(args.path, PhyConfig(n_rb_dl=args.n_rb),
                             fmt=args.fmt, window_sf=args.window_sf,
-                            ckpt_path=args.checkpoint, port=args.port)
+                            ckpt_path=args.checkpoint, port=args.port,
+                            tcp_source=src)
     print(f"ctrl port {svc.ctrl.port}", flush=True)
     try:
         results = svc.run(max_windows=args.max_windows)
     finally:
         svc.stop()
+        if src is not None:
+            src.close()
     for w in sorted(results):
         print(json.dumps(results[w]))
     return 0

@@ -146,21 +146,27 @@ class IqTcpSource:
         self._h = self._lib.iq_tcp_open(port, _FMT[fmt], ring_samples)
         if not self._h:
             raise OSError(f"cannot bind IQ server on port {port}")
+        self._port = int(self._lib.iq_tcp_port(self._h))
+        self._dropped = 0
 
     @property
     def port(self) -> int:
-        return int(self._lib.iq_tcp_port(self._h))
+        return self._port
 
     @property
     def connected(self) -> bool:
-        return bool(self._lib.iq_tcp_connected(self._h))
+        return bool(self._h) and bool(self._lib.iq_tcp_connected(self._h))
 
     @property
     def dropped(self) -> int:
-        return int(self._lib.iq_tcp_dropped(self._h))
+        if self._h:
+            self._dropped = int(self._lib.iq_tcp_dropped(self._h))
+        return self._dropped
 
     def read(self, max_samples: int, timeout_ms: int = 1000) -> np.ndarray:
         """Up to max_samples complex64 samples (possibly empty)."""
+        if not self._h:
+            return np.zeros(0, dtype=np.complex64)
         out = np.empty(2 * max_samples, dtype=np.float32)
         n = self._lib.iq_tcp_read(
             self._h, out.ctypes.data_as(ctypes.c_void_p), max_samples,
@@ -169,6 +175,7 @@ class IqTcpSource:
 
     def close(self):
         if self._h:
+            self._dropped = int(self._lib.iq_tcp_dropped(self._h))
             self._lib.iq_tcp_close(self._h)
             self._h = None
 

@@ -60,3 +60,49 @@ def test_stream_scan_ctrl_status_and_stop(tmp_path):
         assert not st["running"]
     finally:
         svc.stop()
+
+
+def test_stream_scan_live_tcp():
+    """Live scanning service: IQ streamed over TCP (sc8), scanned window
+    by window; status reports live mode and results carry the cell."""
+    import socket
+    import threading
+    import numpy as np
+    from lteax.io import native
+    from lteax.io.iq import to_iq_f32
+    from lteax.apps.file_gen import GenConfig, generate
+    from lteax.apps.stream_scan import StreamScanService
+    from lteax.phy.config import PhyConfig
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    gc = GenConfig(n_rb_dl=6, n_cell_id=55, n_frames=4)
+    x = generate(gc)
+    x = (x / (4 * np.max(np.abs(x)))).astype(np.complex64)
+    sc8 = np.clip(np.round(to_iq_f32(x).reshape(-1) * 127), -128,
+                  127).astype(np.int8)
+
+    with native.IqTcpSource(fmt="sc8") as src:
+        svc = StreamScanService(None, PhyConfig(n_rb_dl=6), fmt="sc8",
+                                window_sf=40, tcp_source=src,
+                                live_idle_s=2.0)
+
+        def sender():
+            with socket.create_connection(("127.0.0.1", src.port),
+                                          timeout=5) as c:
+                for i in range(0, len(sc8), 8192):   # trickle in chunks
+                    c.sendall(sc8[i:i + 8192].tobytes())
+
+        t = threading.Thread(target=sender)
+        t.start()
+        try:
+            results = svc.run(max_windows=1)
+            st = svc.status()
+        finally:
+            t.join()
+            svc.stop()
+    assert results[0]["n_cell_id"] == 55
+    assert results[0]["mib"]["n_rb_dl"] == 6
+    assert st["live"] and st["overruns_dropped"] == 0
