@@ -42,10 +42,24 @@ from lteax.phy.channels import pusch as pusch_mod
 from lteax.phy.channels.pdsch import pdsch_prepare_cbs
 
 # fixed UL grant: PRBs 1..4 carry PUSCH; edge PRBs 0 and 5 are the PUCCH
-# region (ACK/NACK on resource m=0, SR on m=1)
+# region.  Resource m=0 carries format 1 with code multiplexing (HARQ
+# ACK/NACK on orthogonal cover 0, SR on cover 1 — 36.211 §5.4.1 style);
+# resource m=1 (the complementary slot-hop pattern on the same edge PRBs)
+# carries the periodic wideband CQI on format 2.
 UL_ALLOC = dict(n_prb=4, rb_start=1, mcs_tbs=1032, qm=4)
-PUCCH_M_ACK = 0
-PUCCH_M_SR = 1
+PUCCH_M_F1 = 0
+PUCCH_OC_ACK = 0
+PUCCH_OC_SR = 1
+PUCCH_M_CQI = 1
+PUCCH_F1_DETECT = 12.0     # despread-metric presence threshold (~96 at |h|=1)
+
+
+def cqi_from_snr_db(snr_db: float) -> int:
+    """Wideband SNR -> CQI index 1..15.
+
+    Thresholds follow the ~1.9 dB/step spectral-efficiency ladder of
+    36.213 Table 7.2.3-1 (CQI 1 usable from about -6.7 dB AWGN)."""
+    return int(np.clip(np.floor((snr_db + 6.7) / 1.9) + 1, 1, 15))
 
 SRB_LCID = 0x01
 DRB_LCID = 0x03
@@ -132,11 +146,13 @@ class EnbSim:
         full_band = ul_grid.shape[-1] == self.gc.n_rb_dl * 12
         if full_band:
             n_rb = self.gc.n_rb_dl
-            # HARQ ACK/NACK for our last DL transmission (format 1a)
-            if pucch.pucch_present(ul_grid, PUCCH_M_ACK, n_rb):
-                res = pucch.pucch_extract(ul_grid, PUCCH_M_ACK, n_rb)
-                (bit,), _ = pucch.pucch_format1_decode(
-                    res, self.gc.n_cell_id, sf, n_bits=1)
+            # format-1 resource m=0: ACK/NACK and SR are code-multiplexed
+            # on different orthogonal covers; despread each and detect by
+            # metric (energy can't separate covers sharing the PRB pair)
+            res1 = pucch.pucch_extract(ul_grid, PUCCH_M_F1, n_rb)
+            (bit,), met = pucch.pucch_format1_decode(
+                res1, self.gc.n_cell_id, sf, oc_idx=PUCCH_OC_ACK, n_bits=1)
+            if met > PUCCH_F1_DETECT:      # HARQ ACK/NACK present
                 if bit == 1:               # HARQ-ACK bit 1 = ACK
                     self._last_dl.pop(rnti, None)
                 else:                      # NACK: requeue the MAC SDUs
@@ -148,8 +164,18 @@ class EnbSim:
                             self.sched.ues[rnti].queue.appendleft(
                                 (s_.lcid, s_.payload))
             # scheduling request -> UL grant (DCI 0) on the next DL TTI
-            if pucch.pucch_present(ul_grid, PUCCH_M_SR, n_rb):
+            _, sr_met = pucch.pucch_format1_decode(
+                res1, self.gc.n_cell_id, sf, oc_idx=PUCCH_OC_SR, n_bits=0)
+            if sr_met > PUCCH_F1_DETECT:
                 self._sr_pending.add(rnti)
+            # periodic wideband CQI (format 2, 4 bits) -> link adaptation
+            if pucch.pucch_present(ul_grid, PUCCH_M_CQI, n_rb):
+                res = pucch.pucch_extract(ul_grid, PUCCH_M_CQI, n_rb)
+                bits, _ = pucch.pucch_format2_decode(
+                    res, self.gc.n_cell_id, sf, rnti, a=4)
+                cqi = int(sum(int(b) << i for i, b in enumerate(bits)))
+                if 1 <= cqi <= 15:
+                    self.sched.update_cqi(rnti, cqi)
             sub = ul_grid[:, 12 * alloc.rb_start:
                           12 * (alloc.rb_start + alloc.n_prb)]
             # PUSCH presence: DM-RS symbol energy in the data region
@@ -267,13 +293,19 @@ class UeSim:
     """Blind DL decode at one C-RNTI + RLC/PDCP receive entities."""
 
     def __init__(self, gc: GenConfig, rnti: int, k_enb: bytes,
-                 standing_grant: bool = True):
+                 standing_grant: bool = True, cqi_period: int = 0):
         self.gc, self.cfg, self.rnti = gc, gc.phy, rnti
         # UL control state: standing_grant=False requires an SR -> DCI-0
         # grant handshake before PUSCH; pending_ack carries HARQ feedback
         # for the last DL TB (1 = ACK) onto the next PUCCH
         self.granted = standing_grant
         self.pending_ack: int | None = None
+        # periodic wideband CQI: measure every cqi_period data subframes
+        # (0 = reporting off), carry it on the next PUCCH (format 2, m=2)
+        self.cqi_period = cqi_period
+        self.meas_cqi: int | None = None
+        self._cqi_ctr = 0
+        self._cqi_due = False
         ke, ki, ku = generate_as_keys(k_enb)
         self.srb_pdcp = PdcpEntity(srb=True, rb_id=1, direction_tx=0,
                                    k_enc=ke, k_int=ki)
@@ -299,17 +331,28 @@ class UeSim:
         want_data = bool(self._ul_queue)
         want_sr = want_data and not self.granted
         want_ack = self.pending_ack is not None
-        if not (want_ack or want_sr or (want_data and self.granted)):
+        want_cqi = self._cqi_due and self.meas_cqi is not None
+        if not (want_ack or want_sr or want_cqi
+                or (want_data and self.granted)):
             return None
         full = np.zeros((14, n_rb * 12), np.complex64)
         if want_ack:
             syms = pucch.pucch_format1_encode((self.pending_ack,),
-                                              self.gc.n_cell_id, sf)
-            full = pucch.pucch_map_format1(full, syms, PUCCH_M_ACK, n_rb)
+                                              self.gc.n_cell_id, sf,
+                                              oc_idx=PUCCH_OC_ACK)
+            full = pucch.pucch_map_format1(full, syms, PUCCH_M_F1, n_rb)
             self.pending_ack = None
+        if want_cqi:
+            bits = [(self.meas_cqi >> i) & 1 for i in range(4)]
+            syms = pucch.pucch_format2_encode(np.asarray(bits),
+                                              self.gc.n_cell_id, sf,
+                                              self.rnti)
+            full = pucch.pucch_map_format1(full, syms, PUCCH_M_CQI, n_rb)
+            self._cqi_due = False
         if want_sr:
-            syms = pucch.pucch_format1_encode((), self.gc.n_cell_id, sf)
-            full = pucch.pucch_map_format1(full, syms, PUCCH_M_SR, n_rb)
+            syms = pucch.pucch_format1_encode((), self.gc.n_cell_id, sf,
+                                              oc_idx=PUCCH_OC_SR)
+            full = pucch.pucch_map_format1(full, syms, PUCCH_M_F1, n_rb)
             return full
         if not want_data or not self.granted:
             return full
@@ -321,7 +364,7 @@ class UeSim:
             subs.append(mac_pdu.MacSubPdu(DRB_LCID, pdu))
             used += len(pdu) + 3
         if not subs:
-            return full if (want_ack or want_sr) else None
+            return full if (want_ack or want_sr or want_cqi) else None
         payload = mac_pdu.pack_mac_pdu(subs, pad_to=nbytes)
         tb = np.unpackbits(np.frombuffer(payload, np.uint8)).astype(np.int64)
         cbs = jnp.asarray(pdsch_prepare_cbs(tb, alloc.geom))
@@ -332,6 +375,17 @@ class UeSim:
         full[:, 12 * alloc.rb_start:
              12 * (alloc.rb_start + alloc.n_prb)] = grid
         return full
+
+    def _measure_cqi(self, grid: np.ndarray, sf: int) -> None:
+        """Wideband CQI from the CRS: mean |H|^2 over the grid vs the
+        symbol-pair noise-variance estimate (36.213 §7.2 UE procedure)."""
+        from lteax.phy import chest
+        g = jnp.asarray(np.asarray(grid))
+        h = chest.estimate_channel(g, self.cfg, self.gc.n_cell_id, sf, 0)
+        nv = chest.estimate_noise_var(g, self.cfg, self.gc.n_cell_id, sf)
+        snr = float(jnp.mean(jnp.abs(h) ** 2) / nv)
+        self.meas_cqi = cqi_from_snr_db(10.0 * np.log10(max(snr, 1e-9)))
+        self._cqi_due = True
 
     def read_phich(self, grid: np.ndarray, sf: int, n_seq: int = 0,
                    group: int = 0) -> bool:
@@ -348,6 +402,10 @@ class UeSim:
         gc, cfg, cid = self.gc, self.cfg, self.gc.n_cell_id
         if sf in (0, 5, 9):
             return None
+        if self.cqi_period:
+            self._cqi_ctr += 1
+            if self._cqi_ctr % self.cqi_period == 0:
+                self._measure_cqi(grid, sf)
         flat = jnp.asarray(np.asarray(grid).reshape(-1))
         pd_idx = pdcch_flat_idx(cfg, cid, gc.ctrl_syms,
                                 gc.phich_resource).reshape(-1)

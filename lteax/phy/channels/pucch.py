@@ -228,11 +228,14 @@ def pucch_prb(m: int, slot: int, n_rb_ul: int) -> int:
 
 def pucch_map_format1(grid: np.ndarray, syms: np.ndarray, m: int,
                       n_rb_ul: int) -> np.ndarray:
-    """Place (2, 7, 12) format-1 symbols into a (14, n_rb_ul*12) UL grid."""
+    """Superpose (2, 7, 12) PUCCH symbols into a (14, n_rb_ul*12) UL grid.
+
+    Additive so code-multiplexed resources (same m, different orthogonal
+    cover / cyclic shift) can share a PRB pair, 36.211 §5.4.1 style."""
     g = np.asarray(grid).copy()
     for slot in range(2):
         prb = pucch_prb(m, slot, n_rb_ul)
-        g[slot * 7:(slot + 1) * 7, prb * 12:(prb + 1) * 12] = syms[slot]
+        g[slot * 7:(slot + 1) * 7, prb * 12:(prb + 1) * 12] += syms[slot]
     return g
 
 

@@ -12,6 +12,12 @@ from collections import deque
 from lteax.phy.tables.tbs import get_tbs_for_mcs, pick_mcs_for_size, TBS_COLUMNS
 from lteax.stack import mac_pdu
 
+# wideband CQI (36.213 Table 7.2.3-1 efficiency classes) -> highest MCS the
+# scheduler will pick; the exact mapping is implementation-defined in the
+# spec — this one tracks the CQI table's spectral-efficiency ladder
+CQI_TO_MCS = {1: 0, 2: 0, 3: 2, 4: 4, 5: 6, 6: 8, 7: 11, 8: 13, 9: 15,
+              10: 18, 11: 20, 12: 22, 13: 24, 14: 26, 15: 28}
+
 SI_RNTI = 0xFFFF
 RA_RNTI_BASE = 0x0001
 
@@ -63,6 +69,10 @@ class DlScheduler:
 
     def enqueue(self, rnti: int, sdu: bytes, lcid: int = 0x03) -> None:
         self.ues[rnti].queue.append((lcid, sdu))
+
+    def update_cqi(self, rnti: int, cqi: int) -> None:
+        """Wideband CQI report (1..15) -> per-UE MCS cap (link adaptation)."""
+        self.ues[rnti].cqi_mcs = CQI_TO_MCS[max(1, min(15, cqi))]
 
     def on_prach(self, rapid: int) -> int:
         tc = self._next_tc_rnti

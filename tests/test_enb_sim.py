@@ -123,6 +123,38 @@ def test_ul_with_phich_feedback():
     assert ue.read_phich(dl2, 4, n_seq=0) is False
 
 
+def test_cqi_report_link_adaptation():
+    """Periodic wideband CQI loop: UE measures SNR from the CRS, reports
+    on PUCCH format 2 (m=2), the eNB scheduler adapts its MCS cap."""
+    from lteax.stack.mac_sched import CQI_TO_MCS
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    enb = EnbSim(gc)
+    enb.add_ue(0x100, K1, cqi_mcs=9)
+    ue = UeSim(gc, 0x100, K1, cqi_period=1)
+    rng = np.random.default_rng(7)
+
+    # clean DL grid -> high SNR -> CQI 15 -> MCS cap 28
+    grid = enb.tti_grid(0, 1)
+    ue.handle_grid(grid, 1)
+    assert ue.meas_cqi == 15
+    g_ul = ue.ul_tti_grid(2)
+    assert g_ul is not None
+    enb.handle_pusch(0x100, g_ul, 2)
+    assert enb.sched.ues[0x100].cqi_mcs == CQI_TO_MCS[15]
+
+    # noisy DL grid (~3 dB SNR) -> mid-range CQI -> lower MCS cap
+    noisy = np.asarray(enb.tti_grid(0, 3)).astype(np.complex64)
+    nv = 10 ** (-3 / 10)
+    noisy += (rng.normal(size=noisy.shape) + 1j * rng.normal(
+        size=noisy.shape)).astype(np.complex64) * np.sqrt(nv / 2)
+    ue.handle_grid(noisy, 3)
+    assert ue.meas_cqi is not None and 3 <= ue.meas_cqi <= 9
+    g_ul = ue.ul_tti_grid(4)
+    enb.handle_pusch(0x100, g_ul, 4)
+    assert enb.sched.ues[0x100].cqi_mcs == CQI_TO_MCS[ue.meas_cqi]
+    assert enb.sched.ues[0x100].cqi_mcs < CQI_TO_MCS[15]
+
+
 def test_pucch_sr_grant_and_harq_ack_loop():
     """UL control loop: UE without a standing grant raises an SR on PUCCH
     m=1, the eNB answers with a DCI-0 UL grant, the UE then sends PUSCH;
