@@ -1,0 +1,74 @@
+"""Dedicated-mode RRC codec round-trips (UL/DL CCCH + DCCH)."""
+
+import numpy as np
+import pytest
+
+from lteax.stack import rrc_dedicated as rd
+
+
+def test_connection_request_roundtrip():
+    for ident in (("random", 0x5A5A5A5A5A), ("stmsi", 0x42, 0xDEADBEEF)):
+        m = rd.RrcConnectionRequest(cause="mo-Data", identity=ident)
+        out = rd.unpack_ul_ccch(rd.pack_ul_ccch(m))
+        assert out == m
+
+
+def test_connection_setup_roundtrip():
+    m = rd.RrcConnectionSetup(
+        rrc_ti=2,
+        rrcd=rd.RadioResourceConfigDedicated(
+            srb_to_add=(rd.SrbToAddMod(1),)))
+    out = rd.unpack_dl_ccch(rd.pack_dl_ccch(m))
+    assert out == m
+
+
+def test_setup_complete_carries_nas():
+    nas = bytes(range(64))
+    m = rd.RrcConnectionSetupComplete(rrc_ti=2, selected_plmn=1, nas=nas)
+    out = rd.unpack_ul_dcch(rd.pack_ul_dcch(m))
+    assert isinstance(out, rd.RrcConnectionSetupComplete)
+    assert out.nas == nas and out.rrc_ti == 2
+
+
+def test_information_transfer_roundtrip():
+    up = rd.UlInformationTransfer(nas=b"\x07\x41\x01" + bytes(200))
+    assert rd.unpack_ul_dcch(rd.pack_ul_dcch(up)) == up
+    dn = rd.DlInformationTransfer(rrc_ti=1, nas=b"\x07\x42" + bytes(30))
+    assert rd.unpack_dl_dcch(rd.pack_dl_dcch(dn)) == dn
+
+
+def test_security_mode_roundtrip():
+    m = rd.SecurityModeCommand(rrc_ti=1, ciphering="eea2", integrity="eia2")
+    assert rd.unpack_dl_dcch(rd.pack_dl_dcch(m)) == m
+    c = rd.SecurityModeComplete(rrc_ti=1)
+    assert rd.unpack_ul_dcch(rd.pack_ul_dcch(c)) == c
+
+
+def test_reconfiguration_with_drb_and_nas():
+    drb = rd.DrbToAddMod(eps_bearer_identity=5, drb_identity=1, lcid=3)
+    m = rd.RrcConnectionReconfiguration(
+        rrc_ti=3,
+        nas_list=(b"\x27" + bytes(40),),
+        rrcd=rd.RadioResourceConfigDedicated(drb_to_add=(drb,)))
+    out = rd.unpack_dl_dcch(rd.pack_dl_dcch(m))
+    assert out == m
+    c = rd.RrcConnectionReconfigurationComplete(rrc_ti=3)
+    assert rd.unpack_ul_dcch(rd.pack_ul_dcch(c)) == c
+
+
+def test_release_roundtrip():
+    m = rd.RrcConnectionRelease(rrc_ti=0, cause="other")
+    assert rd.unpack_dl_dcch(rd.pack_dl_dcch(m)) == m
+
+
+def test_byte_framing_roundtrip():
+    """Messages survive PDCP byte framing (pad to octet, strip on unpack)."""
+    m = rd.RrcConnectionSetup(rrc_ti=1)
+    raw = rd.bits_to_bytes(rd.pack_dl_ccch(m))
+    assert rd.unpack_dl_ccch(rd.bytes_to_bits(raw)) == m
+
+
+def test_wrong_channel_rejected():
+    m = rd.SecurityModeCommand()
+    with pytest.raises(ValueError):
+        rd.unpack_ul_dcch(rd.pack_dl_dcch(m))
