@@ -167,6 +167,32 @@ def unpack_security_mode_command(data: bytes) -> SecurityModeCommand | None:
         ksi=data[3] & 0xF, replayed_ue_caps=data[5:5 + data[4]])
 
 
+def pack_security_mode_complete() -> bytes:
+    return bytes([PD_EMM, MT_SECURITY_MODE_COMPLETE])
+
+
+def unpack_security_mode_complete(data: bytes) -> bool:
+    return len(data) >= 2 and data[0] == PD_EMM and \
+        data[1] == MT_SECURITY_MODE_COMPLETE
+
+
+@dataclasses.dataclass
+class AttachComplete:
+    esm_container: bytes = b""
+
+
+def pack_attach_complete(m: AttachComplete) -> bytes:
+    return bytes([PD_EMM, MT_ATTACH_COMPLETE]) + \
+        struct.pack(">H", len(m.esm_container)) + m.esm_container
+
+
+def unpack_attach_complete(data: bytes) -> AttachComplete | None:
+    if data[0] != PD_EMM or data[1] != MT_ATTACH_COMPLETE:
+        return None
+    elen = struct.unpack(">H", data[2:4])[0]
+    return AttachComplete(esm_container=data[4:4 + elen])
+
+
 @dataclasses.dataclass
 class AttachAccept:
     attach_result: int
@@ -363,6 +389,24 @@ def unpack_activate_default_bearer_request(data: bytes):
     pos = 4 + alen
     ip = tuple(data[pos + 2:pos + 6])
     return ActivateDefaultBearerRequest(ebi=ebi, pti=pti, apn=apn, ip=ip)
+
+
+@dataclasses.dataclass
+class ActivateDefaultBearerAccept:
+    ebi: int
+    pti: int = 0
+
+
+def pack_activate_default_bearer_accept(m: ActivateDefaultBearerAccept
+                                        ) -> bytes:
+    return bytes([(m.ebi << 4) | PD_ESM, m.pti, MT_ACT_DEF_BEARER_ACCEPT])
+
+
+def unpack_activate_default_bearer_accept(data: bytes
+                                          ) -> ActivateDefaultBearerAccept | None:
+    if (data[0] & 0xF) != PD_ESM or data[2] != MT_ACT_DEF_BEARER_ACCEPT:
+        return None
+    return ActivateDefaultBearerAccept(ebi=data[0] >> 4, pti=data[1])
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,373 @@
+"""RRC connection + NAS attach procedure engines (eNB and UE sides).
+
+(reference capability: ``LTE_fdd_enb_rrc.{h,cc}`` per-UE RRC state machines
+— ``handle_ul_ccch`` / ``handle_ul_dcch``, connection setup, security mode,
+reconfiguration (DRB setup), release — together with
+``LTE_fdd_enb_mme.{h,cc}``'s builtin EPC-lite: attach procedure, Milenage
+AKA against the HSS database, NAS security mode, default bearer activation.
+The reference connects these through typed msgqs; here each engine is a pure
+state machine over message *bytes* so any transport (direct call, enb_sim
+TTI loop, PHY loopback) can carry them.)
+
+Message sequence implemented (the standard EPS attach):
+
+  UE                                eNB/MME
+  RRCConnectionRequest       -->                       (CCCH)
+                             <--    RRCConnectionSetup (CCCH, SRB1)
+  RRCConnectionSetupComplete -->    + NAS AttachRequest(+ESM PDN req)
+                             <--    DLInfoTransfer: NAS AuthRequest (AKA)
+  ULInfoTransfer: AuthResp   -->
+                             <--    DLInfoTransfer: NAS SecurityModeCommand
+  ULInfoTransfer: NAS SMCmp  -->        (EIA2-protected, new ctx)
+                             <--    RRC SecurityModeCommand (AS keys)
+  SecurityModeComplete       -->
+                             <--    RRCConnectionReconfiguration
+                                        (+NAS AttachAccept w/ default bearer,
+                                         +DRB-ToAddMod)
+  ReconfigurationComplete    -->
+  ULInfoTransfer: AttachCmp  -->    (+ESM ActDefaultBearerAccept)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from lteax.stack import nas, security
+from lteax.stack import rrc_dedicated as rd
+from lteax.stack.rrc_dedicated import bits_to_bytes, bytes_to_bits
+from lteax.stack.users import Hss, UserManager
+
+
+def _imsi_str(imsi: tuple) -> str:
+    return "".join(map(str, imsi))
+
+
+# ---------------------------------------------------------------------------
+# eNB side (RRC + embedded MME-lite)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _EnbUeProc:
+    rnti: int
+    state: str = "wait-setup-complete"
+    imsi: tuple = ()
+    rrc_ti: int = 0
+    xres: bytes = b""
+    k_asme: bytes = b""
+    k_nas_enc: bytes = b""
+    k_nas_int: bytes = b""
+    k_enb: bytes = b""
+    nas_dl: int = 0
+    nas_ul: int = 0
+    drb: rd.DrbToAddMod | None = None
+    ip: tuple = (10, 0, 0, 2)
+
+
+class EnbRrc:
+    """eNB RRC procedure engine + MME-lite over an HSS database.
+
+    ``on_ul_ccch``/``on_ul_dcch`` consume uplink message bytes and return
+    the downlink messages to send: (channel, bytes) with channel in
+    {"ccch", "dcch"}.
+    """
+
+    def __init__(self, hss: Hss, users: UserManager | None = None,
+                 mcc=(0, 0, 1), mnc=(0, 1), tac: int = 0x1234,
+                 apn: str = "internet", seed: int | None = None):
+        self.hss = hss
+        self.users = users or UserManager()
+        self.mcc, self.mnc, self.tac, self.apn = mcc, mnc, tac, apn
+        self._procs: dict[int, _EnbUeProc] = {}
+        self._sqn: dict[str, int] = {}
+        self._next_ip = 2
+        self._rng = np.random.default_rng(seed)
+        self.events: list[str] = []
+
+    def proc(self, rnti: int) -> _EnbUeProc | None:
+        return self._procs.get(rnti)
+
+    # -- CCCH ---------------------------------------------------------------
+    def on_ul_ccch(self, rnti: int, raw: bytes) -> list[tuple[str, bytes]]:
+        req = rd.unpack_ul_ccch(bytes_to_bits(raw))
+        self._procs[rnti] = _EnbUeProc(rnti=rnti)
+        self.events.append(f"conn-request cause={req.cause}")
+        setup = rd.RrcConnectionSetup(
+            rrc_ti=0, rrcd=rd.RadioResourceConfigDedicated(
+                srb_to_add=(rd.SrbToAddMod(1),)))
+        return [("ccch", bits_to_bytes(rd.pack_dl_ccch(setup)))]
+
+    # -- DCCH ---------------------------------------------------------------
+    def on_ul_dcch(self, rnti: int, raw: bytes) -> list[tuple[str, bytes]]:
+        p = self._procs[rnti]
+        msg = rd.unpack_ul_dcch(bytes_to_bits(raw))
+        if isinstance(msg, rd.RrcConnectionSetupComplete):
+            return self._on_setup_complete(p, msg)
+        if isinstance(msg, rd.UlInformationTransfer):
+            return self._on_nas(p, msg.nas)
+        if isinstance(msg, rd.SecurityModeComplete):
+            self.events.append("as-security-activated")
+            return self._send_reconfiguration(p)
+        if isinstance(msg, rd.RrcConnectionReconfigurationComplete):
+            # RRC connection is up; p.state stays wait-attach-complete
+            # until the NAS AttachComplete lands
+            u = self.users.find(rnti)
+            if u is not None:
+                u.state = "connected"
+            self.events.append("reconfiguration-complete")
+            return []
+        raise ValueError(f"unexpected UL-DCCH {type(msg).__name__} "
+                         f"in state {p.state}")
+
+    def _on_setup_complete(self, p: _EnbUeProc,
+                           msg: rd.RrcConnectionSetupComplete):
+        att = nas.unpack_attach_request(msg.nas)
+        if att is None:
+            raise ValueError("setup complete without NAS attach request")
+        p.imsi = att.imsi
+        imsi = _imsi_str(att.imsi)
+        u = self.users.find(p.rnti)
+        if u is None:
+            u = self.users.add_user(imsi)
+        u.imsi, u.state = imsi, "attaching"
+        creds = self.hss.get_user(imsi)
+        if creds is None:
+            self.events.append(f"attach-reject unknown-imsi {imsi}")
+            rel = rd.RrcConnectionRelease(rrc_ti=0, cause="other")
+            return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rel)))]
+        k, opc = creds
+        sqn_i = self._sqn.get(imsi, 1)
+        self._sqn[imsi] = sqn_i + 1
+        rand = self._rng.bytes(16)
+        sqn = sqn_i.to_bytes(6, "big")
+        amf = b"\x80\x00"
+        xres, ck, ik, ak = security.milenage_f2345(k, rand, op_c=opc)
+        mac_a, _ = security.milenage_f1(k, rand, sqn, amf, op_c=opc)
+        autn = bytes(a ^ b for a, b in zip(sqn, ak)) + amf + mac_a
+        p.xres = xres
+        p.k_asme = security.generate_k_asme(
+            ck, ik, bytes(a ^ b for a, b in zip(sqn, ak)),
+            nas._bcd([*self.mcc, *self.mnc]))
+        p.state = "wait-auth-response"
+        self.events.append(f"attach-request imsi={imsi}")
+        auth = nas.pack_auth_request(nas.AuthRequest(ksi=0, rand=rand,
+                                                     autn=autn))
+        dl = rd.DlInformationTransfer(rrc_ti=0, nas=auth)
+        return [("dcch", bits_to_bytes(rd.pack_dl_dcch(dl)))]
+
+    def _on_nas(self, p: _EnbUeProc, wire: bytes):
+        if p.state == "wait-auth-response":
+            resp = nas.unpack_auth_response(wire)
+            if resp is None or resp.res != p.xres:
+                self.events.append("auth-failure")
+                rel = rd.RrcConnectionRelease(rrc_ti=0, cause="other")
+                return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rel)))]
+            p.k_nas_enc, p.k_nas_int = security.generate_nas_keys(p.k_asme)
+            p.state = "wait-nas-smc-complete"
+            self.events.append("aka-success")
+            smc = nas.pack_security_mode_command(
+                nas.SecurityModeCommand(2, 2, 0))
+            wire_dl = nas.protect(
+                smc, p.k_nas_int, count=p.nas_dl, downlink=True,
+                k_nas_enc=p.k_nas_enc,
+                sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED_NEW_CTX)
+            p.nas_dl += 1
+            dl = rd.DlInformationTransfer(rrc_ti=0, nas=wire_dl)
+            return [("dcch", bits_to_bytes(rd.pack_dl_dcch(dl)))]
+        if p.state == "wait-nas-smc-complete":
+            got = nas.unprotect(wire, p.k_nas_int, p.nas_ul, downlink=False,
+                                k_nas_enc=p.k_nas_enc)
+            if got is None or not got[1] or \
+                    not nas.unpack_security_mode_complete(got[0]):
+                raise ValueError("bad NAS security mode complete")
+            p.nas_ul += 1
+            p.k_enb = security.generate_k_enb(p.k_asme, p.nas_ul)
+            p.state = "wait-as-smc-complete"
+            self.events.append("nas-security-activated")
+            smc = rd.SecurityModeCommand(rrc_ti=1, ciphering="eea2",
+                                         integrity="eia2")
+            return [("dcch", bits_to_bytes(rd.pack_dl_dcch(smc)))]
+        if p.state == "wait-attach-complete":
+            got = nas.unprotect(wire, p.k_nas_int, p.nas_ul, downlink=False,
+                                k_nas_enc=p.k_nas_enc)
+            if got is None or not got[1]:
+                raise ValueError("bad protected NAS")
+            comp = nas.unpack_attach_complete(got[0])
+            if comp is None:
+                raise ValueError("expected NAS attach complete")
+            p.nas_ul += 1
+            acc = nas.unpack_activate_default_bearer_accept(
+                comp.esm_container)
+            self.events.append(f"attach-complete ebi={acc.ebi}")
+            p.state = "attach-done"
+            return []
+        raise ValueError(f"NAS in unexpected state {p.state}")
+
+    def _send_reconfiguration(self, p: _EnbUeProc):
+        bearer = nas.pack_activate_default_bearer_request(
+            nas.ActivateDefaultBearerRequest(ebi=5, pti=1, apn=self.apn,
+                                             ip=(10, 0, 0, self._next_ip)))
+        p.ip = (10, 0, 0, self._next_ip)
+        self._next_ip += 1
+        accept = nas.pack_attach_accept(nas.AttachAccept(
+            attach_result=1, t3412_s=3600, tac=self.tac, mcc=self.mcc,
+            mnc=self.mnc, esm_container=bearer))
+        wire = nas.protect(accept, p.k_nas_int, count=p.nas_dl,
+                           downlink=True, k_nas_enc=p.k_nas_enc,
+                           sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED)
+        p.nas_dl += 1
+        p.drb = rd.DrbToAddMod(eps_bearer_identity=5, drb_identity=1, lcid=3)
+        u = self.users.find(p.rnti)
+        if u is not None:
+            u.add_bearer(3, mode="um", lcid=3)
+        p.state = "wait-attach-complete"
+        rec = rd.RrcConnectionReconfiguration(
+            rrc_ti=2, nas_list=(wire,),
+            rrcd=rd.RadioResourceConfigDedicated(drb_to_add=(p.drb,)))
+        return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rec)))]
+
+    def release(self, rnti: int) -> list[tuple[str, bytes]]:
+        self._procs.pop(rnti, None)
+        self.users.release(rnti)
+        rel = rd.RrcConnectionRelease(rrc_ti=3, cause="other")
+        return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rel)))]
+
+
+# ---------------------------------------------------------------------------
+# UE side
+# ---------------------------------------------------------------------------
+
+class UeRrc:
+    """UE RRC + NAS attach state machine (the commercial-phone role of the
+    reference's over-the-air interop)."""
+
+    def __init__(self, imsi: tuple, k: bytes, opc: bytes,
+                 mcc=(0, 0, 1), mnc=(0, 1)):
+        self.imsi, self.k, self.opc = imsi, k, opc
+        self.mcc, self.mnc = mcc, mnc
+        self.state = "idle"
+        self.k_asme = b""
+        self.k_nas_enc = self.k_nas_int = b""
+        self.k_enb = b""
+        self.nas_ul = self.nas_dl = 0
+        self.drb: rd.DrbToAddMod | None = None
+        self.ip: tuple | None = None
+        self.events: list[str] = []
+
+    def connect(self, cause: str = "mo-Signalling") -> bytes:
+        self.state = "wait-setup"
+        req = rd.RrcConnectionRequest(
+            cause=cause,
+            identity=("random", int.from_bytes(os.urandom(5), "big")))
+        return bits_to_bytes(rd.pack_ul_ccch(req))
+
+    def on_dl_ccch(self, raw: bytes) -> list[tuple[str, bytes]]:
+        setup = rd.unpack_dl_ccch(bytes_to_bits(raw))
+        assert self.state == "wait-setup", self.state
+        self.state = "wait-auth"
+        self.events.append(
+            f"setup srb={[s.srb_identity for s in setup.rrcd.srb_to_add]}")
+        esm = nas.pack_pdn_connectivity_request(nas.PdnConnectivityRequest())
+        att = nas.pack_attach_request(nas.AttachRequest(
+            imsi=self.imsi, esm_container=esm))
+        comp = rd.RrcConnectionSetupComplete(rrc_ti=setup.rrc_ti,
+                                             selected_plmn=1, nas=att)
+        return [("dcch", bits_to_bytes(rd.pack_ul_dcch(comp)))]
+
+    def on_dl_dcch(self, raw: bytes) -> list[tuple[str, bytes]]:
+        msg = rd.unpack_dl_dcch(bytes_to_bits(raw))
+        if isinstance(msg, rd.DlInformationTransfer):
+            return self._on_nas(msg.nas)
+        if isinstance(msg, rd.SecurityModeCommand):
+            assert self.state == "wait-as-smc", self.state
+            self.k_enb = security.generate_k_enb(self.k_asme, self.nas_ul)
+            self.state = "wait-reconfiguration"
+            self.events.append(f"as-smc {msg.ciphering}/{msg.integrity}")
+            done = rd.SecurityModeComplete(rrc_ti=msg.rrc_ti)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
+        if isinstance(msg, rd.RrcConnectionReconfiguration):
+            return self._on_reconfiguration(msg)
+        if isinstance(msg, rd.RrcConnectionRelease):
+            self.state = "idle"
+            self.events.append(f"released cause={msg.cause}")
+            return []
+        raise ValueError(f"unexpected DL-DCCH {type(msg).__name__}")
+
+    def _on_nas(self, wire: bytes) -> list[tuple[str, bytes]]:
+        if self.state == "wait-auth":
+            ar = nas.unpack_auth_request(wire)
+            if ar is None:
+                raise ValueError("expected NAS auth request")
+            res, ck, ik, ak = security.milenage_f2345(self.k, ar.rand,
+                                                      op_c=self.opc)
+            sqn = bytes(a ^ b for a, b in zip(ar.autn[:6], ak))
+            mac_u, _ = security.milenage_f1(self.k, ar.rand, sqn,
+                                            ar.autn[6:8], op_c=self.opc)
+            if mac_u != ar.autn[8:16]:
+                raise ValueError("AUTN MAC verification failed")
+            self.k_asme = security.generate_k_asme(
+                ck, ik, bytes(a ^ b for a, b in zip(sqn, ak)),
+                nas._bcd([*self.mcc, *self.mnc]))
+            self.state = "wait-nas-smc"
+            self.events.append("aka-ok")
+            resp = nas.pack_auth_response(nas.AuthResponse(res=res))
+            ul = rd.UlInformationTransfer(nas=resp)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(ul)))]
+        if self.state == "wait-nas-smc":
+            self.k_nas_enc, self.k_nas_int = security.generate_nas_keys(
+                self.k_asme)
+            got = nas.unprotect(wire, self.k_nas_int, self.nas_dl,
+                                downlink=True, k_nas_enc=self.k_nas_enc)
+            if got is None or not got[1] or \
+                    nas.unpack_security_mode_command(got[0]) is None:
+                raise ValueError("bad NAS security mode command")
+            self.nas_dl += 1
+            self.state = "wait-as-smc"
+            self.events.append("nas-smc-ok")
+            done = nas.protect(nas.pack_security_mode_complete(),
+                               self.k_nas_int, count=self.nas_ul,
+                               downlink=False, k_nas_enc=self.k_nas_enc,
+                               sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED)
+            self.nas_ul += 1
+            ul = rd.UlInformationTransfer(nas=done)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(ul)))]
+        raise ValueError(f"NAS in unexpected state {self.state}")
+
+    def _on_reconfiguration(self, msg: rd.RrcConnectionReconfiguration
+                            ) -> list[tuple[str, bytes]]:
+        assert self.state == "wait-reconfiguration", self.state
+        out: list[tuple[str, bytes]] = []
+        attach_esm = None
+        for wire in msg.nas_list:
+            got = nas.unprotect(wire, self.k_nas_int, self.nas_dl,
+                                downlink=True, k_nas_enc=self.k_nas_enc)
+            if got is None or not got[1]:
+                raise ValueError("bad protected NAS in reconfiguration")
+            self.nas_dl += 1
+            acc = nas.unpack_attach_accept(got[0])
+            if acc is not None:
+                b = nas.unpack_activate_default_bearer_request(
+                    acc.esm_container)
+                self.ip = b.ip
+                attach_esm = b
+                self.events.append(f"attach-accept apn={b.apn} "
+                                   f"ip={'.'.join(map(str, b.ip))}")
+        if msg.rrcd is not None and msg.rrcd.drb_to_add:
+            self.drb = msg.rrcd.drb_to_add[0]
+        self.state = "connected"
+        done = rd.RrcConnectionReconfigurationComplete(rrc_ti=msg.rrc_ti)
+        out.append(("dcch", bits_to_bytes(rd.pack_ul_dcch(done))))
+        if attach_esm is not None:
+            esm_acc = nas.pack_activate_default_bearer_accept(
+                nas.ActivateDefaultBearerAccept(ebi=attach_esm.ebi))
+            comp = nas.pack_attach_complete(
+                nas.AttachComplete(esm_container=esm_acc))
+            wire = nas.protect(comp, self.k_nas_int, count=self.nas_ul,
+                               downlink=False, k_nas_enc=self.k_nas_enc,
+                               sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED)
+            self.nas_ul += 1
+            ul = rd.UlInformationTransfer(nas=wire)
+            out.append(("dcch", bits_to_bytes(rd.pack_ul_dcch(ul))))
+        return out

@@ -1,0 +1,85 @@
+"""RRC connection + NAS attach procedure engines (eNB <-> UE, byte level)."""
+
+import pytest
+
+from lteax.stack.rrc_proc import EnbRrc, UeRrc
+from lteax.stack.users import Hss, UserManager
+
+IMSI = (0, 0, 1, 0, 1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0)
+K_HEX = "465b5ce8b199b49faa5f0a2ee238a6bc"
+OPC_HEX = "cd63cb71954a9f4e48a5994e37a02baf"
+RNTI = 0x3D
+
+
+def _mk_hss():
+    hss = Hss()
+    hss.add_user("".join(map(str, IMSI)), K_HEX, OPC_HEX)
+    return hss
+
+
+def _pump(enb, ue, rnti):
+    """Deliver messages until both sides go quiet."""
+    queue = enb.on_ul_ccch(rnti, ue.connect())
+    n = 0
+    while queue:
+        chan, raw = queue.pop(0)
+        replies = (ue.on_dl_ccch(raw) if chan == "ccch"
+                   else ue.on_dl_dcch(raw))
+        for _, up in replies:
+            queue.extend(enb.on_ul_dcch(rnti, up))
+        n += 1
+        assert n < 50, "attach did not converge"
+    return n
+
+
+def test_full_attach_flow():
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=11)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+
+    assert ue.state == "connected"
+    p = enb.proc(RNTI)
+    assert p.state == "attach-done"
+    # AS keys agree on both sides
+    assert ue.k_enb == p.k_enb and len(ue.k_enb) == 32
+    # default bearer configured end-to-end
+    assert ue.ip == p.ip == (10, 0, 0, 2)
+    assert ue.drb is not None and ue.drb.drb_identity == p.drb.drb_identity
+    # eNB user context reflects the attach
+    u = enb.users.find(RNTI)
+    assert u.state == "connected" and u.imsi == "".join(map(str, IMSI))
+    assert 3 in u.bearers and u.bearers[3].mode == "um"
+    assert "aka-success" in enb.events
+    assert "nas-security-activated" in enb.events
+    assert any(e.startswith("attach-complete") for e in enb.events)
+    assert any(e.startswith("attach-accept") for e in ue.events)
+
+
+def test_unknown_imsi_released():
+    enb = EnbRrc(Hss(), UserManager(), seed=11)   # empty HSS
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    assert ue.state == "idle"
+    assert any(e.startswith("attach-reject") for e in enb.events)
+    assert any(e.startswith("released") for e in ue.events)
+
+
+def test_wrong_key_fails_autn():
+    """A UE with the wrong K must reject the network (AUTN MAC check)."""
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=11)
+    ue = UeRrc(IMSI, bytes(16), bytes.fromhex(OPC_HEX))
+    with pytest.raises(ValueError, match="AUTN"):
+        _pump(enb, ue, RNTI)
+
+
+def test_two_ues_get_distinct_ips():
+    hss = _mk_hss()
+    imsi2 = IMSI[:-1] + (1,)
+    hss.add_user("".join(map(str, imsi2)), K_HEX, OPC_HEX)
+    enb = EnbRrc(hss, UserManager(), seed=11)
+    ue1 = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    ue2 = UeRrc(imsi2, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue1, 0x3D)
+    _pump(enb, ue2, 0x3E)
+    assert ue1.ip == (10, 0, 0, 2) and ue2.ip == (10, 0, 0, 3)
+    assert ue1.k_enb != ue2.k_enb
