@@ -31,7 +31,8 @@ from lteax.phy.channels import (pdcch as pdcch_mod,
 from lteax.phy.channels.dci import Dci1A, dci_1a_pack
 from lteax.phy.mod import demodulate_maxlog
 from lteax.phy.tables.tbs import get_tbs_for_mcs
-from lteax.stack import mac_pdu, rrc
+from lteax.stack import mac_pdu
+from lteax.stack import rrc as rrc_msgs
 from lteax.stack.mac_sched import DlScheduler
 from lteax.stack.pdcp import PdcpEntity
 from lteax.stack.rlc_am import AmTransmitter, AmReceiver
@@ -69,21 +70,25 @@ DRB_LCID = 0x03
 class _EnbUe:
     rnti: int
     srb_pdcp: PdcpEntity
-    drb_pdcp: PdcpEntity
+    drb_pdcp: PdcpEntity | None
     srb_tx: AmTransmitter
     drb_tx: UmTransmitter
     n_phich_seq: int = 0
     ul_rlc: UmReceiver = dataclasses.field(default_factory=UmReceiver)
     ul_sdus: list = dataclasses.field(default_factory=list)
+    srb_rx: AmReceiver = dataclasses.field(default_factory=AmReceiver)
+    sec_on: bool = False
 
 
 class EnbSim:
     """DL TTI loop: bearers -> scheduler -> PDSCH grids."""
 
-    def __init__(self, gc: GenConfig, pcap_path: str | None = None):
+    def __init__(self, gc: GenConfig, pcap_path: str | None = None,
+                 rrc=None):
         self.gc = gc
         self.cfg: PhyConfig = gc.phy
         self.sched = DlScheduler(gc.n_rb_dl)
+        self.rrc = rrc                         # stack.rrc_proc.EnbRrc | None
         self.ues: dict[int, _EnbUe] = {}
         self._pending_hi: dict[int, int] = {}
         self._last_dl: dict[int, bytes] = {}   # last MAC PDU per rnti
@@ -92,16 +97,16 @@ class EnbSim:
         if pcap_path:
             from lteax.io.pcap import MacPcapWriter
             self.pcap = MacPcapWriter(pcap_path)
-        self._mib = rrc.Mib(n_rb_dl=gc.n_rb_dl,
+        self._mib = rrc_msgs.Mib(n_rb_dl=gc.n_rb_dl,
                             phich_duration_extended=False,
                             phich_resource=gc.phich_resource, sfn=0)
         self._pbch_quarters = None
-        sib1 = rrc.Sib1(mcc=gc.mcc, mnc=gc.mnc, tac=gc.tac,
+        sib1 = rrc_msgs.Sib1(mcc=gc.mcc, mnc=gc.mnc, tac=gc.tac,
                         cell_identity=gc.cell_identity,
                         freq_band_indicator=gc.band,
-                        scheduling=(rrc.SchedulingInfo(8, (3,)),))
-        self._sib1_bits = rrc.pack_sib1(sib1)
-        self._sib2_bits = rrc.pack_sib2(rrc.Sib2())
+                        scheduling=(rrc_msgs.SchedulingInfo(8, (3,)),))
+        self._sib1_bits = rrc_msgs.pack_sib1(sib1)
+        self._sib2_bits = rrc_msgs.pack_sib2(rrc_msgs.Sib2())
         from lteax.phy.tables.tbs import tbs_1a
         need = max(len(self._sib1_bits), len(self._sib2_bits))
         while tbs_1a(self.gc.sib1_mcs, 2) < need:
@@ -122,6 +127,45 @@ class EnbSim:
         self.ues[rnti] = ue
         self.sched.add_ue(rnti, cqi_mcs=cqi_mcs)
         return ue
+
+    def handle_prach(self, rapid: int) -> int:
+        """PRACH detection -> C-RNTI + pre-security UE context (SRB1 runs
+        with zero MAC-I until the AS SecurityModeCommand).  Returns the
+        allocated TC-RNTI (the RAR PDSCH leg is exercised separately in
+        rrc_attach_sim; here the TTI loop carries the RRC exchange)."""
+        tc = self.sched.on_prach(rapid)
+        ue = _EnbUe(rnti=tc,
+                    srb_pdcp=PdcpEntity(srb=True, rb_id=1, direction_tx=1),
+                    drb_pdcp=None,
+                    srb_tx=AmTransmitter(),
+                    drb_tx=UmTransmitter())
+        ue.n_phich_seq = len(self.ues) % 8
+        self.ues[tc] = ue
+        self.sched.add_ue(tc)
+        return tc
+
+    def _activate_security(self, rnti: int) -> None:
+        """Derive AS keys from the RRC procedure's K_eNB once available;
+        SRB1 upgrades in place, the DRB entity is created keyed."""
+        ue = self.ues[rnti]
+        p = self.rrc.proc(rnti) if self.rrc else None
+        if ue.sec_on or p is None or not p.k_enb:
+            return
+        ke, ki, ku = generate_as_keys(p.k_enb)
+        ue.srb_pdcp.set_keys(ke, ki)
+        ue.drb_pdcp = PdcpEntity(srb=False, rb_id=3, direction_tx=1,
+                                 k_enc=ku)
+        ue.sec_on = True
+
+    def _rrc_out(self, rnti: int, msgs) -> None:
+        """Queue downlink RRC messages: CCCH raw in MAC, DCCH on SRB1."""
+        for chan, raw in msgs:
+            if chan == "ccch":
+                self.sched.enqueue(rnti, raw, lcid=mac_pdu.LCID_CCCH)
+            else:
+                self._activate_security(rnti)
+                ue = self.ues[rnti]
+                ue.srb_tx.submit(ue.srb_pdcp.encode(raw))
 
     # -- user-plane inputs -------------------------------------------------
     def send_rrc(self, rnti: int, sdu: bytes) -> None:
@@ -192,7 +236,16 @@ class EnbSim:
         payload = np.packbits(np.asarray(bits).astype(np.uint8)).tobytes()
         ue = self.ues[rnti]
         for sub in mac_pdu.unpack_mac_pdu(payload):
-            if sub.lcid == DRB_LCID:
+            if sub.lcid == mac_pdu.LCID_CCCH and self.rrc is not None:
+                self._rrc_out(rnti, self.rrc.on_ul_ccch(rnti, sub.payload))
+            elif sub.lcid == SRB_LCID and self.rrc is not None:
+                ue.srb_rx.handle_pdu(sub.payload)
+                for raw in ue.srb_rx.take_delivered():
+                    sdu = ue.srb_pdcp.decode(raw)
+                    if sdu is not None:
+                        self._rrc_out(rnti, self.rrc.on_ul_dcch(rnti, sdu))
+                        self._activate_security(rnti)
+            elif sub.lcid == DRB_LCID and ue.drb_pdcp is not None:
                 ue.ul_rlc.handle_pdu(sub.payload)
                 for raw in ue.ul_rlc.take_delivered():
                     sdu = ue.drb_pdcp.decode(raw)
@@ -223,7 +276,7 @@ class EnbSim:
         if sfn % 4 == 0 or self._pbch_quarters is None:
             self._mib.sfn = sfn - (sfn % 4)
             self._pbch_quarters = np.asarray(pbch.pbch_encode_40ms(
-                jnp.asarray(rrc.pack_mib(self._mib)), gc.n_ant, cid,
+                jnp.asarray(rrc_msgs.pack_mib(self._mib)), gc.n_ant, cid,
                 extended_cp=cfg.extended_cp))
         grid = build_subframe_grid(gc, sfn, sf, self._pbch_quarters,
                                    self._sib1_bits, self._sib2_bits)
@@ -292,8 +345,9 @@ class EnbSim:
 class UeSim:
     """Blind DL decode at one C-RNTI + RLC/PDCP receive entities."""
 
-    def __init__(self, gc: GenConfig, rnti: int, k_enb: bytes,
-                 standing_grant: bool = True, cqi_period: int = 0):
+    def __init__(self, gc: GenConfig, rnti: int, k_enb: bytes | None = None,
+                 standing_grant: bool = True, cqi_period: int = 0,
+                 rrc_ue=None):
         self.gc, self.cfg, self.rnti = gc, gc.phy, rnti
         # UL control state: standing_grant=False requires an SR -> DCI-0
         # grant handshake before PUSCH; pending_ack carries HARQ feedback
@@ -306,17 +360,60 @@ class UeSim:
         self.meas_cqi: int | None = None
         self._cqi_ctr = 0
         self._cqi_due = False
-        ke, ki, ku = generate_as_keys(k_enb)
-        self.srb_pdcp = PdcpEntity(srb=True, rb_id=1, direction_tx=0,
-                                   k_enc=ke, k_int=ki)
-        self.drb_pdcp = PdcpEntity(srb=False, rb_id=3, direction_tx=0,
-                                   k_enc=ku)
+        # rrc_ue (stack.rrc_proc.UeRrc): attach mode — SRB1 starts
+        # pre-security, keys activate when the RRC procedure derives K_eNB
+        self.rrc_ue = rrc_ue
+        self.sec_on = False
+        if k_enb is not None:
+            ke, ki, ku = generate_as_keys(k_enb)
+            self.srb_pdcp = PdcpEntity(srb=True, rb_id=1, direction_tx=0,
+                                       k_enc=ke, k_int=ki)
+            self.drb_pdcp = PdcpEntity(srb=False, rb_id=3, direction_tx=0,
+                                       k_enc=ku)
+            self.sec_on = True
+        else:
+            self.srb_pdcp = PdcpEntity(srb=True, rb_id=1, direction_tx=0)
+            self.drb_pdcp = None
         self.srb_rx = AmReceiver()
+        self.srb_tx = AmTransmitter()          # UL SRB1 (RRC responses)
         self.drb_rx = UmReceiver()
         self.rrc_sdus: list[bytes] = []
         self.data_sdus: list[bytes] = []
         self.ul_tx = UmTransmitter()
         self._ul_queue: list[bytes] = []
+        self._ccch_queue: list[bytes] = []
+
+    # -- RRC attach mode -----------------------------------------------------
+    def start_attach(self, cause: str = "mo-Signalling") -> None:
+        """Queue the RRCConnectionRequest for the next UL TTI."""
+        self._ccch_queue.append(self.rrc_ue.connect(cause))
+
+    def _activate_security_ue(self) -> None:
+        """Mirror of the eNB side: K_eNB = KDF(K_ASME, NAS UL COUNT) is
+        derivable as soon as the NAS security mode completes, so SRB1 rx
+        keys are on before the (protected) AS SecurityModeCommand lands."""
+        if self.sec_on or self.rrc_ue is None or not self.rrc_ue.k_asme \
+                or self.rrc_ue.nas_ul == 0:
+            return
+        from lteax.stack.security import generate_k_enb
+        k_enb = self.rrc_ue.k_enb or generate_k_enb(self.rrc_ue.k_asme,
+                                                    self.rrc_ue.nas_ul)
+        ke, ki, ku = generate_as_keys(k_enb)
+        self.srb_pdcp.set_keys(ke, ki)
+        self.drb_pdcp = PdcpEntity(srb=False, rb_id=3, direction_tx=0,
+                                   k_enc=ku)
+        self.sec_on = True
+
+    def _rrc_reply(self, msgs) -> None:
+        for chan, raw in msgs:
+            if chan == "ccch":
+                self._ccch_queue.append(raw)
+            else:
+                self.srb_tx.submit(self.srb_pdcp.encode(raw))
+                # activation point: right AFTER the (unprotected) NAS
+                # security-mode-complete goes out, so the protected AS
+                # SecurityModeCommand that follows verifies
+                self._activate_security_ue()
 
     def send_ul(self, sdu: bytes) -> None:
         self._ul_queue.append(self.ul_tx.send(self.drb_pdcp.encode(sdu)))
@@ -328,11 +425,20 @@ class UeSim:
         from lteax.phy.channels import pucch
         n_rb = self.gc.n_rb_dl
         alloc = pusch_mod.PuschAlloc(**UL_ALLOC)
+        # RRC control (CCCH / SRB1) bypasses the SR handshake: msg3 onward
+        # ride the RAR/configured grant in this sim
+        ctrl = [(mac_pdu.LCID_CCCH, raw) for raw in self._ccch_queue]
+        self._ccch_queue = []
+        while True:
+            pdu = self.srb_tx.pull()
+            if pdu is None:
+                break
+            ctrl.append((SRB_LCID, pdu))
         want_data = bool(self._ul_queue)
         want_sr = want_data and not self.granted
         want_ack = self.pending_ack is not None
         want_cqi = self._cqi_due and self.meas_cqi is not None
-        if not (want_ack or want_sr or want_cqi
+        if not (want_ack or want_sr or want_cqi or ctrl
                 or (want_data and self.granted)):
             return None
         full = np.zeros((14, n_rb * 12), np.complex64)
@@ -354,12 +460,16 @@ class UeSim:
                                               oc_idx=PUCCH_OC_SR)
             full = pucch.pucch_map_format1(full, syms, PUCCH_M_F1, n_rb)
             return full
-        if not want_data or not self.granted:
+        if not ctrl and (not want_data or not self.granted):
             return full
         nbytes = alloc.mcs_tbs // 8
         subs = []
         used = 0
-        while self._ul_queue and used + len(self._ul_queue[0]) + 3 <= nbytes:
+        for lcid, pdu in ctrl:
+            subs.append(mac_pdu.MacSubPdu(lcid, pdu))
+            used += len(pdu) + 3
+        while self.granted and self._ul_queue and \
+                used + len(self._ul_queue[0]) + 3 <= nbytes:
             pdu = self._ul_queue.pop(0)
             subs.append(mac_pdu.MacSubPdu(DRB_LCID, pdu))
             used += len(pdu) + 3
@@ -438,14 +548,20 @@ class UeSim:
         payload = np.packbits(np.asarray(bits).astype(np.uint8)).tobytes()
         status = None
         for sub in mac_pdu.unpack_mac_pdu(payload):
-            if sub.lcid == SRB_LCID:
+            if sub.lcid == mac_pdu.LCID_CCCH and self.rrc_ue is not None:
+                self._rrc_reply(self.rrc_ue.on_dl_ccch(sub.payload))
+            elif sub.lcid == SRB_LCID:
                 self.srb_rx.handle_pdu(sub.payload)
                 for pdcp_raw in self.srb_rx.take_delivered():
                     sdu = self.srb_pdcp.decode(pdcp_raw)
-                    if sdu is not None:
+                    if sdu is None:
+                        continue
+                    if self.rrc_ue is not None:
+                        self._rrc_reply(self.rrc_ue.on_dl_dcch(sdu))
+                    else:
                         self.rrc_sdus.append(sdu)
                 status = self.srb_rx.make_status() or status
-            elif sub.lcid == DRB_LCID:
+            elif sub.lcid == DRB_LCID and self.drb_pdcp is not None:
                 self.drb_rx.handle_pdu(sub.payload)
                 for pdcp_raw in self.drb_rx.take_delivered():
                     sdu = self.drb_pdcp.decode(pdcp_raw)

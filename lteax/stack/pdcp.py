@@ -27,10 +27,17 @@ class PdcpEntity:
         self.dir_tx = direction_tx & 1
         self.k_enc = k_enc
         self.k_int = k_int
-        if srb and k_int is None:
-            raise ValueError("SRB requires an integrity key")
+        # SRB with k_int=None runs in pre-security mode (MAC-I all-zero,
+        # not verified) until set_keys() — SRB1 before the AS
+        # SecurityModeCommand, 36.331 §5.3.1.1
         self.tx_count = 0
         self.rx_next = 0          # next expected receive COUNT
+
+    def set_keys(self, k_enc: bytes | None, k_int: bytes | None) -> None:
+        """Activate AS security on this entity (takes effect from the next
+        PDU in each direction)."""
+        self.k_enc = k_enc
+        self.k_int = k_int
 
     # -- helpers -----------------------------------------------------------
     def _header(self, sn: int) -> bytes:
@@ -54,8 +61,9 @@ class PdcpEntity:
         sn = count % self.mod
         self.tx_count += 1
         if self.srb:
-            mac = eia2(self.k_int, count, self.bearer5, self.dir_tx,
-                       self._header(sn) + sdu)
+            mac = b"\x00\x00\x00\x00" if self.k_int is None else \
+                eia2(self.k_int, count, self.bearer5, self.dir_tx,
+                     self._header(sn) + sdu)
             body = sdu + mac
             if self.k_enc is not None:
                 body = eea2(self.k_enc, count, self.bearer5, self.dir_tx,
@@ -77,10 +85,11 @@ class PdcpEntity:
             if self.k_enc is not None:
                 body = eea2(self.k_enc, count, self.bearer5, dir_rx, body)
             sdu, mac = body[:-4], body[-4:]
-            want = eia2(self.k_int, count, self.bearer5, dir_rx,
-                        self._header(sn) + sdu)
-            if mac != want:
-                return None
+            if self.k_int is not None:
+                want = eia2(self.k_int, count, self.bearer5, dir_rx,
+                            self._header(sn) + sdu)
+                if mac != want:
+                    return None
         else:
             pdu = pdcp_pdu.unpack_drb(raw, sn_bits=self.sn_bits)
             count = self._infer_count(pdu.sn)

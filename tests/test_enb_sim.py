@@ -123,6 +123,60 @@ def test_ul_with_phich_feedback():
     assert ue.read_phich(dl2, 4, n_seq=0) is False
 
 
+def test_rrc_attach_over_tti_loop():
+    """A UE attaches through the live TTI scheduler: PRACH -> CCCH
+    connection setup -> SRB1 RRC/NAS exchange (AM + PDCP, pre-security then
+    EIA2/EEA2 after the AS SecurityModeCommand) -> DRB user plane."""
+    from lteax.stack.rrc_proc import EnbRrc, UeRrc
+    from lteax.stack.users import Hss, UserManager
+
+    imsi = (0, 0, 1, 0, 1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0)
+    k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")
+    opc = bytes.fromhex("cd63cb71954a9f4e48a5994e37a02baf")
+    hss = Hss()
+    hss.add_user("".join(map(str, imsi)), k.hex(), opc.hex())
+
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    enb = EnbSim(gc, rrc=EnbRrc(hss, UserManager(), seed=5))
+    rnti = enb.handle_prach(rapid=7)
+    ue = UeSim(gc, rnti, rrc_ue=UeRrc(imsi, k, opc))
+    ue.start_attach()
+
+    done = False
+    for sfn in range(5):
+        for sf in range(10):
+            g_ul = ue.ul_tti_grid(sf)
+            if g_ul is not None:
+                enb.handle_pusch(rnti, g_ul, sf)
+            grid = enb.tti_grid(sfn, sf)
+            status = ue.handle_grid(grid, sf)
+            if status is not None:
+                enb.handle_status(rnti, status)
+            p = enb.rrc.proc(rnti)
+            if ue.rrc_ue.state == "connected" and p is not None \
+                    and p.state == "attach-done":
+                done = True
+                break
+        if done:
+            break
+    assert done, (ue.rrc_ue.state, enb.rrc.events)
+    assert ue.sec_on and enb.ues[rnti].sec_on
+    assert ue.rrc_ue.ip == (10, 0, 0, 2)
+    assert any(e.startswith("attach-complete") for e in enb.rrc.events)
+
+    # user plane now flows through the normal bearer path, ciphered
+    enb.send_data(rnti, b"post-attach-dl-ip")
+    ue.send_ul(b"post-attach-ul-ip")
+    for sfn in range(5, 7):
+        for sf in range(10):
+            g_ul = ue.ul_tti_grid(sf)
+            if g_ul is not None:
+                enb.handle_pusch(rnti, g_ul, sf)
+            ue.handle_grid(enb.tti_grid(sfn, sf), sf)
+    assert ue.data_sdus == [b"post-attach-dl-ip"]
+    assert enb.ues[rnti].ul_sdus == [b"post-attach-ul-ip"]
+
+
 def test_cqi_report_link_adaptation():
     """Periodic wideband CQI loop: UE measures SNR from the CRS, reports
     on PUCCH format 2 (m=2), the eNB scheduler adapts its MCS cap."""

@@ -64,3 +64,24 @@ def test_drb_7bit_sn():
     for i in range(300):                     # > 2 wraps of the 7-bit SN
         msg = bytes([i & 0xFF]) * 5
         assert ue.decode(enb.encode(msg)) == msg, i
+
+
+def test_srb_pre_security_then_key_activation():
+    """SRB1 before the AS SecurityModeCommand: zero MAC-I, no verification;
+    set_keys() upgrades both sides mid-stream (36.331 §5.3.1.1)."""
+    enb = PdcpEntity(srb=True, rb_id=1, direction_tx=1)
+    ue = PdcpEntity(srb=True, rb_id=1, direction_tx=0)
+    raw = enb.encode(b"rrc-setup-era")
+    assert raw[-4:] == b"\x00\x00\x00\x00"
+    assert ue.decode(raw) == b"rrc-setup-era"
+
+    ke, ki, _ = generate_as_keys(bytes(range(32)))
+    enb.set_keys(ke, ki)
+    ue.set_keys(ke, ki)
+    raw = enb.encode(b"protected-era")
+    assert raw[-4:] != b"\x00\x00\x00\x00"   # ciphered body + real MAC-I
+    assert ue.decode(raw) == b"protected-era"
+
+    # tampering is now caught
+    bad = raw[:1] + bytes([raw[1] ^ 0xFF]) + raw[2:]
+    assert ue.decode(bad) is None
