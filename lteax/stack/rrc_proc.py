@@ -76,10 +76,12 @@ class EnbRrc:
 
     def __init__(self, hss: Hss, users: UserManager | None = None,
                  mcc=(0, 0, 1), mnc=(0, 1), tac: int = 0x1234,
-                 apn: str = "internet", seed: int | None = None):
+                 apn: str = "internet", network_name: str = "lteax",
+                 seed: int | None = None):
         self.hss = hss
         self.users = users or UserManager()
         self.mcc, self.mnc, self.tac, self.apn = mcc, mnc, tac, apn
+        self.network_name = network_name
         self._procs: dict[int, _EnbUeProc] = {}
         self._sqn: dict[str, int] = {}
         self._next_ip = 2
@@ -202,7 +204,39 @@ class EnbRrc:
                 comp.esm_container)
             self.events.append(f"attach-complete ebi={acc.ebi}")
             p.state = "attach-done"
-            return []
+            # EMM INFORMATION push (network name), as the reference's MME
+            # does after attach
+            info = nas.pack_emm_information(
+                nas.EmmInformation(network_name=self.network_name))
+            wire_dl = nas.protect(info, p.k_nas_int, count=p.nas_dl,
+                                  downlink=True, k_nas_enc=p.k_nas_enc,
+                                  sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED)
+            p.nas_dl += 1
+            dl = rd.DlInformationTransfer(rrc_ti=0, nas=wire_dl)
+            return [("dcch", bits_to_bytes(rd.pack_dl_dcch(dl)))]
+        if p.state == "attach-done":
+            got = nas.unprotect(wire, p.k_nas_int, p.nas_ul, downlink=False,
+                                k_nas_enc=p.k_nas_enc)
+            if got is None or not got[1]:
+                raise ValueError("bad protected NAS")
+            p.nas_ul += 1
+            det = nas.unpack_detach_request(got[0])
+            if det is not None:
+                self.events.append("detach-request")
+                acc = nas.protect(nas.pack_detach_accept(), p.k_nas_int,
+                                  count=p.nas_dl, downlink=True,
+                                  k_nas_enc=p.k_nas_enc,
+                                  sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED)
+                p.nas_dl += 1
+                dl = rd.DlInformationTransfer(rrc_ti=0, nas=acc)
+                p.state = "detached"
+                u = self.users.find(p.rnti)
+                if u is not None:
+                    u.state = "idle"
+                rel = rd.RrcConnectionRelease(rrc_ti=3, cause="other")
+                return [("dcch", bits_to_bytes(rd.pack_dl_dcch(dl))),
+                        ("dcch", bits_to_bytes(rd.pack_dl_dcch(rel)))]
+            raise ValueError("unsupported NAS in attach-done state")
         raise ValueError(f"NAS in unexpected state {p.state}")
 
     def _send_reconfiguration(self, p: _EnbUeProc):
@@ -254,7 +288,19 @@ class UeRrc:
         self.nas_ul = self.nas_dl = 0
         self.drb: rd.DrbToAddMod | None = None
         self.ip: tuple | None = None
+        self.network_name: str | None = None
         self.events: list[str] = []
+
+    def detach(self) -> list[tuple[str, bytes]]:
+        """UE-initiated detach (24.301 §5.5.2.2)."""
+        det = nas.pack_detach_request(nas.DetachRequest())
+        wire = nas.protect(det, self.k_nas_int, count=self.nas_ul,
+                           downlink=False, k_nas_enc=self.k_nas_enc,
+                           sec_hdr=nas.SEC_HDR_INTEGRITY_CIPHERED)
+        self.nas_ul += 1
+        self.state = "detaching"
+        ul = rd.UlInformationTransfer(nas=wire)
+        return [("dcch", bits_to_bytes(rd.pack_ul_dcch(ul)))]
 
     def connect(self, cause: str = "mo-Signalling") -> bytes:
         self.state = "wait-setup"
@@ -333,6 +379,21 @@ class UeRrc:
             self.nas_ul += 1
             ul = rd.UlInformationTransfer(nas=done)
             return [("dcch", bits_to_bytes(rd.pack_ul_dcch(ul)))]
+        if self.state in ("connected", "detaching"):
+            got = nas.unprotect(wire, self.k_nas_int, self.nas_dl,
+                                downlink=True, k_nas_enc=self.k_nas_enc)
+            if got is None or not got[1]:
+                raise ValueError("bad protected NAS")
+            self.nas_dl += 1
+            info = nas.unpack_emm_information(got[0])
+            if info is not None:
+                self.network_name = info.network_name
+                self.events.append(f"emm-info name={info.network_name}")
+                return []
+            if got[0][1] == nas.MT_DETACH_ACCEPT:
+                self.events.append("detach-accept")
+                return []
+            raise ValueError(f"unsupported NAS type 0x{got[0][1]:02X}")
         raise ValueError(f"NAS in unexpected state {self.state}")
 
     def _on_reconfiguration(self, msg: rd.RrcConnectionReconfiguration

@@ -55,6 +55,31 @@ def test_full_attach_flow():
     assert any(e.startswith("attach-accept") for e in ue.events)
 
 
+def test_emm_information_pushed_after_attach():
+    enb = EnbRrc(_mk_hss(), UserManager(), network_name="TestNet", seed=11)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    assert ue.network_name == "TestNet"
+
+
+def test_ue_initiated_detach():
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=11)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    assert ue.state == "connected"
+    queue = []
+    for _, up in ue.detach():
+        queue.extend(enb.on_ul_dcch(RNTI, up))
+    # eNB answers DetachAccept + RRCConnectionRelease
+    for chan, raw in queue:
+        ue.on_dl_dcch(raw)
+    assert "detach-accept" in ue.events
+    assert ue.state == "idle"              # release processed
+    assert enb.proc(RNTI).state == "detached"
+    assert enb.users.find(RNTI).state == "idle"
+    assert "detach-request" in enb.events
+
+
 def test_unknown_imsi_released():
     enb = EnbRrc(Hss(), UserManager(), seed=11)   # empty HSS
     ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
