@@ -360,6 +360,8 @@ def pack_ul_dcch(m) -> np.ndarray:
         w.cint(m.rrc_ti, 0, 3)
         w.bit(0)                   # criticalExtensions: r8
         w.opt(False)
+    elif isinstance(m, UeCapabilityInformation):
+        return pack_ue_capability_information(m)
     else:
         raise TypeError(type(m))
     return w.array()
@@ -396,6 +398,17 @@ def unpack_ul_dcch(bits: np.ndarray):
         ti = r.cint(0, 3)
         r.bit(); r.opt()
         return RrcConnectionReconfigurationComplete(rrc_ti=ti)
+    if alt == _UL_DCCH_UE_CAP_INFO:
+        ti = r.cint(0, 3)
+        if r.bit() != 0 or r.cint(0, 7) != 0:
+            raise ValueError("not r8")
+        r.opt()
+        containers = []
+        for _ in range(r.length(0, 8)):
+            rt = RAT_TYPES[r.enum(8, extensible=True)]
+            containers.append((rt, r.octets()))
+        return UeCapabilityInformation(rrc_ti=ti,
+                                       containers=tuple(containers))
     raise ValueError(f"UL-DCCH alternative {alt} not supported")
 
 
@@ -458,6 +471,8 @@ def pack_dl_dcch(m) -> np.ndarray:
         w.opt(False)               # idleModeMobilityControlInfo
         w.opt(False)               # nonCriticalExtension
         w.cint(RELEASE_CAUSES.index(m.cause), 0, 3)
+    elif isinstance(m, UeCapabilityEnquiry):
+        return pack_ue_capability_enquiry(m)
     else:
         raise TypeError(type(m))
     return w.array()
@@ -517,12 +532,157 @@ def unpack_dl_dcch(bits: np.ndarray):
         r.opt(); r.opt(); r.opt()
         return RrcConnectionRelease(rrc_ti=ti,
                                     cause=RELEASE_CAUSES[r.cint(0, 3)])
+    if alt == _DL_DCCH_UE_CAP_ENQ:
+        ti = r.cint(0, 3)
+        if r.bit() != 0 or r.cint(0, 3) != 0:
+            raise ValueError("not r8")
+        r.opt()
+        rats = tuple(RAT_TYPES[r.enum(8, extensible=True)]
+                     for _ in range(r.length(1, 8)))
+        return UeCapabilityEnquiry(rrc_ti=ti, rat_types=rats)
     raise ValueError(f"DL-DCCH alternative {alt} not supported")
 
 
 # ---------------------------------------------------------------------------
-# byte-level helpers (PDCP SDUs are octet strings)
+# UE capability transfer (36.331 §5.6.3 + UE-EUTRA-Capability IE)
 # ---------------------------------------------------------------------------
+
+RAT_TYPES = ("eutra", "utra", "geran-cs", "geran-ps", "cdma2000-1XRTT")
+
+
+@dataclasses.dataclass
+class BandCapability:
+    band: int                    # 1..64
+    half_duplex: bool = False
+    need_for_gaps: bool = True   # measParameters InterFreqBandInfo
+
+
+@dataclasses.dataclass
+class UeEutraCapability:
+    """Rel-8 UE-EUTRA-Capability subset (category, RF bands, PHY flags)."""
+    ue_category: int = 3                   # 1..5
+    rohc_profiles: int = 0                 # 9-bit mask (0x0001..0x0104)
+    tx_antenna_selection: bool = False
+    ue_specific_ref_sigs: bool = False
+    bands: tuple[BandCapability, ...] = (BandCapability(1),)
+    feature_groups: int | None = 0xFFFFFFFF   # featureGroupIndicators
+
+
+def pack_ue_eutra_capability(c: UeEutraCapability) -> np.ndarray:
+    w = UperWriter()
+    w.bit(0)                               # sequence extension
+    w.opt(c.feature_groups is not None)    # featureGroupIndicators
+    w.opt(False)                           # nonCriticalExtension
+    w.enum(0, 8, extensible=True)          # accessStratumRelease: rel8 [U]
+    w.cint(c.ue_category, 1, 5)
+    # pdcp-Parameters (extensible): 9 supportedROHC-Profiles BOOLEANs,
+    # maxNumberROHC-ContextSessions absent
+    w.bit(0)
+    w.opt(False)
+    for i in range(9):
+        w.bit((c.rohc_profiles >> i) & 1)
+    # phyLayerParameters
+    w.bit(1 if c.tx_antenna_selection else 0)
+    w.bit(1 if c.ue_specific_ref_sigs else 0)
+    # rf-Parameters: supportedBandListEUTRA
+    w.length(len(c.bands), 1, 64)
+    for b in c.bands:
+        w.cint(b.band, 1, 64)
+        w.bit(1 if b.half_duplex else 0)
+    # measParameters: bandListEUTRA, one InterFreqBandInfo per band
+    w.length(len(c.bands), 1, 64)
+    for b in c.bands:
+        w.opt(False)                       # interRAT-BandList absent
+        w.length(1, 1, 64)
+        w.bit(1 if b.need_for_gaps else 0)
+    if c.feature_groups is not None:
+        w.bitstring(c.feature_groups, 32)
+    # interRAT-Parameters: all five groups absent [U count]
+    for _ in range(5):
+        w.opt(False)
+    return w.array()
+
+
+def unpack_ue_eutra_capability(bits: np.ndarray) -> UeEutraCapability:
+    r = UperReader(bits)
+    r.bit()
+    has_fgi, _ = r.opt(), r.opt()
+    r.enum(8, extensible=True)
+    cat = r.cint(1, 5)
+    r.bit()
+    if r.opt():
+        raise ValueError("maxNumberROHC-ContextSessions not supported")
+    rohc = 0
+    for i in range(9):
+        rohc |= r.bit() << i
+    tx_sel = bool(r.bit())
+    ue_rs = bool(r.bit())
+    bands = []
+    for _ in range(r.length(1, 64)):
+        band = r.cint(1, 64)
+        bands.append(BandCapability(band=band, half_duplex=bool(r.bit())))
+    n_meas = r.length(1, 64)
+    for i in range(n_meas):
+        if r.opt():
+            raise ValueError("interRAT-BandList not supported")
+        r.length(1, 64)
+        gaps = bool(r.bit())
+        if i < len(bands):
+            bands[i].need_for_gaps = gaps
+    fgi = r.bitstring(32) if has_fgi else None
+    for _ in range(5):
+        r.opt()
+    return UeEutraCapability(ue_category=cat, rohc_profiles=rohc,
+                             tx_antenna_selection=tx_sel,
+                             ue_specific_ref_sigs=ue_rs,
+                             bands=tuple(bands), feature_groups=fgi)
+
+
+@dataclasses.dataclass
+class UeCapabilityEnquiry:
+    rrc_ti: int = 0
+    rat_types: tuple[str, ...] = ("eutra",)
+
+
+@dataclasses.dataclass
+class UeCapabilityInformation:
+    rrc_ti: int = 0
+    # (rat_type, container bytes) pairs; for "eutra" the container is a
+    # packed UE-EUTRA-Capability
+    containers: tuple[tuple[str, bytes], ...] = ()
+
+
+_DL_DCCH_UE_CAP_ENQ = 7
+_UL_DCCH_UE_CAP_INFO = 7
+
+
+def pack_ue_capability_enquiry(m: UeCapabilityEnquiry) -> np.ndarray:
+    w = UperWriter()
+    w.bit(0)
+    w.cint(_DL_DCCH_UE_CAP_ENQ, 0, 15)
+    w.cint(m.rrc_ti, 0, 3)
+    w.bit(0)                               # criticalExtensions: c1
+    w.cint(0, 0, 3)                        # ueCapabilityEnquiry-r8(0)
+    w.opt(False)                           # nonCriticalExtension
+    w.length(len(m.rat_types), 1, 8)
+    for rt in m.rat_types:
+        w.enum(RAT_TYPES.index(rt), 8, extensible=True)
+    return w.array()
+
+
+def pack_ue_capability_information(m: UeCapabilityInformation) -> np.ndarray:
+    w = UperWriter()
+    w.bit(0)
+    w.cint(_UL_DCCH_UE_CAP_INFO, 0, 15)
+    w.cint(m.rrc_ti, 0, 3)
+    w.bit(0)                               # criticalExtensions: c1
+    w.cint(0, 0, 7)                        # ueCapabilityInformation-r8(0)
+    w.opt(False)
+    w.length(len(m.containers), 0, 8)
+    for rt, blob in m.containers:
+        w.enum(RAT_TYPES.index(rt), 8, extensible=True)
+        w.octets(blob)
+    return w.array()
 
 def bits_to_bytes(bits: np.ndarray) -> bytes:
     return np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()

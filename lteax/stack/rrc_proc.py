@@ -64,6 +64,7 @@ class _EnbUeProc:
     nas_ul: int = 0
     drb: rd.DrbToAddMod | None = None
     ip: tuple = (10, 0, 0, 2)
+    ue_caps: "rd.UeEutraCapability | None" = None
 
 
 class EnbRrc:
@@ -111,6 +112,17 @@ class EnbRrc:
             return self._on_nas(p, msg.nas)
         if isinstance(msg, rd.SecurityModeComplete):
             self.events.append("as-security-activated")
+            p.state = "wait-ue-caps"
+            enq = rd.UeCapabilityEnquiry(rrc_ti=1, rat_types=("eutra",))
+            return [("dcch", bits_to_bytes(rd.pack_dl_dcch(enq)))]
+        if isinstance(msg, rd.UeCapabilityInformation):
+            for rt, blob in msg.containers:
+                if rt == "eutra":
+                    p.ue_caps = rd.unpack_ue_eutra_capability(
+                        rd.bytes_to_bits(blob))
+                    self.events.append(
+                        f"ue-caps cat={p.ue_caps.ue_category} bands="
+                        f"{[b.band for b in p.ue_caps.bands]}")
             return self._send_reconfiguration(p)
         if isinstance(msg, rd.RrcConnectionReconfigurationComplete):
             # RRC connection is up; p.state stays wait-attach-complete
@@ -278,9 +290,11 @@ class UeRrc:
     reference's over-the-air interop)."""
 
     def __init__(self, imsi: tuple, k: bytes, opc: bytes,
-                 mcc=(0, 0, 1), mnc=(0, 1)):
+                 mcc=(0, 0, 1), mnc=(0, 1),
+                 capability: rd.UeEutraCapability | None = None):
         self.imsi, self.k, self.opc = imsi, k, opc
         self.mcc, self.mnc = mcc, mnc
+        self.capability = capability or rd.UeEutraCapability()
         self.state = "idle"
         self.k_asme = b""
         self.k_nas_enc = self.k_nas_int = b""
@@ -333,6 +347,16 @@ class UeRrc:
             self.events.append(f"as-smc {msg.ciphering}/{msg.integrity}")
             done = rd.SecurityModeComplete(rrc_ti=msg.rrc_ti)
             return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
+        if isinstance(msg, rd.UeCapabilityEnquiry):
+            blob = rd.bits_to_bytes(
+                rd.pack_ue_eutra_capability(self.capability))
+            containers = tuple(
+                (rt, blob if rt == "eutra" else b"")
+                for rt in msg.rat_types)
+            self.events.append(f"caps-enquiry {list(msg.rat_types)}")
+            info = rd.UeCapabilityInformation(rrc_ti=msg.rrc_ti,
+                                              containers=containers)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(info)))]
         if isinstance(msg, rd.RrcConnectionReconfiguration):
             return self._on_reconfiguration(msg)
         if isinstance(msg, rd.RrcConnectionRelease):

@@ -61,6 +61,28 @@ def test_release_roundtrip():
     assert rd.unpack_dl_dcch(rd.pack_dl_dcch(m)) == m
 
 
+def test_ue_capability_transfer_roundtrip():
+    enq = rd.UeCapabilityEnquiry(rrc_ti=1, rat_types=("eutra", "utra"))
+    assert rd.unpack_dl_dcch(rd.pack_dl_dcch(enq)) == enq
+
+    cap = rd.UeEutraCapability(
+        ue_category=4, rohc_profiles=0b000000101,
+        tx_antenna_selection=True,
+        bands=(rd.BandCapability(1), rd.BandCapability(7, half_duplex=True,
+                                                       need_for_gaps=False)),
+        feature_groups=0xDEADBEEF)
+    blob = rd.bits_to_bytes(rd.pack_ue_eutra_capability(cap))
+    got = rd.unpack_ue_eutra_capability(rd.bytes_to_bits(blob))
+    assert got == cap
+
+    info = rd.UeCapabilityInformation(rrc_ti=1,
+                                      containers=(("eutra", blob),))
+    out = rd.unpack_ul_dcch(rd.pack_ul_dcch(info))
+    assert out == info
+    assert rd.unpack_ue_eutra_capability(
+        rd.bytes_to_bits(out.containers[0][1])) == cap
+
+
 def test_byte_framing_roundtrip():
     """Messages survive PDCP byte framing (pad to octet, strip on unpack)."""
     m = rd.RrcConnectionSetup(rrc_ti=1)

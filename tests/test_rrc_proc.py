@@ -51,6 +51,10 @@ def test_full_attach_flow():
     assert 3 in u.bearers and u.bearers[3].mode == "um"
     assert "aka-success" in enb.events
     assert "nas-security-activated" in enb.events
+    # UE capability transfer ran before the reconfiguration
+    assert p.ue_caps is not None and p.ue_caps.ue_category == 3
+    assert any(e.startswith("ue-caps") for e in enb.events)
+    assert any(e.startswith("caps-enquiry") for e in ue.events)
     assert any(e.startswith("attach-complete") for e in enb.events)
     assert any(e.startswith("attach-accept") for e in ue.events)
 
