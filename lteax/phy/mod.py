@@ -67,6 +67,46 @@ def modulate(bits: jnp.ndarray, scheme: str) -> jnp.ndarray:
     return table[idx]
 
 
+@lru_cache(maxsize=None)
+def _pam_axis(scheme: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-axis PAM decomposition of a Gray square QAM constellation.
+
+    Returns (levels (L,) float32, bit_is_one (m/2, L) bool) where the
+    per-axis bit group is (b0, b2, b4)|I / (b1, b3, b5)|Q of 36.211 §7.1 —
+    both axes use the same formula, so one table serves I and Q.
+    """
+    ma = BITS_PER_SYM[scheme] // 2
+    lv = np.zeros(2 ** ma, dtype=np.float32)
+    for v in range(2 ** ma):
+        b = [(v >> (ma - 1 - i)) & 1 for i in range(ma)]
+        if scheme == "qpsk":
+            lv[v] = (1 - 2 * b[0]) / np.sqrt(2)
+        elif scheme == "16qam":
+            lv[v] = (1 - 2 * b[0]) * (2 - (1 - 2 * b[1])) / np.sqrt(10)
+        else:  # 64qam
+            lv[v] = (1 - 2 * b[0]) * (4 - (1 - 2 * b[1]) * (2 - (1 - 2 * b[2]))) / np.sqrt(42)
+    v = np.arange(2 ** ma)
+    bit1 = np.stack([((v >> (ma - 1 - i)) & 1) for i in range(ma)]).astype(np.bool_)
+    return lv, bit1
+
+
+def _subset_min_llr(y: jnp.ndarray, table: jnp.ndarray,
+                    bit_is_one: jnp.ndarray) -> jnp.ndarray:
+    """min_{bit=1} d2 - min_{bit=0} d2 over the last table axis.
+
+    y (..., N) real or complex; table (M,); bit_is_one (m, M).
+    Returns (..., N, m)."""
+    if jnp.iscomplexobj(y):
+        d2 = jnp.abs(y[..., None] - table) ** 2              # (..., N, M)
+    else:
+        d2 = (y[..., None] - table) ** 2
+    big = jnp.float32(1e30)
+    d2e = d2[..., None, :]                                   # (..., N, 1, M)
+    d0 = jnp.min(jnp.where(bit_is_one, big, d2e), axis=-1)   # (..., N, m)
+    d1 = jnp.min(jnp.where(bit_is_one, d2e, big), axis=-1)
+    return d1 - d0
+
+
 def demodulate_maxlog(symbols: jnp.ndarray, scheme: str,
                       noise_var=None) -> jnp.ndarray:
     """Exact max-log LLRs.  symbols (..., N) -> llrs (..., N*m) float32.
@@ -74,16 +114,26 @@ def demodulate_maxlog(symbols: jnp.ndarray, scheme: str,
     L_i = (min_{s: bit_i(s)=1} |y-s|^2 - min_{s: bit_i(s)=0} |y-s|^2) / nv
     (positive ⇒ bit 0 more likely).  ``noise_var`` may be a scalar or
     per-symbol array (post-equalization effective noise); defaults to 1.
+
+    For the Gray square QAM schemes the 2D subset minimum factorizes per
+    axis — an I-axis bit constrains only Re(s), so the free min over Im(s)
+    is common to both subsets and cancels in the difference.  The demap is
+    therefore an exact L-level PAM subset-min per axis (8 real distances
+    for 64QAM instead of 64 complex ones); BPSK couples the axes and keeps
+    the generic path.
     """
-    m = BITS_PER_SYM[scheme]
-    table = jnp.asarray(constellation(scheme))              # (M,)
-    bit_is_one = jnp.asarray(_bit_masks(scheme))            # (m, M)
-    d2 = jnp.abs(symbols[..., None] - table) ** 2           # (..., N, M)
-    big = jnp.float32(1e30)
-    d2e = d2[..., None, :]                                  # (..., N, 1, M)
-    d_bit0 = jnp.min(jnp.where(bit_is_one, big, d2e), axis=-1)   # (..., N, m)
-    d_bit1 = jnp.min(jnp.where(bit_is_one, d2e, big), axis=-1)
-    llr = d_bit1 - d_bit0
+    if scheme in ("qpsk", "16qam", "64qam"):
+        pam, bit1 = _pam_axis(scheme)
+        table, mask = jnp.asarray(pam), jnp.asarray(bit1)
+        llr_i = _subset_min_llr(jnp.real(symbols), table, mask)  # (..., N, ma)
+        llr_q = _subset_min_llr(jnp.imag(symbols), table, mask)
+        # bit order per symbol is (b0|I, b1|Q, b2|I, b3|Q, ...)
+        llr = jnp.stack([llr_i, llr_q], axis=-1).reshape(
+            *symbols.shape[:-1], symbols.shape[-1], -1)
+    else:
+        table = jnp.asarray(constellation(scheme))
+        mask = jnp.asarray(_bit_masks(scheme))
+        llr = _subset_min_llr(symbols, table, mask)
     if noise_var is not None:
         llr = llr / jnp.asarray(noise_var)[..., None]
     return llr.reshape(*symbols.shape[:-1], -1)

@@ -41,6 +41,26 @@ def test_unit_average_power():
         assert abs(np.mean(np.abs(t) ** 2) - 1.0) < 1e-6, scheme
 
 
+def test_per_axis_demap_matches_full_constellation():
+    """The factorized PAM demap must equal the generic 2D subset-min demap
+    (the free-axis min cancels in the LLR difference)."""
+    from lteax.phy.mod import _subset_min_llr, _bit_masks, BITS_PER_SYM
+
+    rng = np.random.default_rng(7)
+    y = jnp.asarray((rng.standard_normal(500)
+                     + 1j * rng.standard_normal(500)).astype(np.complex64))
+    nv = jnp.asarray(0.3 + rng.random(500).astype(np.float32))
+    for scheme in ("qpsk", "16qam", "64qam"):
+        fast = demodulate_maxlog(y, scheme, nv)
+        full = _subset_min_llr(y, jnp.asarray(constellation(scheme)),
+                               jnp.asarray(_bit_masks(scheme)))
+        full = (full / nv[..., None]).reshape(-1)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                                   rtol=2e-4, atol=2e-5, err_msg=scheme)
+        m = BITS_PER_SYM[scheme]
+        assert fast.shape == (500 * m,)
+
+
 def test_llr_magnitude_scales_with_noise():
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(0, 2, size=600).astype(np.int32))
