@@ -332,7 +332,7 @@ class EnbSim:
         for g, _ in zip(grants, dcis):
             prbs = tuple(range(g.rb_start, g.rb_start + g.n_prb))
             re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)
-            _, scheme = get_tbs_for_mcs(g.mcs, g.n_prb)
+            _, scheme = get_tbs_for_mcs(g.mcs, g.n_prb, interp=True)
             qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[scheme]
             geom = pdsch_mod.pdsch_geometry(g.tbs, len(re_idx), qm, 0)
             tb = np.unpackbits(
@@ -533,7 +533,7 @@ class UeSim:
         if not found:
             return None
         dci = found[0][0]
-        tbs, scheme = get_tbs_for_mcs(dci.mcs, dci.l_crb)
+        tbs, scheme = get_tbs_for_mcs(dci.mcs, dci.l_crb, interp=True)
         qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[scheme]
         prbs = tuple(range(dci.rb_start, dci.rb_start + dci.l_crb))
         re_idx = pdsch_flat_idx(cfg, cid, gc.ctrl_syms, prbs, sf)

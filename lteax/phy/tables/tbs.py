@@ -62,18 +62,91 @@ TBS_COLUMNS: dict[int, tuple[int, ...]] = {
 }
 
 
-def get_tbs(i_tbs: int, n_prb: int) -> int:
-    if n_prb not in TBS_COLUMNS:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _allowed_uniform_tbs() -> tuple[int, ...]:
+    """All TBS values whose 36.212 §5.1.2 segmentation is uniform (a single
+    code-block size K, zero filler): TBS = C*(K-24) - 24 for valid K.
+    Every entry of Table 7.1.7.2.1-1 lies in this set — it is both a
+    transcription checksum and the quantization grid for ``interp``."""
+    from lteax.phy.tables.turbo_qpp import VALID_K
+    from lteax.phy.fec.segmentation import segment_info
+
+    out = set()
+    for k in VALID_K:
+        out.add(int(k) - 24)                       # C == 1
+    for c in range(2, 66):                          # covers up to ~400k bits
+        for k in VALID_K:
+            out.add(c * (int(k) - 24) - 24)
+    good = [t for t in sorted(out) if t > 0
+            and segment_info(t + 24).c_minus == 0
+            and segment_info(t + 24).f == 0]
+    return tuple(good)
+
+
+@lru_cache(maxsize=None)
+def _se_target(i_tbs: int) -> float:
+    """Per-row spectral-efficiency target ((TBS+24)/(120*N_PRB)) fitted to
+    the wide verified columns.  Used ONLY by the ``interp`` fallback."""
+    import numpy as np
+    ns = [n for n in (25, 50, 75, 100) if n in TBS_COLUMNS]
+    return float(np.median([(TBS_COLUMNS[n][i_tbs] + 24) / (120.0 * n)
+                            for n in ns]))
+
+
+@lru_cache(maxsize=None)
+def _tbs_interp(i_tbs: int, n_prb: int) -> int:
+    """Rule-based TBS for a column not transcribed from the spec.
+
+    NOT spec-exact (scripts/tbs_fit.py shows Table 7.1.7.2.1-1 is hand-
+    adjusted and cannot be reproduced by any quantization rule); this picks
+    the largest uniformly-segmenting TBS at the row's fitted spectral
+    efficiency, clamped to be monotone against the bracketing verified
+    columns.  Self-consistent across gen/scan/scheduler, flagged here so no
+    caller mistakes it for the 3GPP entry."""
+    import bisect
+    allowed = _allowed_uniform_tbs()
+    target = _se_target(i_tbs) * 120.0 * n_prb
+    j = bisect.bisect_right([t + 24 for t in allowed], target)
+    t = allowed[max(j - 1, 0)]
+    known = sorted(TBS_COLUMNS)
+    lo = max((n for n in known if n < n_prb), default=None)
+    hi = min((n for n in known if n > n_prb), default=None)
+    if lo is not None:
+        t = max(t, TBS_COLUMNS[lo][i_tbs])
+    if hi is not None:
+        t = min(t, TBS_COLUMNS[hi][i_tbs])
+    return int(t)
+
+
+def get_tbs(i_tbs: int, n_prb: int, interp: bool = False) -> int:
+    """36.213 Table 7.1.7.2.1-1 lookup.
+
+    Spec-exact for the transcribed columns (all standard bandwidth PRB
+    counts, the DCI-1A columns and 1..6); other columns raise KeyError
+    unless ``interp=True`` opts into the rule-based fallback (see
+    ``_tbs_interp`` — self-consistent, NOT guaranteed spec-exact)."""
+    if not 0 <= i_tbs <= 26:
+        raise ValueError(f"I_TBS {i_tbs} out of range")
+    if not 1 <= n_prb <= 110:
+        raise ValueError(f"N_PRB {n_prb} out of range")
+    if n_prb in TBS_COLUMNS:
+        return TBS_COLUMNS[n_prb][i_tbs]
+    if not interp:
         raise KeyError(
-            f"N_PRB={n_prb} column of 36.213 Table 7.1.7.2.1-1 not entered "
-            f"yet (have {sorted(TBS_COLUMNS)})")
-    return TBS_COLUMNS[n_prb][i_tbs]
+            f"N_PRB={n_prb} column of 36.213 Table 7.1.7.2.1-1 not "
+            f"transcribed (have {sorted(TBS_COLUMNS)}); pass interp=True "
+            f"for the rule-based fallback")
+    return _tbs_interp(i_tbs, n_prb)
 
 
-def get_tbs_for_mcs(mcs: int, n_prb: int) -> tuple[int, str]:
+def get_tbs_for_mcs(mcs: int, n_prb: int, interp: bool = False
+                    ) -> tuple[int, str]:
     """-> (tbs, modulation scheme name)."""
     qm, itbs = mcs_to_qm_itbs(mcs)
-    return get_tbs(itbs, n_prb), MOD_BY_QM[qm]
+    return get_tbs(itbs, n_prb, interp), MOD_BY_QM[qm]
 
 
 # 36.213 §7.1.7.2: DCI format 1A with SI/P/RA-RNTI uses N_PRB_1A ∈ {2, 3}
@@ -83,14 +156,15 @@ def tbs_1a(i_tbs: int, n_prb_1a: int) -> int:
     return get_tbs(i_tbs, n_prb_1a)
 
 
-def pick_mcs_for_size(n_bits: int, n_prb: int, max_mcs: int = 28) -> tuple[int, int]:
+def pick_mcs_for_size(n_bits: int, n_prb: int, max_mcs: int = 28,
+                      interp: bool = False) -> tuple[int, int]:
     """Smallest MCS whose TBS at ``n_prb`` fits ``n_bits`` payload.
 
     (reference capability: ``liblte_phy_get_tbs_mcs_and_n_prb_for_dl`` —
     the scheduler's lookup.)  Returns (mcs, tbs)."""
     for mcs in range(max_mcs + 1):
         try:
-            tbs, _ = get_tbs_for_mcs(mcs, n_prb)
+            tbs, _ = get_tbs_for_mcs(mcs, n_prb, interp)
         except ValueError:
             continue
         if tbs >= n_bits:

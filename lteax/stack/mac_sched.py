@@ -120,26 +120,23 @@ class DlScheduler:
             if not ue.buffered:
                 continue
             n_prb = min(share, free_hi - free_lo)
-            # snap down to an available TBS column
-            cols = [c for c in TBS_COLUMNS if c <= n_prb]
-            if not cols:
-                continue
-            n_prb = max(cols)
             # smallest MCS (within CQI) whose TBS carries at least the
             # head-of-line SDU; fall back to the CQI max for big buffers
+            # (interp=True: grants may land on non-transcribed TBS columns —
+            # gen and UE decode share the same rule-based fallback)
             need = 8 * (len(ue.queue[0][1]) + 3)
             mcs = None
             for m in range(0, ue.cqi_mcs + 1):
                 try:
-                    tbs, _ = get_tbs_for_mcs(m, n_prb)
-                except (KeyError, ValueError):
+                    tbs, _ = get_tbs_for_mcs(m, n_prb, interp=True)
+                except ValueError:
                     continue
                 mcs = m
                 if tbs >= need:
                     break
             if mcs is None:
                 continue
-            tbs, _ = get_tbs_for_mcs(mcs, n_prb)
+            tbs, _ = get_tbs_for_mcs(mcs, n_prb, interp=True)
             if tbs < need:
                 continue              # SDU can't fit even at CQI max
             # fill a MAC PDU with whole SDUs up to TBS

@@ -176,6 +176,40 @@ def test_tbs_cross_column_monotone():
         assert all(b >= a for a, b in zip(vals, vals[1:])), (itbs, vals)
 
 
+def test_tbs_entries_segment_uniformly():
+    """Transcription checksum: every table entry must be a uniformly
+    segmenting TBS (C equal code blocks, zero filler) — a property of the
+    whole 36.213 table that arbitrary transcription errors break."""
+    from lteax.phy.tables.tbs import TBS_COLUMNS, _allowed_uniform_tbs
+    allowed = set(_allowed_uniform_tbs())
+    for n, col in TBS_COLUMNS.items():
+        assert len(col) == 27, n
+        for t in col:
+            assert t in allowed, (n, t)
+
+
+def test_tbs_interp_fallback():
+    """The rule-based fallback: KeyError unless opted in; monotone along
+    both axes over the full 1..110 grid; in the uniform-segmentation set;
+    bracketed by the transcribed columns."""
+    import pytest
+    from lteax.phy.tables.tbs import (get_tbs, TBS_COLUMNS,
+                                      _allowed_uniform_tbs)
+    with pytest.raises(KeyError):
+        get_tbs(5, 37)
+    allowed = set(_allowed_uniform_tbs())
+    grid = [[get_tbs(i, n, interp=True) for n in range(1, 111)]
+            for i in range(27)]
+    for i in range(27):
+        row = grid[i]
+        assert all(b >= a for a, b in zip(row, row[1:])), i
+        assert all(t in allowed for t in row), i
+        if i:
+            assert all(b >= a for a, b in zip(grid[i - 1], row)), i
+    for n, col in TBS_COLUMNS.items():
+        assert [grid[i][n - 1] for i in range(27)] == list(col), n
+
+
 def test_dci_1_rbg_allocation_and_roundtrip():
     from lteax.phy.channels.dci import (Dci1, dci_1_pack, dci_1_unpack,
                                         dci_1_size, dci_1a_size, rbg_size,
