@@ -65,50 +65,65 @@ def _live_masks(win: int, acq: int, n_w: int, n: int):
 
 def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
     fwd, bwd, out0, out1 = _wiring()
+    assert win % 2 == 0
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
 
-        def acs_fwd(a, uu, vv, lv):
+        def acs_fwd(a, uu, vv, lv=None):
             g = _gammas(uu, vv)
             new = [jnp.maximum(a[p0] + g[g0], a[p1] + g[g1])
                    for (p0, p1, g0, g1) in fwd]
-            return tuple(lv * nw + (1.0 - lv) * ao
-                         for nw, ao in zip(new, a))
+            if lv is None:
+                return tuple(new)
+            return tuple(jnp.where(lv, nw, ao) for nw, ao in zip(new, a))
 
-        def acs_bwd(b, uu, vv, lv):
+        def acs_bwd(b, uu, vv, lv=None):
             g = _gammas(uu, vv)
             new = [jnp.maximum(b[n0] + g[g0], b[n1] + g[g1])
                    for (n0, n1, g0, g1) in bwd]
-            return tuple(lv * nw + (1.0 - lv) * bo
-                         for nw, bo in zip(new, b))
+            if lv is None:
+                return tuple(new)
+            return tuple(jnp.where(lv, nw, bo) for nw, bo in zip(new, b))
 
         # ---- fused acquisition: alpha and beta warm-ups in one loop ----
+        # (masked: the freeze carries window 0's exact start pin across the
+        # dead pre-window positions, and the last window's termination pin
+        # across the dead tail)
         a = tuple(ainit[:, :, s] for s in range(8))
         b = tuple(binit[:, :, s] for s in range(8))
 
         def acq_body(t, ab):
             a, b = ab
-            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :])
+            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :] > 0.5)
             j = acq - 1 - t
-            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :])
+            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :] > 0.5)
             return (a, b)
 
         a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
 
         # ---- fused window sweeps: store pre-step alpha/beta ----
-        def win_body(t, ab):
+        # The forward sweep runs UNMASKED: dead positions exist only in the
+        # last window's tail, and the alphas they corrupt feed only combine
+        # outputs that the host slices off and the last window's a_nii
+        # export, which rolls into window 0 and is overwritten by the exact
+        # start pin (_pin_boundaries).  The backward sweep keeps its freeze:
+        # it must carry the termination pin across the dead tail.  Unrolled
+        # 2x to halve sequential loop overhead.
+        def win_body(t2, ab):
             a, b = ab
-            for s in range(8):
-                astore[t, s, :, :] = a[s]
-            a = acs_fwd(a, um[t], vm[t], lm_ref[t, :][None, :])
-            j = win - 1 - t
-            for s in range(8):
-                bstore[j, s, :, :] = b[s]
-            b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
+            for half in range(2):
+                t = 2 * t2 + half
+                for s in range(8):
+                    astore[t, s, :, :] = a[s]
+                a = acs_fwd(a, um[t], vm[t])
+                j = win - 1 - t
+                for s in range(8):
+                    bstore[j, s, :, :] = b[s]
+                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :] > 0.5)
             return (a, b)
 
-        jax.lax.fori_loop(0, win, win_body, (a, b))
+        jax.lax.fori_loop(0, win // 2, win_body, (a, b))
 
         # NII boundary exports:
         #   a_nii[w] = alpha at (w+1)*win - acq  == astore[j = win-acq]
