@@ -107,7 +107,10 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         bits, ok = dec(xd)
-        jax.block_until_ready((bits, ok))
+        # a device->host transfer is the reliable completion barrier on the
+        # axon backend (block_until_ready can return early for small
+        # outputs); `ok` is tiny so the transfer itself is negligible
+        np.asarray(ok)
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     mbps = b * tbs / t / 1e6

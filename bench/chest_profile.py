@@ -96,11 +96,11 @@ def main():
                 return acc + fn(g + 0.0 * acc.astype(g.dtype))
             return jax.lax.fori_loop(0, a.inner, body, jnp.float32(0.0))
         f = jax.jit(run)
-        jax.block_until_ready(f(gd))
+        np.asarray(f(gd))  # transfer = reliable completion barrier (PERF.md)
         ts = []
         for _ in range(a.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(gd))
+            np.asarray(f(gd))
             ts.append(time.perf_counter() - t0)
         t = float(np.median(ts)) / a.inner * 1e3
         print(f"{name:20s} {t:8.2f} ms/batch({a.batch})")

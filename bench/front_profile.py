@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
     from lteax.phy.config import PhyConfig
     from lteax.phy import seq, chest
-    from lteax.phy.grid import pdsch_flat_idx
+    from lteax.phy.grid import pdsch_flat_idx, make_flat_extractor
     from lteax.phy.ofdm import samples_to_subframe
     from lteax.phy.mod import demodulate_maxlog
     from lteax.phy.channels.pdsch import (_c_init, soft_dematch,
@@ -41,7 +41,8 @@ def main():
     cid, sf, rnti, cfi = 214, 1, 0x1234, 1
     prbs = tuple(range(100))
     tbs, scheme = get_tbs_for_mcs(28, 100)
-    re_idx = jnp.asarray(pdsch_flat_idx(cfg, cid, cfi, prbs, sf))
+    re_idx = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
+    extract, _, _ = make_flat_extractor(re_idx, cfg.n_sym_subframe, cfg.n_sc)
     geom = pdsch_geometry(tbs, len(re_idx), 6, 0)
     rng = np.random.default_rng(0)
     x = rng.standard_normal((a.batch, cfg.n_samps_subframe, 2)) \
@@ -57,7 +58,7 @@ def main():
         h = chest.estimate_channel(grid, cfg, cid, sf, port=0)
         nv = chest.estimate_noise_var(grid, cfg, cid, sf)
         x_eq, eff = chest.equalize_siso(grid.reshape(-1), h.reshape(-1), nv)
-        return x_eq[re_idx], eff[re_idx]
+        return extract(x_eq), extract(eff)
 
     def demap(s_iq):
         x_eq, eff = eq(s_iq)
@@ -90,15 +91,21 @@ def main():
     prev = 0.0
     for name, fn in stages.items():
         def run(s, fn=fn):
+            # optimization_barrier chains iterations so XLA cannot hoist
+            # the loop-invariant body out of the fori_loop
             def body(i, acc):
-                return acc + fn(s + 0.0 * acc.astype(s.dtype))
+                s_dep, acc = jax.lax.optimization_barrier((s, acc))
+                return acc + fn(s_dep)
             return jax.lax.fori_loop(0, a.inner, body, jnp.float32(0.0))
         f = jax.jit(run)
-        jax.block_until_ready(f(xd))
+        np.asarray(f(xd))
         ts = []
         for _ in range(a.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(xd))
+            # np.asarray, not block_until_ready: on the axon backend
+            # block_until_ready returns before remote execution completes
+            # for small outputs — only a device->host transfer really waits
+            np.asarray(f(xd))
             ts.append(time.perf_counter() - t0)
         t = float(np.median(ts)) / a.inner * 1e3
         print(f"{name:18s} {t:8.2f} ms/batch({a.batch})  "

@@ -134,7 +134,7 @@ def main():
     ts = []
     for _ in range(a.reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(xd))
+        np.asarray(f(xd)[1])  # transfer = reliable completion barrier
         ts.append(time.perf_counter() - t0)
     t = float(np.median(ts))
     mbps = 2 * b * tbs / t / 1e6

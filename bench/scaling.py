@@ -94,7 +94,7 @@ def main():
         for _ in range(a.reps):
             t0 = time.perf_counter()
             out = dec(xd)
-            jax.block_until_ready(out)
+            np.asarray(out[2])  # transfer = reliable completion barrier
             ts.append(time.perf_counter() - t0)
         t = float(np.median(ts))
         sps = len(x) * cfg.n_samps_subframe / t

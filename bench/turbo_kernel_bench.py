@@ -51,13 +51,13 @@ def main():
 
     f = jax.jit(run)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(u, v, ab))
+    np.asarray(f(u, v, ab))  # transfer = reliable completion barrier (PERF.md)
     print(f"compile+first: {time.perf_counter()-t0:.1f}s  "
           f"(cb={a.cb} k={a.k} win={a.win} acq={a.acq} tb={a.tb} gb={gb})")
     ts = []
     for _ in range(a.reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(u, v, ab))
+        np.asarray(f(u, v, ab))
         ts.append(time.perf_counter() - t0)
     t = float(np.median(ts)) / a.inner
     per_cb = t / a.cb * 1e6

@@ -132,7 +132,7 @@ def main():
     for _ in range(a.reps):
         t0 = time.perf_counter()
         out = f(xd)
-        jax.block_until_ready(out)
+        np.asarray(out[1])  # transfer = reliable completion barrier
         ts.append(time.perf_counter() - t0)
     t = float(np.median(ts))
     mbps = b * alloc.mcs_tbs / t / 1e6

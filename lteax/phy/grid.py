@@ -278,3 +278,91 @@ def pdsch_flat_idx(cfg: PhyConfig, n_cell_id: int, cfi: int,
         keep = sc[~reserved[sym, sc]]
         idx.append(sym * cfg.n_sc + keep)
     return np.concatenate(idx).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Structured flat-index extraction (gather elimination)
+# ---------------------------------------------------------------------------
+
+def make_flat_extractor(idx: np.ndarray, n_rows: int, row_len: int):
+    """Build a slice/reshape-based extractor equivalent to ``x[..., idx]``
+    for a flat grid of shape (..., n_rows*row_len).
+
+    TPU gathers run near one element per cycle; the PDSCH RE pattern is
+    structured (whole symbols, or symbols with every 3rd subcarrier
+    reserved for CRS), so the same selection is expressible as static
+    slices + strided column picks — pure layout ops at HBM bandwidth.
+    Rows whose keep-set has no such structure fall back to a (small)
+    per-row gather.  Output ordering matches ``x[..., idx]`` exactly
+    (asserted at build time).
+
+    Returns (fn, n_structured_rows, n_gather_rows).
+    """
+    import jax.numpy as jnp
+
+    idx = np.asarray(idx)
+    assert idx.ndim == 1 and np.all(np.diff(idx) > 0), \
+        "extractor requires strictly ascending flat indices"
+    plans = []  # (row, kind, payload)
+    n_struct = n_gather = 0
+    rows = idx // row_len
+    for row in np.unique(rows):
+        k = (idx[rows == row] - row * row_len).astype(np.int64)
+        a, b = int(k[0]), int(k[-1]) + 1
+        if len(k) == b - a:                       # contiguous run
+            plans.append((int(row), "slice", (a, b)))
+            n_struct += 1
+            continue
+        done = False
+        for p in (2, 3, 4, 6, 12):
+            a0 = int(k[0] - (k[0] % p))
+            b0 = a0 + ((b - a0 + p - 1) // p) * p
+            if b0 > row_len:
+                continue
+            res = tuple(sorted(set(int(x % p) for x in k)))
+            full = np.arange(a0, b0)
+            want = full[np.isin(full % p, res)]
+            if len(want) == len(k) and np.array_equal(want, k):
+                plans.append((int(row), "periodic", (a0, b0, p, res)))
+                n_struct += 1
+                done = True
+                break
+        if not done:
+            plans.append((int(row), "gather", (k.astype(np.int32),)))
+            n_gather += 1
+
+    # build-time verification: plan indices == idx, in order
+    chk = []
+    for row, kind, pl in plans:
+        if kind == "slice":
+            a, b = pl
+            chk.append(np.arange(a, b) + row * row_len)
+        elif kind == "periodic":
+            a0, b0, p, res = pl
+            blk = np.arange(a0, b0).reshape(-1, p)[:, list(res)].reshape(-1)
+            chk.append(blk + row * row_len)
+        else:
+            chk.append(pl[0] + row * row_len)
+    assert np.array_equal(np.concatenate(chk), idx)
+
+    gidx = {row: jnp_idx for row, kind, (jnp_idx,) in
+            [(r, kk, ppl) for r, kk, ppl in plans if kk == "gather"]}
+
+    def extract(flat):
+        x = flat.reshape(*flat.shape[:-1], n_rows, row_len)
+        pieces = []
+        for row, kind, pl in plans:
+            r = x[..., row, :]
+            if kind == "slice":
+                a, b = pl
+                pieces.append(r[..., a:b])
+            elif kind == "periodic":
+                a0, b0, p, res = pl
+                seg = r[..., a0:b0].reshape(*r.shape[:-1], (b0 - a0) // p, p)
+                cols = jnp.stack([seg[..., s] for s in res], axis=-1)
+                pieces.append(cols.reshape(*r.shape[:-1], -1))
+            else:
+                pieces.append(r[..., jnp.asarray(pl[0])])
+        return jnp.concatenate(pieces, axis=-1)
+
+    return extract, n_struct, n_gather
