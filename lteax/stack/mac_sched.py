@@ -122,13 +122,11 @@ class DlScheduler:
             n_prb = min(share, free_hi - free_lo)
             # smallest MCS (within CQI) whose TBS carries at least the
             # head-of-line SDU; fall back to the CQI max for big buffers
-            # (interp=True: grants may land on non-transcribed TBS columns —
-            # gen and UE decode share the same rule-based fallback)
             need = 8 * (len(ue.queue[0][1]) + 3)
             mcs = None
             for m in range(0, ue.cqi_mcs + 1):
                 try:
-                    tbs, _ = get_tbs_for_mcs(m, n_prb, interp=True)
+                    tbs, _ = get_tbs_for_mcs(m, n_prb)
                 except ValueError:
                     continue
                 mcs = m
@@ -136,7 +134,7 @@ class DlScheduler:
                     break
             if mcs is None:
                 continue
-            tbs, _ = get_tbs_for_mcs(mcs, n_prb, interp=True)
+            tbs, _ = get_tbs_for_mcs(mcs, n_prb)
             if tbs < need:
                 continue              # SDU can't fit even at CQI max
             # fill a MAC PDU with whole SDUs up to TBS

@@ -188,26 +188,35 @@ def test_tbs_entries_segment_uniformly():
             assert t in allowed, (n, t)
 
 
-def test_tbs_interp_fallback():
-    """The rule-based fallback: KeyError unless opted in; monotone along
-    both axes over the full 1..110 grid; in the uniform-segmentation set;
-    bracketed by the transcribed columns."""
-    import pytest
-    from lteax.phy.tables.tbs import (get_tbs, TBS_COLUMNS,
+def test_tbs_full_table():
+    """The complete 27x110 table: monotone along both axes, every entry in
+    the uniform-segmentation set, consistent with the anchor-column view,
+    per-row spectral efficiency flat (within quantization) for N_PRB>=10,
+    provenance strings well-formed."""
+    from lteax.phy.tables.tbs import (get_tbs, get_tbs_provenance,
+                                      TBS_COLUMNS, TBS_TABLE, PROV,
                                       _allowed_uniform_tbs)
-    with pytest.raises(KeyError):
-        get_tbs(5, 37)
     allowed = set(_allowed_uniform_tbs())
-    grid = [[get_tbs(i, n, interp=True) for n in range(1, 111)]
-            for i in range(27)]
+    assert len(TBS_TABLE) == 27 and all(len(r) == 110 for r in TBS_TABLE)
+    grid = [[get_tbs(i, n) for n in range(1, 111)] for i in range(27)]
     for i in range(27):
         row = grid[i]
         assert all(b >= a for a, b in zip(row, row[1:])), i
         assert all(t in allowed for t in row), i
         if i:
             assert all(b >= a for a, b in zip(grid[i - 1], row)), i
+        # SE flatness: quantization + known table plateaus stay within ~8%
+        ses = [(row[n - 1] + 24) / (120.0 * n) for n in range(10, 111)]
+        med = sorted(ses)[len(ses) // 2]
+        assert all(abs(s / med - 1.0) < 0.08 for s in ses), i
     for n, col in TBS_COLUMNS.items():
         assert [grid[i][n - 1] for i in range(27)] == list(col), n
+    assert len(PROV) == 27 and all(len(p) == 110 for p in PROV)
+    assert set("".join(PROV)) <= {"A", "R", "F"}
+    assert get_tbs_provenance(26, 100) == "A"
+    # famous cells
+    assert get_tbs(26, 110) == 75376          # max single-codeword TBS
+    assert grid[26][99] == 75376
 
 
 def test_dci_1_rbg_allocation_and_roundtrip():
