@@ -63,12 +63,28 @@ def _live_masks(win: int, acq: int, n_w: int, n: int):
     return lv_main, lv_aacq, lv_bacq
 
 
-def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
+def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
+                 mdtype=jnp.float32, sdtype=None):
     fwd, bwd, out0, out1 = _wiring()
     assert win % 2 == 0
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
+
+        is_bf16 = mdtype == jnp.bfloat16
+        sdt = sdtype or mdtype
+
+        def _freeze(new, old, lv):
+            """Keep ``old`` where the position is dead (lv row is 0/1 f32).
+            Boolean select for f32; arithmetic blend for bf16 (Mosaic can't
+            relayout an i1 mask against 16-bit operands)."""
+            if is_bf16:
+                m = lv.astype(jnp.bfloat16)
+                return tuple(m * nw + (1.0 - m) * od
+                             for nw, od in zip(new, old))
+            keep = lv > 0.5
+            return tuple(jnp.where(keep, nw, od)
+                         for nw, od in zip(new, old))
 
         def acs_fwd(a, uu, vv, lv=None):
             g = _gammas(uu, vv)
@@ -76,7 +92,7 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
                    for (p0, p1, g0, g1) in fwd]
             if lv is None:
                 return tuple(new)
-            return tuple(jnp.where(lv, nw, ao) for nw, ao in zip(new, a))
+            return _freeze(new, a, lv)
 
         def acs_bwd(b, uu, vv, lv=None):
             g = _gammas(uu, vv)
@@ -84,7 +100,7 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
                    for (n0, n1, g0, g1) in bwd]
             if lv is None:
                 return tuple(new)
-            return tuple(jnp.where(lv, nw, bo) for nw, bo in zip(new, b))
+            return _freeze(new, b, lv)
 
         # ---- fused acquisition: alpha and beta warm-ups in one loop ----
         # (masked: the freeze carries window 0's exact start pin across the
@@ -95,9 +111,9 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
 
         def acq_body(t, ab):
             a, b = ab
-            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :] > 0.5)
+            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :])
             j = acq - 1 - t
-            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :] > 0.5)
+            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :])
             return (a, b)
 
         a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
@@ -109,28 +125,38 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
         # export, which rolls into window 0 and is overwritten by the exact
         # start pin (_pin_boundaries).  The backward sweep keeps its freeze:
         # it must carry the termination pin across the dead tail.  Unrolled
-        # 2x to halve sequential loop overhead.
-        def win_body(t2, ab):
+        # (4x when win allows) to cut sequential loop overhead.
+        unroll = 4 if win % 4 == 0 else 2
+
+        def win_body(tu, ab):
             a, b = ab
-            for half in range(2):
-                t = 2 * t2 + half
+            for half in range(unroll):
+                t = unroll * tu + half
                 for s in range(8):
-                    astore[t, s, :, :] = a[s]
+                    astore[t, s, :, :] = a[s].astype(sdt)
                 a = acs_fwd(a, um[t], vm[t])
                 j = win - 1 - t
                 for s in range(8):
-                    bstore[j, s, :, :] = b[s]
-                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :] > 0.5)
+                    bstore[j, s, :, :] = b[s].astype(sdt)
+                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
+            if is_bf16:
+                # renormalise once per unroll block: bf16 path metrics must
+                # stay O(branch metric) or the 8-bit mantissa rounds away
+                # the ACS decision margins.  Subtracting state 0 is exact
+                # for the combine (any per-step constant cancels in l0-l1)
+                # and for the NII exports (normalised downstream anyway).
+                a = tuple(x - a[0] for x in a)
+                b = tuple(x - b[0] for x in b)
             return (a, b)
 
-        jax.lax.fori_loop(0, win // 2, win_body, (a, b))
+        jax.lax.fori_loop(0, win // unroll, win_body, (a, b))
 
         # NII boundary exports:
         #   a_nii[w] = alpha at (w+1)*win - acq  == astore[j = win-acq]
         #   b_nii[w] = beta  at w*win + acq      == bstore[j = acq-1]
         for s in range(8):
-            a_nii_ref[:, :, s] = astore[win - acq, s, :, :]
-            b_nii_ref[:, :, s] = bstore[acq - 1, s, :, :]
+            a_nii_ref[:, :, s] = astore[win - acq, s, :, :].astype(jnp.float32)
+            b_nii_ref[:, :, s] = bstore[acq - 1, s, :, :].astype(jnp.float32)
 
         # ---- combine, vectorized over the whole (TB, win, n_w) block ----
         uu = um[:]
@@ -145,18 +171,25 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int):
             t1 = astore[:, s, :, :] + g[g1] + bstore[:, ns1, :, :]
             l0 = t0 if l0 is None else jnp.maximum(l0, t0)
             l1 = t1 if l1 is None else jnp.maximum(l1, t1)
-        l_ref[:, :, :] = l0 - l1
+        l_ref[:, :, :] = (l0.astype(jnp.float32) - l1.astype(jnp.float32))
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "interpret"))
+@partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "mdtype",
+                                   "interpret"))
 def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
-                          tb: int = 8, gb: int = 1, interpret: bool = False):
+                          tb: int = 8, gb: int = 1, mdtype: str = "f32",
+                          interpret: bool = False):
     """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
 
     Returns (L (B, N), a_next (B, n_w, 8), b_next (B, n_w, 8)) matching the
     XLA reference ``_half_iteration`` (same NII convention).
+
+    ``mdtype="bf16"`` runs the trellis arithmetic and the alpha/beta stores
+    in bfloat16 (metrics are NII-normalised each iteration, so their range
+    fits easily; max-log ACS tolerates the 8-bit mantissa).  Outputs stay
+    f32.
 
     ``gb`` folds that many codeblocks into the lane (window) axis: windows
     of different blocks are independent trellis chains, so extra blocks are
@@ -164,6 +197,11 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
     n_w = ceil(n/win) is small (e.g. K=5824/win=128 -> n_w=46 -> 36 % lane
     occupancy at gb=1, 92/128 at gb=2).
     """
+    dt = jnp.bfloat16 if mdtype.startswith("bf16") else jnp.float32
+    u = u.astype(dt)
+    v = v.astype(dt)
+    a_init = a_init.astype(dt)
+    b_init = b_init.astype(dt)
     bsz, n_in = u.shape
     assert n_in == n
     n_w = -(-n // win)
@@ -203,7 +241,8 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         um, ua, ub, vm, va, vb = map(fold_t, (um, ua, ub, vm, va, vb))
         a_init, b_init = fold_i(a_init), fold_i(b_init)
 
-    kernel = _make_kernel(win, acq, n_we, n, tb)
+    sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
+    kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt)
     grid = (bf // tb,) if bf % tb == 0 else (-(-bf // tb),)
     if bf % tb != 0:
         padb = grid[0] * tb - bf
@@ -241,8 +280,8 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((win, 8, tb, n_we), jnp.float32),
-                        pltpu.VMEM((win, 8, tb, n_we), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((win, 8, tb, n_we), sdt),
+                        pltpu.VMEM((win, 8, tb, n_we), sdt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -277,6 +316,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               acq: int = 32, ext_scale: float = 0.75,
                               tb: int = 8, gb: int | None = None,
                               early_crc: str | None = None,
+                              mdtype: str = "f32",
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
@@ -320,14 +360,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         u1 = jnp.concatenate([ls + le21, sys_t1], axis=1)
         a1p, b1p = _pin_boundaries(a1, b1)
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
-                                             tb=tb, gb=gb, interpret=interpret)
+                                             tb=tb, gb=gb, mdtype=mdtype,
+                                             interpret=interpret)
         l1 = l1[:, :k]
         le12 = ext_scale * (l1 - ls - le21)
         la2 = le12[:, pi]
         u2 = jnp.concatenate([ls_int + la2, sys_t2], axis=1)
         a2p, b2p = _pin_boundaries(a2, b2)
         l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
-                                             tb=tb, gb=gb, interpret=interpret)
+                                             tb=tb, gb=gb, mdtype=mdtype,
+                                             interpret=interpret)
         l2 = l2[:, :k]
         le21_new = (ext_scale * (l2 - ls_int - la2))[:, inv]
         return le21_new, a1n, b1n, a2n, b2n, l2[:, inv]

@@ -84,3 +84,20 @@ def test_early_crc_termination():
                                      early_crc="24B", interpret=True)
     _, ok2 = check_crc(got2, "24B")
     assert not np.all(np.asarray(ok2))
+
+
+def test_pallas_bf16_decodes():
+    """bf16 trellis path (with per-block renormalisation) decodes cleanly at
+    bench-scale LLR magnitudes.  Interpret mode exercises wiring + renorm
+    algebra (the real accumulation-precision behaviour was validated on
+    hardware: 384/384 CRC at 25 dB, ~0.1 dB threshold cost — PERF.md)."""
+    rng = np.random.default_rng(7)
+    k, c = 1024, 4
+    bits = rng.integers(0, 2, size=(c, k)).astype(np.int32)
+    d = np.asarray(turbo_encode_batch(jnp.asarray(bits), k)).astype(np.float32)
+    sigma = 0.65
+    rx = (1.0 - 2.0 * d) + sigma * rng.standard_normal(d.shape).astype(np.float32)
+    llr = jnp.asarray(500.0 * 2.0 * rx / sigma**2)   # bench-scale magnitudes
+    got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=4, tb=2,
+                                               mdtype="bf16", interpret=True))
+    np.testing.assert_array_equal(got, bits)
