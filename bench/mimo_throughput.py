@@ -116,7 +116,9 @@ def main():
         d_llr = jax.vmap(front, in_axes=1)(batch_iq)   # (b, 2, C, 3, D)
         flat = d_llr.reshape(-1, 3, geom.k + 4)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
-                                         tb=16, acq=16, early_crc="24B")
+                                         tb=16, acq=16, early_crc="24B",
+                                         mdtype=os.environ.get(
+                                             "LTEAX_PALLAS_DTYPE", "bf16"))
         bits = bits.reshape(b * 2, geom.info.c, geom.k)
         payload, cb_ok = check_crc(bits, "24B")
         tb_full = pdsch_mod.desegment_device(payload, geom.info)

@@ -112,6 +112,8 @@ def main():
         flat = d_llr.reshape(-1, 3, geom.k + 4)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
                                          win=win, acq=acq, tb=tbt,
+                                         mdtype=os.environ.get(
+                                             "LTEAX_PALLAS_DTYPE", "bf16"),
                                          early_crc="24B", interpret=a.cpu)
         bits = bits.reshape(b, geom.info.c, geom.k)
         payload, cb_ok = check_crc(bits, "24B")
