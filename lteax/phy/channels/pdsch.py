@@ -93,23 +93,50 @@ def _global_rm_inv(geom: PdschGeometry):
     return inv, injective
 
 
+@lru_cache(maxsize=None)
+def _structured_dematch(geom: PdschGeometry):
+    """Per-E-class structured (slice/concat) de-match assemblers.
+
+    Returns ((e_offset, n_cb, e_len, fn), ...) covering the C codeblocks in
+    order, or None when any class is non-injective (HARQ repetition)."""
+    from lteax.phy.fec.ratematch import make_rate_unmatch_structured
+    d_len = geom.k + 4
+    groups = []
+    off = i = 0
+    e_list = geom.e_list
+    while i < len(e_list):
+        j = i
+        while j < len(e_list) and e_list[j] == e_list[i]:
+            j += 1
+        out = make_rate_unmatch_structured(d_len, e_list[i], geom.rv)
+        if out is None:
+            return None
+        groups.append((off, j - i, e_list[i], out[0]))
+        off += (j - i) * e_list[i]
+        i = j
+    return tuple(groups)
+
+
 def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
     """Descrambled codeword LLRs (..., G) -> d-stream LLRs (..., C, 3, D).
 
-    Gather path when the rate matching is injective; scatter-add otherwise
+    Structured slice/concat path when the rate matching is injective (the
+    sub-block interleaver decomposes into strided runs — no gather, see
+    ratematch.make_rate_unmatch_structured); scatter-add otherwise
     (repetition soft combining)."""
+    import jax
     d_len = geom.k + 4
-    inv, injective = _global_rm_inv(geom)
-    if injective:
-        ext = jnp.concatenate(
-            [llrs_scr, jnp.zeros((*llrs_scr.shape[:-1], 1), llrs_scr.dtype)],
-            axis=-1)
-        out = ext[..., jnp.asarray(inv)]
-    else:
-        buf = jnp.zeros((*llrs_scr.shape[:-1], geom.info.c * 3 * d_len),
-                        llrs_scr.dtype)
-        out = buf.at[..., jnp.asarray(_global_rm_idx(geom))].add(llrs_scr)
-    return out.reshape(*llrs_scr.shape[:-1], geom.info.c, 3, d_len)
+    lead = llrs_scr.shape[:-1]
+    groups = _structured_dematch(geom)
+    if groups is not None:
+        outs = []
+        for off, n, e, fn in groups:
+            seg = jax.lax.slice_in_dim(llrs_scr, off, off + n * e, axis=-1)
+            outs.append(fn(seg.reshape(*lead, n, e)))
+        return jnp.concatenate(outs, axis=-3)
+    buf = jnp.zeros((*lead, geom.info.c * 3 * d_len), llrs_scr.dtype)
+    out = buf.at[..., jnp.asarray(_global_rm_idx(geom))].add(llrs_scr)
+    return out.reshape(*lead, geom.info.c, 3, d_len)
 
 
 def _c_init(rnti, subframe, n_cell_id, codeword: int = 0):

@@ -105,3 +105,97 @@ def rate_unmatch(e_llrs: jnp.ndarray, idx: np.ndarray, d_len: int) -> jnp.ndarra
     out = jnp.zeros((*e_llrs.shape[:-1], 3 * d_len), dtype=e_llrs.dtype)
     out = out.at[..., jnp.asarray(idx)].add(e_llrs)
     return out.reshape(*e_llrs.shape[:-1], 3, d_len)
+
+
+# ---------------------------------------------------------------------------
+# Structured (gather-free) rate de-matching
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _dematch_plan(d_len: int, e_len: int, rv: int, n_cb: int | None = None):
+    """Slice/concat plan equivalent to the injective rate-unmatch gather.
+
+    The sub-block interleaver is column-structured: viewed in the
+    column-major (transposed) d domain, the e->d permutation decomposes into
+    maximal runs of constant d-stride 1 and constant (small) e-stride —
+    each a strided slice of the e stream.  The d-transposed buffer is then
+    a pure concat of e-slices and zero gaps; one reshape/transpose recovers
+    d.  TPU gathers run ~1 element/cycle; slices/concats are layout ops.
+
+    Returns (runs, total_q, R, ND) with runs = [(q_start, e_start, e_stride,
+    length)] in ascending q, or None when the mapping is not injective
+    (repetition soft-combining keeps the scatter-add path).
+    """
+    idx = turbo_rm_indices(d_len, e_len, rv, n_cb)
+    if len(np.unique(idx)) != len(idx):
+        return None
+    D = d_len
+    R = -(-D // _C)
+    Kp = R * _C
+    ND = Kp - D
+    s = idx // D
+    i = idx % D
+    y = i + ND
+    q = s * Kp + (y % _C) * R + (y // _C)       # d-transposed position
+    order = np.argsort(q)
+    qs, es = q[order], np.arange(e_len, dtype=np.int64)[order]
+    runs = []
+    t = 0
+    while t < len(qs):
+        q0, e0 = int(qs[t]), int(es[t])
+        n = 1
+        step = None
+        while t + n < len(qs) and qs[t + n] == q0 + n:
+            st = int(es[t + n] - es[t + n - 1])
+            if st <= 0 or st > 8 or (step is not None and st != step):
+                break
+            step = st
+            n += 1
+        runs.append((q0, e0, step or 1, n))
+        t += n
+    return tuple(runs), 3 * Kp, R, ND
+
+
+def make_rate_unmatch_structured(d_len: int, e_len: int, rv: int = 0,
+                                 n_cb: int | None = None):
+    """-> (fn(e (..., E) -> d (..., 3, D)), n_runs), or None if the mapping
+    is non-injective (HARQ repetition — use ``rate_unmatch``).
+
+    Build-time verified against the gather path; batched over leading axes.
+    """
+    import jax
+    plan = _dematch_plan(d_len, e_len, rv, n_cb)
+    if plan is None:
+        return None
+    runs, total_q, R, ND = plan
+    D = d_len
+    # build-time verification against the gather semantics
+    idx = turbo_rm_indices(d_len, e_len, rv, n_cb)
+    probe = np.arange(1, e_len + 1, dtype=np.int64)
+    dt = np.zeros(total_q, dtype=np.int64)
+    for q0, e0, st, n in runs:
+        dt[q0:q0 + n] = probe[e0:e0 + st * (n - 1) + 1:st]
+    d_chk = dt.reshape(3, _C, R).transpose(0, 2, 1).reshape(3, _C * R)[:, ND:]
+    ref = np.zeros(3 * D, dtype=np.int64)
+    ref[idx] = probe
+    assert np.array_equal(d_chk.reshape(-1), ref), "structured plan != gather"
+
+    def fn(e):
+        import jax.numpy as jnp
+        lead = e.shape[:-1]
+        pieces = []
+        pos = 0
+        for q0, e0, st, n in runs:
+            if q0 > pos:
+                pieces.append(jnp.zeros((*lead, q0 - pos), e.dtype))
+            seg = jax.lax.slice_in_dim(e, e0, e0 + st * (n - 1) + 1,
+                                       stride=st, axis=-1)
+            pieces.append(seg)
+            pos = q0 + n
+        if pos < total_q:
+            pieces.append(jnp.zeros((*lead, total_q - pos), e.dtype))
+        dt = jnp.concatenate(pieces, axis=-1)
+        d = dt.reshape(*lead, 3, _C, R).swapaxes(-1, -2)
+        return d.reshape(*lead, 3, _C * R)[..., ND:]
+
+    return fn, len(runs)

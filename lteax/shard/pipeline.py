@@ -77,6 +77,11 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     extract, _, _ = make_flat_extractor(re_idx, cfg.n_sym_subframe, cfg.n_sc)
     d_len = geom.k + 4
 
+    # batch-invariant scrambling signs, precomputed on host (computing the
+    # Gold sequence inside the vmapped front cost ~6 ms/batch(384))
+    sgn = jnp.asarray(seq.scrambling_symbols_np(
+        _c_init(rnti, subframe, n_cell_id), geom.g))
+
     def front(samples_iq):
         samples = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
                    ).astype(jnp.complex64)
@@ -85,8 +90,6 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         nv = chest.estimate_noise_var(grid, cfg, n_cell_id, subframe)
         x_eq, eff_nv = chest.equalize_siso(grid.reshape(-1), h.reshape(-1), nv)
         llr = demodulate_maxlog(extract(x_eq), scheme, extract(eff_nv))
-        c_seq = seq.gold_sequence(_c_init(rnti, subframe, n_cell_id), geom.g)
-        sgn = (1.0 - 2.0 * c_seq).astype(llr.dtype)
         return soft_dematch(llr * sgn, geom)
 
     import os
