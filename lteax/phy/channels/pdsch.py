@@ -125,17 +125,31 @@ def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
     ratematch.make_rate_unmatch_structured); scatter-add otherwise
     (repetition soft combining)."""
     import jax
+    import os
     d_len = geom.k + 4
     lead = llrs_scr.shape[:-1]
-    groups = _structured_dematch(geom)
+    # The structured path is gather-free and verified bit-exact (tests),
+    # but composing its slice/concat graph with the Pallas turbo kernel
+    # CRASHES the TPU worker on the current backend (minimal repro:
+    # soft_dematch -> reshape -> turbo_decode_batch_pallas; standalone it
+    # runs fine).  Default off until the backend bug is fixed; the gather
+    # measures within ~1 ms/batch(384) of it anyway.
+    groups = _structured_dematch(geom) \
+        if os.environ.get("LTEAX_STRUCT_DEMATCH", "0") == "1" else None
     if groups is not None:
         outs = []
         for off, n, e, fn in groups:
             seg = jax.lax.slice_in_dim(llrs_scr, off, off + n * e, axis=-1)
             outs.append(fn(seg.reshape(*lead, n, e)))
         return jnp.concatenate(outs, axis=-3)
-    buf = jnp.zeros((*lead, geom.info.c * 3 * d_len), llrs_scr.dtype)
-    out = buf.at[..., jnp.asarray(_global_rm_idx(geom))].add(llrs_scr)
+    inv, injective = _global_rm_inv(geom)
+    if injective:
+        ext = jnp.concatenate(
+            [llrs_scr, jnp.zeros((*lead, 1), llrs_scr.dtype)], axis=-1)
+        out = ext[..., jnp.asarray(inv)]
+    else:
+        buf = jnp.zeros((*lead, geom.info.c * 3 * d_len), llrs_scr.dtype)
+        out = buf.at[..., jnp.asarray(_global_rm_idx(geom))].add(llrs_scr)
     return out.reshape(*lead, geom.info.c, 3, d_len)
 
 

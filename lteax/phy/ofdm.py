@@ -46,8 +46,12 @@ def subframe_to_samples(grid: jnp.ndarray, cfg: PhyConfig) -> jnp.ndarray:
 def samples_to_subframe(samples: jnp.ndarray, cfg: PhyConfig) -> jnp.ndarray:
     """Time samples (..., n_samps_subframe) -> resource grid (..., n_sym, n_sc).
 
-    Assumes the subframe boundary is sample 0 (sync already applied)."""
-    gather = jnp.asarray(_symbol_sample_gather(cfg))
-    blocks = samples[..., gather]                      # (..., n_sym, n_fft)
+    Assumes the subframe boundary is sample 0 (sync already applied).
+    Symbol blocks are cut with static slices (symbol starts are config
+    constants) — cheaper than a gather on TPU."""
+    import jax
+    blocks = jnp.stack(
+        [jax.lax.slice_in_dim(samples, st, st + cfg.n_fft, axis=-1)
+         for st in cfg.symbol_starts_subframe], axis=-2)  # (..., n_sym, n_fft)
     freq = jnp.fft.fft(blocks, axis=-1).astype(jnp.complex64) / np.sqrt(cfg.n_fft)
     return freq[..., jnp.asarray(cfg.sc_to_fft_bin)]

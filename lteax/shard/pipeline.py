@@ -90,7 +90,7 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         nv = chest.estimate_noise_var(grid, cfg, n_cell_id, subframe)
         x_eq, eff_nv = chest.equalize_siso(grid.reshape(-1), h.reshape(-1), nv)
         llr = demodulate_maxlog(extract(x_eq), scheme, extract(eff_nv))
-        return soft_dematch(llr * sgn, geom)
+        return llr * sgn
 
     import os
     win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
@@ -109,7 +109,10 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
 
     def decode(samples_iq):
-        d_llr = jax.vmap(front)(samples_iq)            # (B, C, 3, D)
+        llr = jax.vmap(front)(samples_iq)              # (B, G)
+        # de-match at batch level (natively batched; keeps the slice/concat
+        # graph out of the vmapped front)
+        d_llr = soft_dematch(llr, geom)                # (B, C, 3, D)
         bsz = d_llr.shape[0]
         flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
