@@ -108,11 +108,12 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
     early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
 
-    def decode(samples_iq):
+    def stage_front(samples_iq):
         llr = jax.vmap(front)(samples_iq)              # (B, G)
-        # de-match at batch level (natively batched; keeps the slice/concat
-        # graph out of the vmapped front)
-        d_llr = soft_dematch(llr, geom)                # (B, C, 3, D)
+        # de-match at batch level (natively batched)
+        return soft_dematch(llr, geom)                 # (B, C, 3, D)
+
+    def stage_turbo(d_llr):
         bsz = d_llr.shape[0]
         flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
@@ -128,7 +129,16 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         tb_bits, ok = check_crc(tb_full, "24A")
         return tb_bits, ok & jnp.all(cb_ok, axis=-1)
 
-    return jax.jit(decode)
+    # Two jit programs, not one: composing the front's slice/concat graphs
+    # with the Pallas kernel in a single program crashes the TPU worker on
+    # this backend (KNOWN_ISSUES.md), the split measures slightly FASTER
+    # (173.9 vs ~196 ms at fixed-6/B=384 — less fusion pressure), and it
+    # unlocks the structured de-match (LTEAX_STRUCT_DEMATCH=1).  Calls chain
+    # asynchronously, so there is no extra host round-trip.
+    if interpret:
+        return jax.jit(lambda s: stage_turbo(stage_front(s)))
+    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
+    return lambda samples_iq: f2(f1(samples_iq))
 
 
 def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
