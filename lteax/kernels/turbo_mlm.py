@@ -374,7 +374,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         le21_new = (ext_scale * (l2 - ls_int - la2))[:, inv]
         return le21_new, a1n, b1n, a2n, b2n, l2[:, inv]
 
-    init = (jnp.zeros_like(ls), zero, zero, zero, zero)
+    # extrinsic/l carries stay f32 even when llr_d arrives in bf16
+    init = (jnp.zeros(ls.shape, jnp.float32), zero, zero, zero, zero)
 
     if early_crc is None:
         def body(carry, _):
@@ -396,6 +397,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         _, ok = check_crc(bits, early_crc)
         return (it + 1, jnp.all(ok), le21n, a1n, b1n, a2n, b2n, l2d)
 
-    carry = (jnp.int32(0), jnp.bool_(False), *init, jnp.zeros_like(ls))
+    carry = (jnp.int32(0), jnp.bool_(False), *init,
+             jnp.zeros(ls.shape, jnp.float32))
     carry = jax.lax.while_loop(cond, body, carry)
     return (carry[-1] < 0).astype(jnp.int32)

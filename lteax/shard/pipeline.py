@@ -110,6 +110,10 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
 
     def stage_front(samples_iq):
         llr = jax.vmap(front)(samples_iq)              # (B, G)
+        if mdtype.startswith("bf16"):
+            # carry LLRs in the trellis dtype: halves de-match + turbo-input
+            # HBM traffic (the kernel computes in bf16 anyway)
+            llr = llr.astype(jnp.bfloat16)
         # de-match at batch level (natively batched)
         return soft_dematch(llr, geom)                 # (B, C, 3, D)
 
