@@ -171,7 +171,10 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
             t1 = astore[:, s, :, :] + g[g1] + bstore[:, ns1, :, :]
             l0 = t0 if l0 is None else jnp.maximum(l0, t0)
             l1 = t1 if l1 is None else jnp.maximum(l1, t1)
-        l_ref[:, :, :] = (l0.astype(jnp.float32) - l1.astype(jnp.float32))
+        # L output in the metric dtype (the f32 subtraction guarded the
+        # bf16 cancellation; with per-block renorm the magnitudes stay
+        # O(branch metric) so bf16 is safe and halves the L traffic)
+        l_ref[:, :, :] = (l0 - l1).astype(l_ref.dtype)
 
     return kernel
 
@@ -277,7 +280,7 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                   bs_stepmajor(acq), bs_stepmajor(acq),
                   bs((n_we, 8)), bs((n_we, 8))],
         out_specs=[bs_stepmajor(win), bs((n_we, 8)), bs((n_we, 8))],
-        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), dt),
                    jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((win, 8, tb, n_we), sdt),
@@ -357,25 +360,26 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     zero = jnp.zeros((c, n_w, 8), jnp.float32)
 
     def one_iteration(le21, a1, b1, a2, b2):
-        u1 = jnp.concatenate([ls + le21, sys_t1], axis=1)
+        u1 = jnp.concatenate([(ls + le21).astype(le21.dtype), sys_t1.astype(le21.dtype)], axis=1)
         a1p, b1p = _pin_boundaries(a1, b1)
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
                                              interpret=interpret)
         l1 = l1[:, :k]
-        le12 = ext_scale * (l1 - ls - le21)
+        le12 = (ext_scale * (l1 - ls - le21)).astype(le21.dtype)
         la2 = le12[:, pi]
-        u2 = jnp.concatenate([ls_int + la2, sys_t2], axis=1)
+        u2 = jnp.concatenate([(ls_int + la2).astype(le21.dtype), sys_t2.astype(le21.dtype)], axis=1)
         a2p, b2p = _pin_boundaries(a2, b2)
         l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
                                              interpret=interpret)
         l2 = l2[:, :k]
-        le21_new = (ext_scale * (l2 - ls_int - la2))[:, inv]
-        return le21_new, a1n, b1n, a2n, b2n, l2[:, inv]
+        le21_new = (ext_scale * (l2 - ls_int - la2)).astype(le21.dtype)[:, inv]
+        return le21_new, a1n, b1n, a2n, b2n, l2.astype(le21.dtype)[:, inv]
 
-    # extrinsic/l carries stay f32 even when llr_d arrives in bf16
-    init = (jnp.zeros(ls.shape, jnp.float32), zero, zero, zero, zero)
+    # extrinsic/l carries run in the metric dtype (bf16-safe: see combine)
+    dt_e = jnp.bfloat16 if mdtype == "bf16" else jnp.float32
+    init = (jnp.zeros(ls.shape, dt_e), zero, zero, zero, zero)
 
     if early_crc is None:
         def body(carry, _):
@@ -398,6 +402,6 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         return (it + 1, jnp.all(ok), le21n, a1n, b1n, a2n, b2n, l2d)
 
     carry = (jnp.int32(0), jnp.bool_(False), *init,
-             jnp.zeros(ls.shape, jnp.float32))
+             jnp.zeros(ls.shape, dt_e))
     carry = jax.lax.while_loop(cond, body, carry)
     return (carry[-1] < 0).astype(jnp.int32)
