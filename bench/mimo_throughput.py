@@ -105,15 +105,20 @@ def main():
         heff = mimo.heff_tm3(h)
         x_hat, eff = mimo.mmse_demix_2layers(y, heff, nvar)
         outs = []
+        bf16 = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16").startswith("bf16")
         for q in range(2):
             llr = demodulate_maxlog(x_hat[q], scheme, eff[q])
             c = seq.gold_sequence(_c_init(rnti, sf, cid, q), geom.g)
-            outs.append(soft_dematch(llr * (1.0 - 2.0 * c).astype(llr.dtype),
-                                     geom))
+            llr = llr * (1.0 - 2.0 * c).astype(llr.dtype)
+            if bf16:
+                llr = llr.astype(jnp.bfloat16)  # trellis dtype from here on
+            outs.append(soft_dematch(llr, geom))
         return jnp.stack(outs)               # (2, C, 3, K+4)
 
-    def decode(batch_iq):                    # (2rx, b, n, 2)
-        d_llr = jax.vmap(front, in_axes=1)(batch_iq)   # (b, 2, C, 3, D)
+    def stage1(batch_iq):                    # (2rx, b, n, 2)
+        return jax.vmap(front, in_axes=1)(batch_iq)    # (b, 2, C, 3, D)
+
+    def stage2(d_llr):
         flat = d_llr.reshape(-1, 3, geom.k + 4)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
                                          tb=16, acq=16, early_crc="24B",
@@ -125,7 +130,8 @@ def main():
         tbh, ok = check_crc(tb_full, "24A")
         return tbh, ok & jnp.all(cb_ok, axis=-1)
 
-    f = jax.jit(decode)
+    f1, f2 = jax.jit(stage1), jax.jit(stage2)
+    f = lambda x: f2(f1(x))
     xd = jax.device_put(jnp.asarray(x_iq))
     t0 = time.time()
     out = f(xd)

@@ -97,6 +97,8 @@ def main():
         llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))
         c = seq.gold_sequence(_c_init(rnti, sf, cid), geom.g)
         llr = llr * (1.0 - 2.0 * c).astype(llr.dtype)
+        if os.environ.get("LTEAX_PALLAS_DTYPE", "bf16").startswith("bf16"):
+            llr = llr.astype(jnp.bfloat16)  # trellis dtype from here on
         # channel DE-interleaver (36.212 §5.2.2.8 data-only) is a pure
         # rectangular transpose: (C_mux=12 symbols, R_mux, Qm) -> row-major
         r_mux = geom.g // (12 * alloc.qm)
@@ -107,8 +109,10 @@ def main():
     acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
     tbt = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
 
-    def decode(batch_iq):
-        d_llr = jax.vmap(front)(batch_iq)
+    def stage1(batch_iq):
+        return jax.vmap(front)(batch_iq)
+
+    def stage2(d_llr):
         flat = d_llr.reshape(-1, 3, geom.k + 4)
         bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
                                          win=win, acq=acq, tb=tbt,
@@ -121,7 +125,11 @@ def main():
         tb, ok = check_crc(tb_full, "24A")
         return tb, ok & jnp.all(cb_ok, axis=-1)
 
-    f = jax.jit(decode)
+    # two programs (see shard/pipeline.py: less fusion pressure, and the
+    # Pallas kernel must not share a program with big slice/concat graphs
+    # on this backend)
+    f1, f2 = jax.jit(stage1), jax.jit(stage2)
+    f = lambda x: f2(f1(x))
     # stage the input on device once (same protocol as bench.py: the
     # measured quantity is decode compute, not tunnel transfer; streaming
     # apps overlap transfers via io.prefetch_to_device)
