@@ -48,7 +48,12 @@ def main():
     grid = np.zeros((cfg.n_sym_subframe, cfg.n_sc), np.complex64)
     k0 = cfg.n_sc // 2 - 31
     grid[6, k0:k0 + 62] = pss_sequence(1)
-    sf = np.asarray(subframe_to_samples(jnp.asarray(grid[None]), cfg))[0]
+    # input building on host CPU (axon rejects eager dispatch)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sf = np.asarray(jax.jit(
+            lambda g: subframe_to_samples(g, cfg), device=cpu)(
+                jnp.asarray(grid[None])))[0]
     for c in range(a.carriers):
         off = 3000 + 977 * c
         x[c, off:off + len(sf)] += sf

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,20 +92,52 @@ def pss_time_filters(cfg: PhyConfig) -> np.ndarray:
     return filt
 
 
+_PSS_FFT_MAX = 1 << 15   # one-shot FFT cap; larger captures go overlap-save
+
+
 def pss_correlate(x: jnp.ndarray, cfg: PhyConfig) -> jnp.ndarray:
     """Correlate x (..., L) with the 3 PSS replicas via FFT.
 
     Returns (..., 3, L) correlation magnitude² (peak index = PSS *start*
-    sample).  One capture FFT, 3 pointwise multiplies, batched IFFT.
+    sample).  Short captures: one capture FFT, 3 pointwise multiplies,
+    batched IFFT.  Long captures: overlap-save with fixed-size block FFTs —
+    the TPU backend cannot compile very large FFTs (2^17+ wedges the remote
+    compiler), and same-size blocks reuse one compiled FFT.
     """
     l = x.shape[-1]
     filt = pss_time_filters(cfg)
     nfft = int(2 ** np.ceil(np.log2(l + cfg.n_fft)))
-    xf = jnp.fft.fft(x, n=nfft, axis=-1)
-    hf = jnp.fft.fft(jnp.asarray(np.conj(filt[:, ::-1])), n=nfft, axis=-1)
-    cc = jnp.fft.ifft(xf[..., None, :] * hf, axis=-1)
-    # full correlation: corr[n] = sum_k x[n+k] conj(h[k]) is at lag n+Nf-1
-    corr = cc[..., cfg.n_fft - 1: cfg.n_fft - 1 + l]
+    if nfft <= _PSS_FFT_MAX:
+        xf = jnp.fft.fft(x, n=nfft, axis=-1)
+        hf = jnp.fft.fft(jnp.asarray(np.conj(filt[:, ::-1])), n=nfft, axis=-1)
+        cc = jnp.fft.ifft(xf[..., None, :] * hf, axis=-1)
+        # full correlation: corr[n] = sum_k x[n+k] conj(h[k]) at lag n+Nf-1
+        corr = cc[..., cfg.n_fft - 1: cfg.n_fft - 1 + l]
+        return jnp.abs(corr) ** 2
+    # ---- overlap-save: blocks of `step` new samples + (Nf-1) halo ----
+    # Block transforms use the factored matmul DFT (lteax.phy.dft): this
+    # backend's FFT only lowers up to 4096 points, and the MXU DFT costs
+    # N*(N1+N2) MACs — cheap at these sizes and any block length works.
+    from lteax.phy.dft import dft_factored
+    nb = _PSS_FFT_MAX
+    nf = cfg.n_fft
+    step = nb - nf            # valid outputs per block (uses nf-1 halo)
+    n_blk = -(-l // step)
+    pad = n_blk * step + nf - 1 - l
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    # block b covers samples [b*step, b*step + step + nf - 1)
+    blocks = jnp.stack(
+        [jax.lax.slice_in_dim(xp, b * step, b * step + step + nf - 1,
+                              axis=-1) for b in range(n_blk)], axis=-2)
+    blocks = jnp.pad(blocks, [(0, 0)] * (blocks.ndim - 1)
+                     + [(0, nb - blocks.shape[-1])])
+    xf = dft_factored(blocks)                        # (..., n_blk, nb)
+    hf = np.fft.fft(np.conj(filt[:, ::-1]), n=nb, axis=-1).astype(np.complex64)
+    cc = dft_factored(xf[..., None, :, :] * jnp.asarray(hf)[:, None, :],
+                      inverse=True)
+    # valid region per block: lags nf-1 .. nf-1+step-1
+    corr = cc[..., nf - 1: nf - 1 + step]            # (..., 3, n_blk, step)
+    corr = corr.reshape(*corr.shape[:-2], n_blk * step)[..., :l]
     return jnp.abs(corr) ** 2
 
 
