@@ -87,8 +87,10 @@ def main():
     nv = 10 ** (-snr_db / 10)  # default 25 dB — above the 64QAM r~0.93 bound
     x = x + (rng.standard_normal(x.shape)
              + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
-    from lteax.io.iq import to_iq_f32
-    xd = jax.device_put(jnp.asarray(to_iq_f32(x)))
+    iq_fmt = __import__("os").environ.get("LTEAX_BENCH_IQ", "f32")
+    from lteax.io.iq import to_iq_f32, to_iq_bf16, to_iq_sc8
+    to_iq = {"f32": to_iq_f32, "bf16": to_iq_bf16, "sc8": to_iq_sc8}[iq_fmt]
+    xd = jax.device_put(jnp.asarray(to_iq(x)))
 
     use_pallas = __import__("os").environ.get("LTEAX_BENCH_PALLAS", "1") == "1"
     maker = make_batch_decoder_pallas if use_pallas else make_batch_decoder

@@ -22,6 +22,23 @@ def to_iq_f32(x: np.ndarray) -> np.ndarray:
     return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
 
 
+def to_iq_bf16(x: np.ndarray) -> np.ndarray:
+    """complex (...,) -> bfloat16 (..., 2): halves the device-boundary
+    transfer and the front-end's input read (quantization ~-45 dBc, well
+    below the decode operating point)."""
+    import ml_dtypes
+    x = np.asarray(x)
+    return np.stack([x.real, x.imag], axis=-1).astype(ml_dtypes.bfloat16)
+
+
+def to_iq_sc8(x: np.ndarray, scale: float = 127.0) -> np.ndarray:
+    """complex (...,) -> int8 (..., 2) rtl-sdr-style pairs (quarter-width
+    device boundary; the decode chain is scale-invariant)."""
+    x = np.asarray(x)
+    inter = np.stack([x.real, x.imag], axis=-1) * scale
+    return np.clip(np.round(inter), -128, 127).astype(np.int8)
+
+
 def from_iq_f32(x: np.ndarray) -> np.ndarray:
     """float32 (..., 2) -> complex64 (...,)."""
     x = np.asarray(x)

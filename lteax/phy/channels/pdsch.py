@@ -148,9 +148,38 @@ def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
             [llrs_scr, jnp.zeros((*lead, 1), llrs_scr.dtype)], axis=-1)
         out = ext[..., jnp.asarray(inv)]
     else:
-        buf = jnp.zeros((*lead, geom.info.c * 3 * d_len), llrs_scr.dtype)
-        out = buf.at[..., jnp.asarray(_global_rm_idx(geom))].add(llrs_scr)
+        # circular-buffer wrap (repetition): occurrence-rank decomposition —
+        # a sum of ceil(E/L) gathers instead of a serializing scatter-add,
+        # so wrapped transmissions de-match at first-TX gather speed
+        cycles = _global_rm_cycles(geom)
+        ext = jnp.concatenate(
+            [llrs_scr, jnp.zeros((*lead, 1), llrs_scr.dtype)], axis=-1)
+        out = ext[..., jnp.asarray(cycles[0])]
+        for k in range(1, cycles.shape[0]):
+            out = out + ext[..., jnp.asarray(cycles[k])]
     return out.reshape(*lead, geom.info.c, 3, d_len)
+
+
+@lru_cache(maxsize=None)
+def _global_rm_cycles(geom: PdschGeometry) -> np.ndarray:
+    from lteax.phy.fec.ratematch import unmatch_inv_cycles
+    return unmatch_inv_cycles(_global_rm_idx(geom),
+                              geom.info.c * 3 * (geom.k + 4))
+
+
+def soft_dematch_harq(llrs_by_tx, geoms) -> jnp.ndarray:
+    """HARQ incremental-redundancy soft combining across retransmissions.
+
+    llrs_by_tx: iterable of descrambled codeword LLR arrays (..., G), one per
+    (re)transmission; geoms: matching :class:`PdschGeometry` per transmission
+    (same TBS/n_re/Qm, differing ``rv``).  Each transmission de-matches with
+    its own injective gather (first-TX speed); the d-domain LLRs add.
+    """
+    out = None
+    for llr, g in zip(llrs_by_tx, geoms):
+        d = soft_dematch(llr, g)
+        out = d if out is None else out + d
+    return out
 
 
 def _c_init(rnti, subframe, n_cell_id, codeword: int = 0):

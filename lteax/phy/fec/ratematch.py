@@ -107,6 +107,42 @@ def rate_unmatch(e_llrs: jnp.ndarray, idx: np.ndarray, d_len: int) -> jnp.ndarra
     return out.reshape(*e_llrs.shape[:-1], 3, d_len)
 
 
+def unmatch_inv_cycles(idx: np.ndarray, d_total: int) -> np.ndarray:
+    """Occurrence-rank inverse maps turning a soft de-match scatter-add into
+    a SUM OF GATHERS (TPU scatters serialize; gathers don't).
+
+    Returns inv (n_cycles, d_total) int32 with inv[k, p] = the e-position of
+    the (k+1)-th transmission of d-flat bit p, or ``len(idx)`` (a zero
+    sentinel — gather from an e vector extended with one trailing 0).
+    n_cycles = max repetition count (1 when injective, ceil(E/L) when the
+    circular buffer wraps).  ``sum_k e_ext[inv[k]]`` == scatter-add result
+    up to float summation order.
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    e_len = len(idx)
+    order = np.argsort(idx, kind="stable")
+    si = idx[order]
+    first = np.r_[True, si[1:] != si[:-1]]
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(e_len), 0))
+    rank = np.arange(e_len) - grp_start
+    n_cycles = int(rank.max()) + 1 if e_len else 1
+    inv = np.full((n_cycles, d_total), e_len, dtype=np.int32)
+    inv[rank, si] = order.astype(np.int32)
+    return inv
+
+
+def rate_unmatch_gather(e_llrs: jnp.ndarray, inv: np.ndarray,
+                        d_len: int) -> jnp.ndarray:
+    """Gather-based :func:`rate_unmatch` using :func:`unmatch_inv_cycles`
+    maps (precompute once per (D, E, rv)).  e_llrs (..., E) -> (..., 3, D)."""
+    ext = jnp.concatenate(
+        [e_llrs, jnp.zeros((*e_llrs.shape[:-1], 1), e_llrs.dtype)], axis=-1)
+    out = ext[..., jnp.asarray(inv[0])]
+    for k in range(1, inv.shape[0]):
+        out = out + ext[..., jnp.asarray(inv[k])]
+    return out.reshape(*e_llrs.shape[:-1], 3, d_len)
+
+
 # ---------------------------------------------------------------------------
 # Structured (gather-free) rate de-matching
 # ---------------------------------------------------------------------------

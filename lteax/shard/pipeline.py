@@ -83,7 +83,11 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         _c_init(rnti, subframe, n_cell_id), geom.g))
 
     def front(samples_iq):
-        samples = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
+        # device-boundary IQ may be f32, bf16 or int8 pairs (bf16/int8 halve/
+        # quarter the input HBM read — the measured front-end floor; the
+        # decode chain is scale-invariant, so int8's /128 needs no correction)
+        samples = (samples_iq[..., 0].astype(jnp.float32)
+                   + 1j * samples_iq[..., 1].astype(jnp.float32)
                    ).astype(jnp.complex64)
         grid = samples_to_subframe(samples, cfg)
         h = chest.estimate_channel(grid, cfg, n_cell_id, subframe, port=0)

@@ -101,3 +101,38 @@ def test_pallas_bf16_decodes():
     got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=4, tb=2,
                                                mdtype="bf16", interpret=True))
     np.testing.assert_array_equal(got, bits)
+
+
+@pytest.mark.parametrize("k", [40, 1024, 5824])
+def test_fused_combine_bitexact(k):
+    # fused second-half combine consumes the same (alpha, gamma, beta)
+    # triples as the unfused kernel -> bit-identical L and NII outputs
+    from lteax.kernels.turbo_mlm import half_iteration_pallas, _pin_boundaries
+    rng = np.random.default_rng(7)
+    bsz, n = 5, k + 3
+    win, acq = 128, 16
+    n_w = -(-n // win)
+    u = jnp.asarray(rng.standard_normal((bsz, n)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bsz, n)).astype(np.float32))
+    a0, b0 = _pin_boundaries(jnp.zeros((bsz, n_w, 8), jnp.float32),
+                             jnp.zeros((bsz, n_w, 8), jnp.float32))
+    ref = half_iteration_pallas(u, v, a0, b0, win, acq, n, tb=5,
+                                fused=False, interpret=True)
+    got = half_iteration_pallas(u, v, a0, b0, win, acq, n, tb=5,
+                                fused=True, interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_fused_decode_bf16():
+    rng = np.random.default_rng(8)
+    k, c = 5824, 3
+    bits = rng.integers(0, 2, size=(c, k)).astype(np.int32)
+    d = np.asarray(turbo_encode_batch(jnp.asarray(bits), k)).astype(np.float32)
+    sigma = 0.6
+    rx = (1.0 - 2.0 * d) + sigma * rng.standard_normal(d.shape).astype(np.float32)
+    llr = jnp.asarray(2.0 * rx / sigma**2)
+    got = np.asarray(turbo_decode_batch_pallas(llr, k, n_iter=4, tb=3,
+                                               acq=16, mdtype="bf16",
+                                               fused=True, interpret=True))
+    np.testing.assert_array_equal(got, bits)
