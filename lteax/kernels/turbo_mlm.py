@@ -64,12 +64,13 @@ def _live_masks(win: int, acq: int, n_w: int, n: int):
 
 
 def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
-                 mdtype=jnp.float32, sdtype=None, fused: bool = False):
+                 mdtype=jnp.float32, sdtype=None, fused: bool = False,
+                 nofreeze: bool = False):
     fwd, bwd, out0, out1 = _wiring()
     assert win % 2 == 0
     if fused:
         return _make_kernel_fused(win, acq, n_w, n, tb, mdtype=mdtype,
-                                  sdtype=sdtype)
+                                  sdtype=sdtype, nofreeze=nofreeze)
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
@@ -183,7 +184,8 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
 
 
 def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
-                       mdtype=jnp.float32, sdtype=None):
+                       mdtype=jnp.float32, sdtype=None,
+                       nofreeze: bool = False):
     """Fused second-half combine: only win/2 alpha/beta columns are stored.
 
     The alpha and beta chains meet in the middle of the window; once they
@@ -271,7 +273,8 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
                 j = win - 1 - t
                 for s in range(8):
                     bstore[j - half_w, s, :, :] = b[s].astype(sdt)
-                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
+                b = acs_bwd(b, um[j], vm[j],
+                            None if nofreeze else lm_ref[j, :][None, :])
             if is_bf16:
                 a = tuple(x - a[0] for x in a)
                 b = tuple(x - b[0] for x in b)
@@ -308,7 +311,8 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
                 l_ref[j, :, :] = combine(as_j, b, um[j], vm[j]
                                          ).astype(l_ref.dtype)
                 a = acs_fwd(a, um[t], vm[t])
-                b = acs_bwd(b, um[j], vm[j], lm_ref[j, :][None, :])
+                b = acs_bwd(b, um[j], vm[j],
+                            None if nofreeze else lm_ref[j, :][None, :])
             if is_bf16:
                 a = tuple(x - a[0] for x in a)
                 b = tuple(x - b[0] for x in b)
@@ -320,10 +324,11 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
 
 
 @partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "mdtype",
-                                   "fused", "interpret"))
+                                   "fused", "nofreeze", "interpret"))
 def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                           tb: int = 8, gb: int = 1, mdtype: str = "f32",
-                          fused: bool = False, interpret: bool = False):
+                          fused: bool = False, nofreeze: bool = False,
+                          interpret: bool = False):
     """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
 
     Returns (L (B, N), a_next (B, n_w, 8), b_next (B, n_w, 8)) matching the
@@ -386,7 +391,7 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
 
     sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
     kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt,
-                          fused=fused)
+                          fused=fused, nofreeze=nofreeze)
     grid = (bf // tb,) if bf % tb == 0 else (-(-bf // tb),)
     if bf % tb != 0:
         padb = grid[0] * tb - bf
@@ -462,6 +467,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               early_crc: str | None = None,
                               mdtype: str = "f32",
                               fused: bool | None = None,
+                              nofreeze: bool | None = None,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
@@ -486,6 +492,17 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         # combine pass — measured 351 -> 373 Mbit/s on the DL bench
         fused = os.environ.get("LTEAX_PALLAS_FUSED", "1") == "1"
     fused = bool(fused and acq <= win // 2)
+    if nofreeze is None:
+        import os
+        # drop the beta main-sweep freeze (the mask blend sits on the ACS
+        # dependency chain): +3.7% end-to-end (373 -> 387 Mbit/s).  Costs
+        # only the termination pin across the LAST window's dead tail —
+        # zero-padded gammas diffuse beta toward a uniform prior there;
+        # measured threshold CRC rates are equal or better (382/384 at
+        # 21.5 dB, 368 vs 366 at 20.5).  LTEAX_PALLAS_NOFREEZE=0 restores
+        # the exact termination-pin carry.
+        nofreeze = os.environ.get("LTEAX_PALLAS_NOFREEZE", "1") == "1"
+    nofreeze = bool(nofreeze and fused)
     c = llr_d.shape[0]
     n = k + 3
     n_w = -(-n // win)
@@ -512,7 +529,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         a1p, b1p = _pin_boundaries(a1, b1)
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
-                                             fused=fused, interpret=interpret)
+                                             fused=fused, nofreeze=nofreeze,
+                                             interpret=interpret)
         l1 = l1[:, :k]
         le12 = (ext_scale * (l1 - ls - le21)).astype(le21.dtype)
         la2 = le12[:, pi]
@@ -520,10 +538,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         a2p, b2p = _pin_boundaries(a2, b2)
         l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
-                                             fused=fused, interpret=interpret)
+                                             fused=fused, nofreeze=nofreeze,
+                                             interpret=interpret)
         l2 = l2[:, :k]
         le21_new = (ext_scale * (l2 - ls_int - la2)).astype(le21.dtype)[:, inv]
-        return le21_new, a1n, b1n, a2n, b2n, l2.astype(le21.dtype)[:, inv]
+        # l2 stays in DEC2's interleaved domain: the CRC check permutes its
+        # contribution matrix instead (GF(2)-linear), and the single
+        # deinterleave gather happens once after the iteration loop
+        return le21_new, a1n, b1n, a2n, b2n, l2.astype(le21.dtype)
 
     # extrinsic/l carries run in the metric dtype (bf16-safe: see combine)
     dt_e = jnp.bfloat16 if mdtype == "bf16" else jnp.float32
@@ -534,9 +556,15 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             out = one_iteration(*carry)
             return out[:5], out[5]
         _, l_hist = jax.lax.scan(body, init, None, length=n_iter)
-        return (l_hist[-1] < 0).astype(jnp.int32)
+        return (l_hist[-1][:, inv] < 0).astype(jnp.int32)
 
-    from lteax.phy.fec.crc import check_crc
+    from lteax.phy.fec.crc import crc_matrix
+
+    # CRC check in the interleaved domain: bits_deint @ M == bits_int @ M[pi]
+    # (a codeword with appended CRC is g(x)-divisible iff its full-length
+    # CRC is zero) — saves one (C, K) deinterleave gather per iteration
+    from lteax.phy.tables.turbo_qpp import qpp_interleaver as _qpp
+    m_perm = jnp.asarray(crc_matrix(k, early_crc)[_qpp(k)], dtype=jnp.int32)
 
     def cond(carry):
         it, done = carry[0], carry[1]
@@ -544,12 +572,12 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
     def body(carry):
         it, _, le21, a1, b1, a2, b2, _ = carry
-        le21n, a1n, b1n, a2n, b2n, l2d = one_iteration(le21, a1, b1, a2, b2)
-        bits = (l2d < 0).astype(jnp.int32)
-        _, ok = check_crc(bits, early_crc)
-        return (it + 1, jnp.all(ok), le21n, a1n, b1n, a2n, b2n, l2d)
+        le21n, a1n, b1n, a2n, b2n, l2i = one_iteration(le21, a1, b1, a2, b2)
+        bits_int = (l2i < 0).astype(jnp.int32)
+        ok = jnp.all((bits_int @ m_perm) % 2 == 0, axis=-1)
+        return (it + 1, jnp.all(ok), le21n, a1n, b1n, a2n, b2n, l2i)
 
     carry = (jnp.int32(0), jnp.bool_(False), *init,
              jnp.zeros(ls.shape, dt_e))
     carry = jax.lax.while_loop(cond, body, carry)
-    return (carry[-1] < 0).astype(jnp.int32)
+    return (carry[-1][:, inv] < 0).astype(jnp.int32)
