@@ -232,17 +232,22 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
             return _freeze(new, b, lv)
 
         def combine(a_s, b_s, uu, vv):
-            """L at the position of a_s (b_s = beta one step later)."""
+            """L at the position of a_s (b_s = beta one step later).
+
+            Branches grouped by gamma code (bit-0 branches use codes {0,1},
+            bit-1 codes {2,3}), hoisting the gamma add out of the per-branch
+            sums: 16 adds + 14 max vs 32 adds + 14 max."""
             g = _gammas(uu, vv)
-            l0 = None
-            l1 = None
+            m = [None] * 4
             for s in range(8):
                 ns0, g0 = out0[s]
                 ns1, g1 = out1[s]
-                t0 = a_s[s] + g[g0] + b_s[ns0]
-                t1 = a_s[s] + g[g1] + b_s[ns1]
-                l0 = t0 if l0 is None else jnp.maximum(l0, t0)
-                l1 = t1 if l1 is None else jnp.maximum(l1, t1)
+                t0 = a_s[s] + b_s[ns0]
+                m[g0] = t0 if m[g0] is None else jnp.maximum(m[g0], t0)
+                t1 = a_s[s] + b_s[ns1]
+                m[g1] = t1 if m[g1] is None else jnp.maximum(m[g1], t1)
+            l0 = jnp.maximum(m[0] + g[0], m[1] + g[1])
+            l1 = jnp.maximum(m[2] + g[2], m[3] + g[3])
             return l0 - l1
 
         # ---- fused acquisition (identical to the unfused kernel) ----

@@ -104,9 +104,11 @@ def test_pallas_bf16_decodes():
 
 
 @pytest.mark.parametrize("k", [40, 1024, 5824])
-def test_fused_combine_bitexact(k):
+def test_fused_combine_matches_unfused(k):
     # fused second-half combine consumes the same (alpha, gamma, beta)
-    # triples as the unfused kernel -> bit-identical L and NII outputs
+    # triples as the unfused kernel: NII exports bit-identical; L equal up
+    # to one f32 rounding (the combine hoists gamma out of the branch max),
+    # hard decisions identical
     from lteax.kernels.turbo_mlm import half_iteration_pallas, _pin_boundaries
     rng = np.random.default_rng(7)
     bsz, n = 5, k + 3
@@ -116,11 +118,17 @@ def test_fused_combine_bitexact(k):
     v = jnp.asarray(rng.standard_normal((bsz, n)).astype(np.float32))
     a0, b0 = _pin_boundaries(jnp.zeros((bsz, n_w, 8), jnp.float32),
                              jnp.zeros((bsz, n_w, 8), jnp.float32))
+    # nofreeze=False: the exact-carry configuration is the one comparable
+    # to the unfused reference kernel
     ref = half_iteration_pallas(u, v, a0, b0, win, acq, n, tb=5,
                                 fused=False, interpret=True)
     got = half_iteration_pallas(u, v, a0, b0, win, acq, n, tb=5,
-                                fused=True, interpret=True)
-    for r, g in zip(ref, got):
+                                fused=True, nofreeze=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref[0]) < 0,
+                                  np.asarray(got[0]) < 0)
+    for r, g in zip(ref[1:], got[1:]):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
