@@ -97,10 +97,14 @@ def main():
     dec = maker(cfg, cid, cfi, prbs, sf, rnti, geom, scheme, n_iter=n_iter)
     print("compiling + warmup...", file=sys.stderr)
     t0 = time.time()
-    bits, ok = dec(xd)
+    out = dec(xd)
+    bits, ok = out[0], out[1]
     jax.block_until_ready((bits, ok))
+    it_msg = (f"; turbo iterations {int(np.asarray(out[2]))}/{n_iter}"
+              if len(out) == 3 else "")
     print(f"compile+first run: {time.time()-t0:.1f}s; "
-          f"crc ok: {int(np.sum(np.asarray(ok)))}/{b}", file=sys.stderr)
+          f"crc ok: {int(np.sum(np.asarray(ok)))}/{b}{it_msg}",
+          file=sys.stderr)
     n_ok = int(np.sum(np.asarray(ok)))
     if n_ok != b:
         print(f"WARNING: only {n_ok}/{b} TBs decoded", file=sys.stderr)
@@ -108,7 +112,7 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        bits, ok = dec(xd)
+        ok = dec(xd)[1]
         # a device->host transfer is the reliable completion barrier on the
         # axon backend (block_until_ready can return early for small
         # outputs); `ok` is tiny so the transfer itself is negligible

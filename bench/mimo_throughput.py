@@ -120,15 +120,15 @@ def main():
 
     def stage2(d_llr):
         flat = d_llr.reshape(-1, 3, geom.k + 4)
-        bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=a.iters,
-                                         tb=16, acq=16, early_crc="24B",
-                                         mdtype=os.environ.get(
-                                             "LTEAX_PALLAS_DTYPE", "bf16"))
+        bits, n_it = turbo_decode_batch_pallas(
+            flat, geom.k, n_iter=a.iters, tb=16, acq=16, early_crc="24B",
+            mdtype=os.environ.get("LTEAX_PALLAS_DTYPE", "bf16"),
+            return_n_iter=True)
         bits = bits.reshape(b * 2, geom.info.c, geom.k)
         payload, cb_ok = check_crc(bits, "24B")
         tb_full = pdsch_mod.desegment_device(payload, geom.info)
         tbh, ok = check_crc(tb_full, "24A")
-        return tbh, ok & jnp.all(cb_ok, axis=-1)
+        return tbh, ok & jnp.all(cb_ok, axis=-1), n_it
 
     f1, f2 = jax.jit(stage1), jax.jit(stage2)
     f = lambda x: f2(f1(x))
@@ -137,7 +137,8 @@ def main():
     out = f(xd)
     jax.block_until_ready(out)
     n_ok = int(np.sum(np.asarray(out[1])))
-    print(f"compile+run {time.time()-t0:.1f}s; crc ok {n_ok}/{2*b}",
+    print(f"compile+run {time.time()-t0:.1f}s; crc ok {n_ok}/{2*b}; "
+          f"turbo iterations: {int(np.asarray(out[2]))}/{a.iters}",
           file=sys.stderr)
     ts = []
     for _ in range(a.reps):

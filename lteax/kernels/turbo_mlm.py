@@ -236,15 +236,23 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
 
             Branches grouped by gamma code (bit-0 branches use codes {0,1},
             bit-1 codes {2,3}), hoisting the gamma add out of the per-branch
-            sums: 16 adds + 14 max vs 32 adds + 14 max."""
-            g = _gammas(uu, vv)
+            sums: 16 adds + 14 max vs 32 adds + 14 max.  Arithmetic in f32:
+            VPU compute throughput is f32-native (bf16 only buys VMEM
+            bandwidth, which the stores already have), and bf16 rounding in
+            the combine measurably costs whole turbo iterations near the
+            decoding threshold — the batch-wide early stop pays for the
+            weakest codeblock."""
+            f32 = jnp.float32
+            g = _gammas(uu.astype(f32), vv.astype(f32))
+            af = tuple(x.astype(f32) for x in a_s)
+            bf = tuple(x.astype(f32) for x in b_s)
             m = [None] * 4
             for s in range(8):
                 ns0, g0 = out0[s]
                 ns1, g1 = out1[s]
-                t0 = a_s[s] + b_s[ns0]
+                t0 = af[s] + bf[ns0]
                 m[g0] = t0 if m[g0] is None else jnp.maximum(m[g0], t0)
-                t1 = a_s[s] + b_s[ns1]
+                t1 = af[s] + bf[ns1]
                 m[g1] = t1 if m[g1] is None else jnp.maximum(m[g1], t1)
             l0 = jnp.maximum(m[0] + g[0], m[1] + g[1])
             l1 = jnp.maximum(m[2] + g[2], m[3] + g[3])
@@ -473,6 +481,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               mdtype: str = "f32",
                               fused: bool | None = None,
                               nofreeze: bool | None = None,
+                              return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
@@ -499,14 +508,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     fused = bool(fused and acq <= win // 2)
     if nofreeze is None:
         import os
-        # drop the beta main-sweep freeze (the mask blend sits on the ACS
-        # dependency chain): +3.7% end-to-end (373 -> 387 Mbit/s).  Costs
-        # only the termination pin across the LAST window's dead tail —
-        # zero-padded gammas diffuse beta toward a uniform prior there;
-        # measured threshold CRC rates are equal or better (382/384 at
-        # 21.5 dB, 368 vs 366 at 20.5).  LTEAX_PALLAS_NOFREEZE=0 restores
-        # the exact termination-pin carry.
-        nofreeze = os.environ.get("LTEAX_PALLAS_NOFREEZE", "1") == "1"
+        # dropping the beta main-sweep freeze (the mask blend sits on the
+        # ACS dependency chain) is ~3% faster per half-iteration, but the
+        # lost termination pin makes the LAST codeblock converge slower and
+        # the batch-wide CRC early stop then pays 1-2 EXTRA full iterations
+        # near threshold (2x2 MIMO bench: 6/6 iterations vs 4/6, -25%
+        # throughput).  Exact carry stays the default; LTEAX_PALLAS_NOFREEZE=1
+        # re-enables the experiment for comfortable-margin workloads.
+        nofreeze = os.environ.get("LTEAX_PALLAS_NOFREEZE", "0") == "1"
     nofreeze = bool(nofreeze and fused)
     c = llr_d.shape[0]
     n = k + 3
@@ -561,7 +570,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             out = one_iteration(*carry)
             return out[:5], out[5]
         _, l_hist = jax.lax.scan(body, init, None, length=n_iter)
-        return (l_hist[-1][:, inv] < 0).astype(jnp.int32)
+        bits = (l_hist[-1][:, inv] < 0).astype(jnp.int32)
+        return (bits, jnp.int32(n_iter)) if return_n_iter else bits
 
     from lteax.phy.fec.crc import crc_matrix
 
@@ -585,4 +595,5 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     carry = (jnp.int32(0), jnp.bool_(False), *init,
              jnp.zeros(ls.shape, dt_e))
     carry = jax.lax.while_loop(cond, body, carry)
-    return (carry[-1][:, inv] < 0).astype(jnp.int32)
+    bits = (carry[-1][:, inv] < 0).astype(jnp.int32)
+    return (bits, carry[0]) if return_n_iter else bits

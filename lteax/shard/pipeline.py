@@ -121,13 +121,18 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         # de-match at batch level (natively batched)
         return soft_dematch(llr, geom)                 # (B, C, 3, D)
 
+    # diagnostic: report how many turbo iterations the early stop ran
+    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
+
     def stage_turbo(d_llr):
         bsz = d_llr.shape[0]
         flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
-        bits = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
-                                         win=win, acq=acq, gb=gb,
-                                         early_crc=early_crc, mdtype=mdtype,
-                                         interpret=interpret)
+        out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
+                                        win=win, acq=acq, gb=gb,
+                                        early_crc=early_crc, mdtype=mdtype,
+                                        return_n_iter=print_iters,
+                                        interpret=interpret)
+        bits, n_it = out if print_iters else (out, None)
         bits = bits.reshape(bsz, geom.info.c, geom.k)
         if geom.info.cb_crc:
             payload, cb_ok = check_crc(bits, "24B")
@@ -135,7 +140,8 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
             payload, cb_ok = bits, jnp.ones((bsz, geom.info.c), bool)
         tb_full = pdsch_mod.desegment_device(payload, geom.info)
         tb_bits, ok = check_crc(tb_full, "24A")
-        return tb_bits, ok & jnp.all(cb_ok, axis=-1)
+        ok = ok & jnp.all(cb_ok, axis=-1)
+        return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
 
     # Two jit programs, not one: composing the front's slice/concat graphs
     # with the Pallas kernel in a single program crashes the TPU worker on
