@@ -51,7 +51,7 @@ class GenConfig:
     extended_cp: bool = False
     si_dci: str = "1a"         # "1a" | "1c" — DCI format used for SI grants
     paging_tmsi: tuple[int, ...] = ()   # S-TMSIs paged in subframe 9
-    extra_sibs: tuple = ()     # Sib3..Sib11 bodies carried in SI messages
+    extra_sibs: tuple = ()     # Sib3..Sib13 bodies carried in SI messages
     # optional multi-SI schedule: ((periodicity_rf, (sib_types...)), ...).
     # Entry 0 is SI message 1 (SIB2 is always prepended to it, 36.331
     # §5.2.3); entries n>=2 are sent in their own SI windows.  None keeps
@@ -211,7 +211,12 @@ def generate(gc: GenConfig) -> np.ndarray:
     cfg = gc.phy
     mib = rrc.Mib(n_rb_dl=gc.n_rb_dl, phich_duration_extended=False,
                   phich_resource=gc.phich_resource, sfn=0)
-    bodies = {rrc.SIB_TYPE_INDEX[type(s)] + 2: s for s in gc.extra_sibs}
+    def _sib_type(s):
+        if type(s) in rrc.SIB_EXT_TYPE_INDEX:          # sib12/sib13 (Rel-9)
+            return rrc.SIB_EXT_TYPE_INDEX[type(s)] + 12
+        return rrc.SIB_TYPE_INDEX[type(s)] + 2
+
+    bodies = {_sib_type(s): s for s in gc.extra_sibs}
     if gc.si_schedule:
         entries = tuple(rrc.SchedulingInfo(p, tuple(ts))
                         for p, ts in gc.si_schedule)
@@ -224,7 +229,7 @@ def generate(gc: GenConfig) -> np.ndarray:
     else:
         # legacy single-SI: SIB2 + all extra_sibs in one message; the
         # sib-MappingInfo advertises every carried type >= 3 ((3,) default)
-        extra_types = tuple(sorted({rrc.SIB_TYPE_INDEX[type(s)] + 2
+        extra_types = tuple(sorted({_sib_type(s)
                                     for s in gc.extra_sibs})) or (3,)
         entries = (rrc.SchedulingInfo(8, extra_types),)
         si_payloads = [rrc.pack_si(rrc.Sib2(), *gc.extra_sibs)]

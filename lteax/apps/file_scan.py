@@ -50,7 +50,7 @@ class ScanResult:
     sfn: int = -1
     sib1: rrc.Sib1 | None = None
     sib2: rrc.Sib2 | None = None
-    sibs: dict = dataclasses.field(default_factory=dict)  # sib3..sib11 bodies
+    sibs: dict = dataclasses.field(default_factory=dict)  # sib3..sib13 bodies
     sib_crc_fails: int = 0
     paging: list | None = None
 

@@ -446,6 +446,8 @@ from lteax.stack.rrc_sibs import (  # noqa: E402,F401
     GeranCarrierFreqs, GeranCarrierInfo, BandClassInfoCdma, NeighCellCdma,
     NeighCellsPerBandclassCdma, CellReselParamsCdma, PreRegistrationInfoHrpd,
     CsfbRegistrationParam1xrtt, SIB_REGISTRY, SIB_TYPE_INDEX,
+    Sib12, Sib13, MbsfnAreaInfo, MbmsNotificationConfig,
+    SIB_EXT_REGISTRY, SIB_EXT_TYPE_INDEX,
 )
 
 
@@ -465,6 +467,17 @@ def pack_si(*sibs) -> np.ndarray:
     w.opt(False)                        # nonCriticalExtension absent
     w.length(len(sibs), 1, 32)
     for s in sibs:
+        if type(s) in SIB_EXT_TYPE_INDEX:
+            # Rel-9+ extension alternative: '1' + normally-small index +
+            # the body as an octet-aligned open-type field
+            from lteax.stack.uper import UperWriter as _W
+            idx = SIB_EXT_TYPE_INDEX[type(s)]
+            w.bit(1)
+            w.small_index(idx)
+            bw = _W()
+            SIB_EXT_REGISTRY[idx][1](bw, s)
+            w.open_type(bw.bits)
+            continue
         w.bit(0)                        # sib-TypeAndInfo CHOICE: not extended
         if isinstance(s, Sib2):
             w.cint(0, 0, 9)
@@ -501,7 +514,15 @@ def unpack_si_list(bits: np.ndarray) -> list[tuple[str, object]]:
         n = r.length(1, 32)
         for _ in range(n):
             if r.bit() != 0:
-                break                   # extended SIB type: cannot skip
+                # extension alternative: open-type length makes unknown
+                # entries skippable
+                from lteax.stack.uper import UperReader as _R
+                idx = r.small_index()
+                body = r.open_type()
+                if idx in SIB_EXT_REGISTRY:
+                    name, _, unpack = SIB_EXT_REGISTRY[idx]
+                    out.append((name, unpack(_R(body))))
+                continue
             t = r.cint(0, 9)
             if t == 0:
                 out.append(("sib2", _unpack_sib2_body(r)))

@@ -865,6 +865,138 @@ def unpack_sib11_body(r: UperReader) -> Sib11:
 
 
 # ---------------------------------------------------------------------------
+# SIB12 (CMAS) / SIB13 (MBSFN) — Rel-9 extension alternatives
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Sib12:
+    """CMAS warning notification (36.331 SystemInformationBlockType12-r9).
+
+    (reference capability: ``liblte/src/liblte_rrc.cc ::
+    liblte_rrc_pack_sys_info_block_type_12_ie`` — present in late openLTE
+    versions for CMAS support.)"""
+    message_identifier: int = 0             # BIT STRING (16)
+    serial_number: int = 0                  # BIT STRING (16)
+    last_segment: bool = True               # ENUM {notLastSegment, lastSegment}
+    segment_number: int = 0                 # (0..63)
+    warning_segment: bytes = b""            # OCTET STRING (unbounded)
+    data_coding_scheme: bytes | None = None  # OCTET STRING SIZE (1)
+
+
+def pack_sib12_body(w: UperWriter, s: Sib12):
+    w.bit(0)                                # extension marker
+    w.opt(s.data_coding_scheme is not None)
+    w.opt(False)                            # lateNonCriticalExtension absent
+    w.bitstring(s.message_identifier, 16)
+    w.bitstring(s.serial_number, 16)
+    w.enum(1 if s.last_segment else 0, 2)
+    w.cint(s.segment_number, 0, 63)
+    w.octets(s.warning_segment)
+    if s.data_coding_scheme is not None:
+        w.octets(s.data_coding_scheme, 1, 1)
+
+
+def unpack_sib12_body(r: UperReader) -> Sib12:
+    if r.bit():
+        raise ValueError("extended SIB12")
+    has_dcs = r.opt()
+    has_late = r.opt()
+    s = Sib12(message_identifier=r.bitstring(16),
+              serial_number=r.bitstring(16))
+    s.last_segment = r.enum(2) == 1
+    s.segment_number = r.cint(0, 63)
+    s.warning_segment = r.octets()
+    if has_dcs:
+        s.data_coding_scheme = r.octets(1, 1)
+    if has_late:
+        r.octets()
+    return s
+
+
+@dataclasses.dataclass
+class MbsfnAreaInfo:
+    """MBSFN-AreaInfo-r9 (36.331 §6.3.7)."""
+    mbsfn_area_id: int = 0                  # (0..255)
+    non_mbsfn_region_length: int = 1        # symbols: ENUM {s1, s2}
+    notification_indicator: int = 0         # PDCCH bit (0..7)
+    mcch_repetition_period_rf: int = 32     # ENUM {rf32, rf64, rf128, rf256}
+    mcch_offset: int = 0                    # (0..10)
+    mcch_modification_period_rf: int = 512  # ENUM {rf512, rf1024}
+    sf_alloc_info: int = 0                  # BIT STRING (6)
+    signalling_mcs: int = 2                 # ENUM {n2, n7, n13, n19}
+
+
+_MCCH_REP_RF = (32, 64, 128, 256)
+_MCCH_MOD_RF = (512, 1024)
+_SIG_MCS = (2, 7, 13, 19)
+_NON_MBSFN_LEN = (1, 2)
+
+
+@dataclasses.dataclass
+class MbmsNotificationConfig:
+    """MBMS-NotificationConfig-r9."""
+    repetition_coeff: int = 2               # ENUM {n2, n4}
+    offset: int = 0                         # (0..10)
+    sf_index: int = 1                       # (1..6)
+
+
+@dataclasses.dataclass
+class Sib13:
+    """MBSFN area configuration (36.331 SystemInformationBlockType13-r9).
+
+    (reference capability: ``liblte/src/liblte_rrc.cc ::
+    liblte_rrc_pack_sys_info_block_type_13_ie`` — openLTE carries SIB13
+    for MBSFN-subframe signalling.)"""
+    areas: tuple = (MbsfnAreaInfo(),)       # SIZE (1..8)
+    notification: MbmsNotificationConfig = dataclasses.field(
+        default_factory=MbmsNotificationConfig)
+
+
+def pack_sib13_body(w: UperWriter, s: Sib13):
+    w.bit(0)                                # extension marker
+    w.opt(False)                            # lateNonCriticalExtension absent
+    w.length(len(s.areas), 1, 8)
+    for a in s.areas:
+        w.bit(0)                            # MBSFN-AreaInfo extension marker
+        w.cint(a.mbsfn_area_id, 0, 255)
+        w.enum(_NON_MBSFN_LEN.index(a.non_mbsfn_region_length), 2)
+        w.cint(a.notification_indicator, 0, 7)
+        w.enum(_MCCH_REP_RF.index(a.mcch_repetition_period_rf), 4)
+        w.cint(a.mcch_offset, 0, 10)
+        w.enum(_MCCH_MOD_RF.index(a.mcch_modification_period_rf), 2)
+        w.bitstring(a.sf_alloc_info, 6)
+        w.enum(_SIG_MCS.index(a.signalling_mcs), 4)
+    w.enum((2, 4).index(s.notification.repetition_coeff), 2)
+    w.cint(s.notification.offset, 0, 10)
+    w.cint(s.notification.sf_index, 1, 6)
+
+
+def unpack_sib13_body(r: UperReader) -> Sib13:
+    if r.bit():
+        raise ValueError("extended SIB13")
+    has_late = r.opt()
+    areas = []
+    for _ in range(r.length(1, 8)):
+        if r.bit():
+            raise ValueError("extended MBSFN-AreaInfo")
+        areas.append(MbsfnAreaInfo(
+            mbsfn_area_id=r.cint(0, 255),
+            non_mbsfn_region_length=_NON_MBSFN_LEN[r.enum(2)],
+            notification_indicator=r.cint(0, 7),
+            mcch_repetition_period_rf=_MCCH_REP_RF[r.enum(4)],
+            mcch_offset=r.cint(0, 10),
+            mcch_modification_period_rf=_MCCH_MOD_RF[r.enum(2)],
+            sf_alloc_info=r.bitstring(6),
+            signalling_mcs=_SIG_MCS[r.enum(4)]))
+    notif = MbmsNotificationConfig(repetition_coeff=(2, 4)[r.enum(2)],
+                                   offset=r.cint(0, 10),
+                                   sf_index=r.cint(1, 6))
+    if has_late:
+        r.octets()
+    return Sib13(areas=tuple(areas), notification=notif)
+
+
+# ---------------------------------------------------------------------------
 # sib-TypeAndInfo registry (root CHOICE index in SystemInformation-r8)
 # ---------------------------------------------------------------------------
 
@@ -885,3 +1017,12 @@ SIB_TYPE_INDEX: dict[type, int] = {
     Sib3: 1, Sib4: 2, Sib5: 3, Sib6: 4, Sib7: 5, Sib8: 6,
     Sib9: 7, Sib10: 8, Sib11: 9,
 }
+
+# extension alternatives of the sib-TypeAndInfo CHOICE (Rel-9+), keyed by
+# the normally-small extension index; carried as open-type fields
+SIB_EXT_REGISTRY: dict[int, tuple[str, object, object]] = {
+    0: ("sib12", pack_sib12_body, unpack_sib12_body),
+    1: ("sib13", pack_sib13_body, unpack_sib13_body),
+}
+
+SIB_EXT_TYPE_INDEX: dict[type, int] = {Sib12: 0, Sib13: 1}

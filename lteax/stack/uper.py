@@ -73,6 +73,23 @@ class UperWriter:
         for b in data:
             self.bitstring(b, 8)
 
+    def small_index(self, i: int):
+        """Normally small non-negative whole number (X.691 §10.6) — the
+        CHOICE extension-alternative index: '0' + 6 bits for i < 64."""
+        if i >= 64:
+            raise ValueError("large extension indices unsupported")
+        self.bit(0)
+        self.bitstring(i, 6)
+
+    def open_type(self, bits):
+        """Open type field (X.691 §11.2): contents padded to a whole number
+        of octets (min 1), preceded by an octet-count length determinant."""
+        bits = list(bits)
+        pad = (-len(bits)) % 8
+        bits = bits + [0] * (pad if bits else 8)
+        self.ulength(len(bits) // 8)
+        self.bits.extend(int(b) & 1 for b in bits)
+
     def array(self) -> np.ndarray:
         return np.asarray(self.bits, dtype=np.int32)
 
@@ -126,3 +143,18 @@ class UperReader:
         else:
             n = lo
         return bytes(self.bitstring(8) for _ in range(n))
+
+    def small_index(self) -> int:
+        if self.bit():
+            raise ValueError("large extension indices unsupported")
+        return self.bitstring(6)
+
+    def open_type(self) -> list[int]:
+        """Open type field: returns the contained bits (octet-padded), and
+        advances past them — unknown extensions are therefore skippable."""
+        n = self.ulength()
+        bits = self.bits[self.pos:self.pos + 8 * n]
+        if len(bits) < 8 * n:
+            raise ValueError("truncated open type")
+        self.pos += 8 * n
+        return bits

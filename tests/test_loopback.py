@@ -192,3 +192,22 @@ def test_loopback_multi_si_windows():
     assert r.sibs["sib3"] == s3
     assert r.sibs["sib5"] == s5, sorted(r.sibs)
     assert r.sibs["sib9"] == s9, sorted(r.sibs)
+
+
+def test_loopback_rel9_ext_sibs():
+    """SIB12 (CMAS) + SIB13 (MBSFN) carried as Rel-9 extension alternatives
+    through the full gen->scan PHY loopback."""
+    from lteax.stack import rrc
+    s12 = rrc.Sib12(message_identifier=0x1112, serial_number=0x3000,
+                    warning_segment=b"CMAS TEST", data_coding_scheme=b"\x01")
+    s13 = rrc.Sib13(areas=(rrc.MbsfnAreaInfo(mbsfn_area_id=9,
+                                             sf_alloc_info=0b110000),))
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77, n_frames=8,
+                   extra_sibs=(rrc.Sib3(), s12, s13),
+                   si_schedule=((8, (3,)), (16, (12, 13))))
+    r = scan(generate(gc), gc.phy)
+    assert r.n_cell_id == 77
+    assert r.sib1.scheduling[1].sib_mapping == (12, 13)
+    assert r.sibs["sib12"] == s12
+    assert r.sibs["sib13"] == s13
+    r.to_json()

@@ -200,3 +200,38 @@ def test_paging_uper_records():
                    etws_indication=True)
     assert rrc.unpack_paging(rrc.pack_paging(p)) == p
     assert rrc.unpack_paging(rrc.pack_paging(rrc.Paging())) is None
+
+
+def test_sib12_sib13_uper_roundtrips():
+    """Rel-9 extension SIBs (CMAS SIB12, MBSFN SIB13) ride the
+    sib-TypeAndInfo CHOICE extension as open-type fields; unknown extension
+    indices are skipped (open-type length), later entries still decode."""
+    s12 = rrc.Sib12(message_identifier=0x1112, serial_number=0x3000,
+                    last_segment=False, segment_number=3,
+                    warning_segment=b"CMAS presidential alert",
+                    data_coding_scheme=b"\x01")
+    s13 = rrc.Sib13(
+        areas=(rrc.MbsfnAreaInfo(mbsfn_area_id=5, non_mbsfn_region_length=2,
+                                 notification_indicator=3,
+                                 mcch_repetition_period_rf=128, mcch_offset=7,
+                                 mcch_modification_period_rf=1024,
+                                 sf_alloc_info=0b101010, signalling_mcs=13),
+               rrc.MbsfnAreaInfo(mbsfn_area_id=200)),
+        notification=rrc.MbmsNotificationConfig(4, 10, 6))
+    got = rrc.unpack_si_list(rrc.pack_si(rrc.Sib2(), s12, s13))
+    assert [k for k, _ in got] == ["sib2", "sib12", "sib13"]
+    assert got[1][1] == s12 and got[2][1] == s13
+    # extension entry before a root entry: root still decodes after the
+    # octet-aligned open type
+    got2 = rrc.unpack_si_list(rrc.pack_si(s13, rrc.Sib3()))
+    assert [k for k, _ in got2] == ["sib13", "sib3"]
+    # unknown extension index is skipped
+    from lteax.stack.uper import UperWriter
+    from lteax.stack.rrc_sibs import pack_sib3_body
+    w = UperWriter()
+    w.bit(0); w.bit(0); w.bit(0); w.opt(False)
+    w.length(2, 1, 32)
+    w.bit(1); w.small_index(7); w.open_type([1, 0, 1, 1, 0])
+    w.bit(0); w.cint(1, 0, 9)
+    pack_sib3_body(w, rrc.Sib3())
+    assert rrc.unpack_si_list(w.array()) == [("sib3", rrc.Sib3())]
