@@ -331,7 +331,7 @@ def _try_paging(res, g, cfg, cfg_c, cid, sf, n_ant, ng):
 
 def main(argv=None):
     from lteax.utils.platform import apply_platform_env
-    apply_platform_env()
+    apply_platform_env(default="cpu")
     p = argparse.ArgumentParser(description="LTE DL IQ file scanner")
     p.add_argument("path")
     p.add_argument("--n-rb", type=int, default=6,
@@ -342,7 +342,9 @@ def main(argv=None):
     a = p.parse_args(argv)
     cfg = PhyConfig(n_rb_dl=a.n_rb, extended_cp=a.extended_cp)
     x = read_iq(a.path, a.fmt)
-    res = scan(x, cfg, correct_cfo=not a.no_cfo)
+    from lteax.utils.platform import run_with_cpu_fallback
+    res = run_with_cpu_fallback(lambda: scan(x, cfg, correct_cfo=not a.no_cfo),
+                                "capture scan")
     print(res.to_json())
 
 

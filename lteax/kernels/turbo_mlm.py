@@ -63,14 +63,26 @@ def _live_masks(win: int, acq: int, n_w: int, n: int):
     return lv_main, lv_aacq, lv_bacq
 
 
+PIN = 512.0
+"""Pinned-padding magnitude (see ``pinpad`` in half_iteration_pallas): dead
+positions get u=+PIN, v=0, making the state-0 self-loop branch (sys=0,par=0,
+gamma=+(u+v)/2) dominate every dead trellis step.  The backward/forward
+metrics then converge to the constant profile [0, -PIN, ..., -PIN] (verified
+against the RSC wiring) — an effective termination/start pin with margin PIN,
+with NO per-step freeze blend in the kernel.  PIN=512 clears threshold-regime
+LLR accumulations while keeping bf16 rounding at the dead/live boundary
+negligible (offset <= 3*PIN/2 between renorms, ULP(768)=4)."""
+
+
 def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
                  mdtype=jnp.float32, sdtype=None, fused: bool = False,
-                 nofreeze: bool = False):
+                 nofreeze: bool = False, pinpad: bool = False):
     fwd, bwd, out0, out1 = _wiring()
     assert win % 2 == 0
     if fused:
         return _make_kernel_fused(win, acq, n_w, n, tb, mdtype=mdtype,
-                                  sdtype=sdtype, nofreeze=nofreeze)
+                                  sdtype=sdtype, nofreeze=nofreeze,
+                                  pinpad=pinpad)
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
@@ -185,16 +197,20 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
 
 def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
                        mdtype=jnp.float32, sdtype=None,
-                       nofreeze: bool = False):
+                       nofreeze: bool = False, pinpad: bool = False):
     """Fused second-half combine: only win/2 alpha/beta columns are stored.
 
     The alpha and beta chains meet in the middle of the window; once they
     cross, each live pre-step metric can be combined IMMEDIATELY with the
-    opposing store written during the first half — so the stores halve and
-    the separate whole-block combine pass (which re-reads both full stores)
-    disappears.  Numerically identical to the unfused kernel: the combine
-    consumes exactly the same (alpha, gamma, beta) triples, and per-tuple
-    renorm constants cancel in l0 - l1.
+    opposing half-window store written during the first half — so the stores
+    halve and the separate whole-block combine pass (which re-reads both full
+    stores) disappears.  Numerically identical to the unfused kernel: the
+    combine consumes exactly the same (alpha, gamma, beta) triples, and
+    per-tuple renorm constants cancel in l0 - l1.
+
+    ``pinpad``: the host pads dead positions with u=+PIN (see PIN above), so
+    NO freeze blends are needed anywhere — the kernel has no mask inputs and
+    every ACS step is the bare radix-2 butterfly.
     """
     fwd, bwd, out0, out1 = _wiring()
     half_w = win // 2
@@ -286,8 +302,11 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
                 j = win - 1 - t
                 for s in range(8):
                     bstore[j - half_w, s, :, :] = b[s].astype(sdt)
-                b = acs_bwd(b, um[j], vm[j],
-                            None if nofreeze else lm_ref[j, :][None, :])
+                if pinpad:
+                    b = acs_bwd(b, um[j] + lm_ref[j], vm[j])
+                else:
+                    b = acs_bwd(b, um[j], vm[j],
+                                None if nofreeze else lm_ref[j, :][None, :])
             if is_bf16:
                 a = tuple(x - a[0] for x in a)
                 b = tuple(x - b[0] for x in b)
@@ -324,8 +343,11 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
                 l_ref[j, :, :] = combine(as_j, b, um[j], vm[j]
                                          ).astype(l_ref.dtype)
                 a = acs_fwd(a, um[t], vm[t])
-                b = acs_bwd(b, um[j], vm[j],
-                            None if nofreeze else lm_ref[j, :][None, :])
+                if pinpad:
+                    b = acs_bwd(b, um[j] + lm_ref[j], vm[j])
+                else:
+                    b = acs_bwd(b, um[j], vm[j],
+                                None if nofreeze else lm_ref[j, :][None, :])
             if is_bf16:
                 a = tuple(x - a[0] for x in a)
                 b = tuple(x - b[0] for x in b)
@@ -337,10 +359,11 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
 
 
 @partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "mdtype",
-                                   "fused", "nofreeze", "interpret"))
+                                   "fused", "nofreeze", "pinpad", "interpret"))
 def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                           tb: int = 8, gb: int = 1, mdtype: str = "f32",
                           fused: bool = False, nofreeze: bool = False,
+                          pinpad: bool = False,
                           interpret: bool = False):
     """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
 
@@ -403,8 +426,9 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         a_init, b_init = fold_i(a_init), fold_i(b_init)
 
     sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
+    pinpad = bool(pinpad and fused)
     kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt,
-                          fused=fused, nofreeze=nofreeze)
+                          fused=fused, nofreeze=nofreeze, pinpad=pinpad)
     grid = (bf // tb,) if bf % tb == 0 else (-(-bf // tb),)
     if bf % tb != 0:
         padb = grid[0] * tb - bf
@@ -430,10 +454,29 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
     if gb > 1:   # same positions for every folded block
         lv_main, lv_aacq, lv_bacq = [np.tile(m, (1, gb))
                                      for m in (lv_main, lv_aacq, lv_bacq)]
+    if pinpad:
+        # pinned padding (main sweeps only): lm carries PIN*(1-live) pad
+        # blocks (pre-broadcast, metric dtype) that the kernel ADDS to u on
+        # dead positions — one elementwise add instead of the 8-state
+        # freeze blend (see PIN docstring).  The 16-step acquisition loop
+        # keeps the exact masked freeze (la/lb stay live masks).
+        npdt = np.float32 if dt == jnp.float32 else "bfloat16"
+        lv_main = np.broadcast_to(
+            ((1.0 - lv_main) * PIN).astype(npdt)[:, None, :],
+            (win, tb, n_we)).copy()
+        mask_specs = [
+            pl.BlockSpec((win, tb, n_we), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bcast((acq, n_we)), bcast((acq, n_we))]
+    else:
+        mask_specs = [bcast((win, n_we)), bcast((acq, n_we)),
+                      bcast((acq, n_we))]
+    mask_args = (jnp.asarray(lv_main), jnp.asarray(lv_aacq),
+                 jnp.asarray(lv_bacq))
     l_out, a_nii, b_nii = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bcast((win, n_we)), bcast((acq, n_we)), bcast((acq, n_we)),
+        in_specs=mask_specs + [
                   bs_stepmajor(win), bs_stepmajor(win),
                   bs_stepmajor(acq), bs_stepmajor(acq),
                   bs_stepmajor(acq), bs_stepmajor(acq),
@@ -447,8 +490,7 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(lv_main), jnp.asarray(lv_aacq), jnp.asarray(lv_bacq),
-      um, vm, ua, va, ub, vb, a_init, b_init)
+    )(*mask_args, um, vm, ua, va, ub, vb, a_init, b_init)
 
     # unfold the gb blocks back out of the lane axis
     l = (l_out.transpose(1, 2, 0)                 # (bpad, n_we, win)
@@ -481,6 +523,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               mdtype: str = "f32",
                               fused: bool | None = None,
                               nofreeze: bool | None = None,
+                              pinpad: bool | None = None,
                               return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
@@ -517,6 +560,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         # re-enables the experiment for comfortable-margin workloads.
         nofreeze = os.environ.get("LTEAX_PALLAS_NOFREEZE", "0") == "1"
     nofreeze = bool(nofreeze and fused)
+    if pinpad is None:
+        import os
+        # pinned padding replaces the main-sweep freeze blends with a
+        # data-level pin (margin PIN on dead positions); unlike nofreeze it
+        # KEEPS an effective termination pin, so the CRC early stop keeps
+        # its iteration count.  A/B'd: DL 591->602 @25dB, MIMO 392->406
+        # (384/384 CRC), threshold 381/381 @21.5, 362 vs 366 @20.5 (run
+        # noise).  LTEAX_PALLAS_PINPAD=0 restores the freeze-blend kernel.
+        pinpad = os.environ.get("LTEAX_PALLAS_PINPAD", "1") == "1"
+    pinpad = bool(pinpad and fused and not nofreeze)
     c = llr_d.shape[0]
     n = k + 3
     n_w = -(-n // win)
@@ -544,6 +597,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
                                              fused=fused, nofreeze=nofreeze,
+                                             pinpad=pinpad,
                                              interpret=interpret)
         l1 = l1[:, :k]
         le12 = (ext_scale * (l1 - ls - le21)).astype(le21.dtype)
@@ -553,6 +607,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq, n,
                                              tb=tb, gb=gb, mdtype=mdtype,
                                              fused=fused, nofreeze=nofreeze,
+                                             pinpad=pinpad,
                                              interpret=interpret)
         l2 = l2[:, :k]
         le21_new = (ext_scale * (l2 - ls_int - la2)).astype(le21.dtype)[:, inv]

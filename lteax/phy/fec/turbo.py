@@ -35,7 +35,9 @@ import numpy as np
 
 from lteax.phy.tables.turbo_qpp import qpp_deinterleaver, qpp_interleaver
 
-NEG = jnp.float32(-1e9)
+NEG = np.float32(-1e9)  # host constant: a module-level jnp scalar would
+# eagerly initialize the accelerator backend at import time, breaking the
+# CLI apps' late platform selection (utils/platform.py)
 N_TAIL_D = 4  # each of the 3 d-streams carries K+4 bits (12 tail bits total)
 
 

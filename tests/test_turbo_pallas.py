@@ -144,3 +144,27 @@ def test_fused_decode_bf16():
                                                acq=16, mdtype="bf16",
                                                fused=True, interpret=True))
     np.testing.assert_array_equal(got, bits)
+
+
+@pytest.mark.parametrize("mdtype", ["f32", "bf16"])
+def test_pinpad_matches_masked(mdtype):
+    """Pinned padding (u=+PIN on dead positions, maskless kernel) must make
+    the same hard decisions as the freeze-masked kernel."""
+    rng = np.random.default_rng(11)
+    for k in (40, 1024, 5824):
+        c = 3
+        bits = rng.integers(0, 2, size=(c, k)).astype(np.int32)
+        d = np.asarray(turbo_encode_batch(jnp.asarray(bits), k)
+                       ).astype(np.float32)
+        sigma = 0.65
+        rx = ((1.0 - 2.0 * d)
+              + sigma * rng.standard_normal(d.shape).astype(np.float32))
+        llr = jnp.asarray(2.0 * rx / sigma**2)
+        ref = np.asarray(turbo_decode_batch_pallas(
+            llr, k, n_iter=4, tb=2, fused=True, mdtype=mdtype,
+            interpret=True))
+        got = np.asarray(turbo_decode_batch_pallas(
+            llr, k, n_iter=4, tb=2, fused=True, pinpad=True, mdtype=mdtype,
+            interpret=True))
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(got, bits)
