@@ -630,10 +630,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
     from lteax.phy.fec.crc import crc_matrix
 
-    # CRC check in the interleaved domain: bits_deint @ M == bits_int @ M[pi]
-    # (a codeword with appended CRC is g(x)-divisible iff its full-length
-    # CRC is zero) — saves one (C, K) deinterleave gather per iteration
+    # Half-iteration early stop.  The CRC is checked after EACH decoder
+    # half: DEC1's APP LLR is in natural bit order (contribution matrix M),
+    # DEC2's in the interleaved domain (row-permuted M[pi] — CRC is
+    # GF(2)-linear, a codeword is g(x)-divisible iff its full-length CRC is
+    # zero).  When every codeblock already passes after DEC1, the DEC2 half
+    # (kernel + QPP gathers) is skipped via lax.cond — at operating points
+    # where convergence lands mid-iteration this saves a full half-kernel
+    # pass; worst case matches the fixed-n_iter schedule plus the checks.
     from lteax.phy.tables.turbo_qpp import qpp_interleaver as _qpp
+    m_nat = jnp.asarray(crc_matrix(k, early_crc), dtype=jnp.int32)
     m_perm = jnp.asarray(crc_matrix(k, early_crc)[_qpp(k)], dtype=jnp.int32)
 
     def cond(carry):
@@ -641,14 +647,51 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         return jnp.logical_and(it < n_iter, jnp.logical_not(done))
 
     def body(carry):
-        it, _, le21, a1, b1, a2, b2, _ = carry
-        le21n, a1n, b1n, a2n, b2n, l2i = one_iteration(le21, a1, b1, a2, b2)
-        bits_int = (l2i < 0).astype(jnp.int32)
-        ok = jnp.all((bits_int @ m_perm) % 2 == 0, axis=-1)
-        return (it + 1, jnp.all(ok), le21n, a1n, b1n, a2n, b2n, l2i)
+        it, _, _, le21, a1, b1, a2, b2, _ = carry
+        # ---- DEC1 half ----
+        u1 = jnp.concatenate([(ls + le21).astype(le21.dtype),
+                              sys_t1.astype(le21.dtype)], axis=1)
+        a1p, b1p = _pin_boundaries(a1, b1)
+        l1, a1n, b1n = half_iteration_pallas(u1, v1, a1p, b1p, win, acq, n,
+                                             tb=tb, gb=gb, mdtype=mdtype,
+                                             fused=fused, nofreeze=nofreeze,
+                                             pinpad=pinpad,
+                                             interpret=interpret)
+        l1 = l1[:, :k].astype(le21.dtype)
+        ok1 = jnp.all(((l1 < 0).astype(jnp.int32) @ m_nat) % 2 == 0)
 
-    carry = (jnp.int32(0), jnp.bool_(False), *init,
+        # ---- DEC2 half (skipped when DEC1 already converged) ----
+        def do_dec2(_):
+            le12 = (ext_scale * (l1 - ls - le21)).astype(le21.dtype)
+            la2 = le12[:, pi]
+            u2 = jnp.concatenate([(ls_int + la2).astype(le21.dtype),
+                                  sys_t2.astype(le21.dtype)], axis=1)
+            a2p, b2p = _pin_boundaries(a2, b2)
+            l2, a2n, b2n = half_iteration_pallas(u2, v2, a2p, b2p, win, acq,
+                                                 n, tb=tb, gb=gb,
+                                                 mdtype=mdtype, fused=fused,
+                                                 nofreeze=nofreeze,
+                                                 pinpad=pinpad,
+                                                 interpret=interpret)
+            l2 = l2[:, :k].astype(le21.dtype)
+            le21n = (ext_scale * (l2 - ls_int - la2)
+                     ).astype(le21.dtype)[:, inv]
+            ok2 = jnp.all(((l2 < 0).astype(jnp.int32) @ m_perm) % 2 == 0)
+            return (le21n, a2n, b2n, l2, ok2, jnp.bool_(False))
+
+        def skip_dec2(_):
+            return (le21, a2, b2, l1, jnp.bool_(True), jnp.bool_(True))
+
+        le21n, a2n, b2n, llast, done, from1 = jax.lax.cond(
+            ok1, skip_dec2, do_dec2, None)
+        return (it + 1, done, from1, le21n, a1n, b1n, a2n, b2n, llast)
+
+    carry = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False), *init,
              jnp.zeros(ls.shape, dt_e))
     carry = jax.lax.while_loop(cond, body, carry)
-    bits = (carry[-1][:, inv] < 0).astype(jnp.int32)
+    llast, from1 = carry[-1], carry[2]
+    bits_raw = (llast < 0).astype(jnp.int32)
+    # llast is natural-order when the loop stopped after DEC1, interleaved
+    # when it ran (or ended at) DEC2
+    bits = jnp.where(from1, bits_raw, bits_raw[:, inv])
     return (bits, carry[0]) if return_n_iter else bits

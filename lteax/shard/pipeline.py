@@ -111,6 +111,9 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     # CRC-based early termination: stop once every codeblock checks
     early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
     early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
+    # extrinsic damping (max-log standard 0.75); higher converges faster at
+    # comfortable margins, lower is safer near threshold
+    ext_scale = float(os.environ.get("LTEAX_EXT_SCALE", "0.75"))
 
     def stage_front(samples_iq):
         llr = jax.vmap(front)(samples_iq)              # (B, G)
@@ -130,6 +133,7 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
                                         win=win, acq=acq, gb=gb,
                                         early_crc=early_crc, mdtype=mdtype,
+                                        ext_scale=ext_scale,
                                         return_n_iter=print_iters,
                                         interpret=interpret)
         bits, n_it = out if print_iters else (out, None)
