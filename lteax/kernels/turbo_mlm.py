@@ -525,6 +525,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               nofreeze: bool | None = None,
                               pinpad: bool | None = None,
                               retry_m: int | None = None,
+                              retry_stage: str | None = None,
                               return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
