@@ -410,6 +410,338 @@ def unpack_activate_default_bearer_accept(data: bytes
 
 
 # ---------------------------------------------------------------------------
+# EMM procedure-outcome / identity messages
+# (reference capability: ``liblte/src/liblte_mme.cc`` identity request/
+#  response, authentication failure/reject, attach/service/TAU reject,
+#  GUTI reallocation, EMM status pack/unpack pairs.)
+# ---------------------------------------------------------------------------
+
+MT_TAU_COMPLETE = 0x4A
+MT_TAU_REJECT = 0x4B
+MT_SERVICE_REJECT = 0x4E
+MT_GUTI_REALLOC_COMMAND = 0x50
+MT_GUTI_REALLOC_COMPLETE = 0x51
+MT_AUTH_FAILURE = 0x5C
+MT_EMM_STATUS = 0x60
+
+# identity types (24.301 §9.9.3.17 / 24.008 §10.5.1.4)
+ID_TYPE_IMSI = 1
+ID_TYPE_IMEI = 2
+ID_TYPE_IMEISV = 3
+ID_TYPE_TMSI = 4
+
+# common EMM causes (24.301 §9.9.3.9)
+EMM_CAUSE_IMSI_UNKNOWN_IN_HSS = 0x02
+EMM_CAUSE_ILLEGAL_UE = 0x03
+EMM_CAUSE_MAC_FAILURE = 0x14
+EMM_CAUSE_SYNCH_FAILURE = 0x15
+EMM_CAUSE_EPS_NOT_ALLOWED = 0x07
+EMM_CAUSE_PLMN_NOT_ALLOWED = 0x0B
+EMM_CAUSE_TA_NOT_ALLOWED = 0x0C
+EMM_CAUSE_NETWORK_FAILURE = 0x11
+EMM_CAUSE_CONGESTION = 0x16
+EMM_CAUSE_UE_ID_NOT_DERIVABLE = 0x09
+EMM_CAUSE_PROTOCOL_ERROR = 0x6F
+
+
+@dataclasses.dataclass
+class IdentityRequest:
+    id_type: int = ID_TYPE_IMSI
+
+
+def pack_identity_request(m: IdentityRequest) -> bytes:
+    return bytes([PD_EMM, MT_IDENTITY_REQUEST, m.id_type & 0xF])
+
+
+def unpack_identity_request(data: bytes) -> IdentityRequest | None:
+    if data[0] != PD_EMM or data[1] != MT_IDENTITY_REQUEST:
+        return None
+    return IdentityRequest(id_type=data[2] & 0xF)
+
+
+@dataclasses.dataclass
+class IdentityResponse:
+    id_type: int = ID_TYPE_IMSI
+    digits: tuple[int, ...] = ()     # IMSI/IMEI(SV) digits
+
+
+def pack_identity_response(m: IdentityResponse) -> bytes:
+    # Mobile Identity IE (LV): odd/even flag in bit 4, type in bits 1-3
+    ds = list(m.digits)
+    odd = len(ds) % 2 == 1
+    first = ((ds[0] if ds else 0) << 4) | (0x8 if odd else 0) | (m.id_type & 7)
+    body = bytes([first]) + _bcd(ds[1:])
+    return bytes([PD_EMM, MT_IDENTITY_RESPONSE, len(body)]) + body
+
+
+def unpack_identity_response(data: bytes) -> IdentityResponse | None:
+    if data[0] != PD_EMM or data[1] != MT_IDENTITY_RESPONSE:
+        return None
+    ilen = data[2]
+    body = data[3:3 + ilen]
+    id_type = body[0] & 7
+    digits = [body[0] >> 4] + _unbcd(body[1:])
+    return IdentityResponse(id_type=id_type, digits=tuple(digits))
+
+
+@dataclasses.dataclass
+class AuthFailure:
+    cause: int = EMM_CAUSE_MAC_FAILURE
+    auts: bytes = b""                # present iff cause == synch failure
+
+
+def pack_auth_failure(m: AuthFailure) -> bytes:
+    out = bytes([PD_EMM, MT_AUTH_FAILURE, m.cause & 0xFF])
+    if m.auts:
+        out += bytes([0x30, len(m.auts)]) + m.auts   # Authentication failure
+    return out                                       # parameter TLV (IEI 0x30)
+
+
+def unpack_auth_failure(data: bytes) -> AuthFailure | None:
+    if data[0] != PD_EMM or data[1] != MT_AUTH_FAILURE:
+        return None
+    auts = b""
+    if len(data) > 3 and data[3] == 0x30:
+        auts = data[5:5 + data[4]]
+    return AuthFailure(cause=data[2], auts=auts)
+
+
+def pack_auth_reject() -> bytes:
+    return bytes([PD_EMM, MT_AUTH_REJECT])
+
+
+def unpack_auth_reject(data: bytes) -> bool:
+    return len(data) >= 2 and data[0] == PD_EMM and data[1] == MT_AUTH_REJECT
+
+
+def _pack_cause_msg(mt: int, cause: int) -> bytes:
+    return bytes([PD_EMM, mt, cause & 0xFF])
+
+
+def _unpack_cause_msg(data: bytes, mt: int) -> int | None:
+    if data[0] != PD_EMM or data[1] != mt:
+        return None
+    return data[2]
+
+
+def pack_attach_reject(cause: int, esm_container: bytes = b"") -> bytes:
+    out = _pack_cause_msg(MT_ATTACH_REJECT, cause)
+    if esm_container:
+        out += bytes([0x78]) + struct.pack(">H", len(esm_container)) \
+            + esm_container                          # ESM container TLV-E
+    return out
+
+
+def unpack_attach_reject(data: bytes) -> tuple[int, bytes] | None:
+    if data[0] != PD_EMM or data[1] != MT_ATTACH_REJECT:
+        return None
+    esm = b""
+    if len(data) > 3 and data[3] == 0x78:
+        elen = struct.unpack(">H", data[4:6])[0]
+        esm = data[6:6 + elen]
+    return data[2], esm
+
+
+def pack_service_reject(cause: int) -> bytes:
+    return _pack_cause_msg(MT_SERVICE_REJECT, cause)
+
+
+def unpack_service_reject(data: bytes) -> int | None:
+    return _unpack_cause_msg(data, MT_SERVICE_REJECT)
+
+
+def pack_tau_reject(cause: int) -> bytes:
+    return _pack_cause_msg(MT_TAU_REJECT, cause)
+
+
+def unpack_tau_reject(data: bytes) -> int | None:
+    return _unpack_cause_msg(data, MT_TAU_REJECT)
+
+
+def pack_tau_complete() -> bytes:
+    return bytes([PD_EMM, MT_TAU_COMPLETE])
+
+
+def unpack_tau_complete(data: bytes) -> bool:
+    return len(data) >= 2 and data[0] == PD_EMM and data[1] == MT_TAU_COMPLETE
+
+
+def pack_emm_status(cause: int) -> bytes:
+    return _pack_cause_msg(MT_EMM_STATUS, cause)
+
+
+def unpack_emm_status(data: bytes) -> int | None:
+    return _unpack_cause_msg(data, MT_EMM_STATUS)
+
+
+@dataclasses.dataclass
+class Guti:
+    """GUTI fields for the EPS mobile identity IE (24.301 §9.9.3.12)."""
+    mcc: tuple[int, int, int] = (0, 0, 1)
+    mnc: tuple[int, ...] = (0, 1)
+    mme_group_id: int = 0
+    mme_code: int = 0
+    m_tmsi: int = 0
+
+
+def _pack_guti_ie(g: Guti) -> bytes:
+    # odd/even=0, type=6 (GUTI); MCC/MNC BCD with MNC in digit-3 slot
+    mcc, mnc = g.mcc, g.mnc
+    d = [mcc[0] | (mcc[1] << 4), mcc[2] | ((mnc[2] << 4) if len(mnc) == 3
+                                           else 0xF0), mnc[0] | (mnc[1] << 4)]
+    body = bytes([0xF6]) + bytes(d) \
+        + struct.pack(">H", g.mme_group_id) + bytes([g.mme_code]) \
+        + struct.pack(">I", g.m_tmsi)
+    return bytes([len(body)]) + body
+
+
+def _unpack_guti_ie(data: bytes) -> tuple[Guti, int]:
+    glen = data[0]
+    body = data[1:1 + glen]
+    if (body[0] & 0xF) != 6:
+        raise ValueError("not a GUTI mobile identity")
+    mcc = (body[1] & 0xF, body[1] >> 4, body[2] & 0xF)
+    mnc3 = body[2] >> 4
+    mnc = (body[3] & 0xF, body[3] >> 4) + ((mnc3,) if mnc3 != 0xF else ())
+    g = Guti(mcc=mcc, mnc=mnc,
+             mme_group_id=struct.unpack(">H", body[4:6])[0],
+             mme_code=body[6],
+             m_tmsi=struct.unpack(">I", body[7:11])[0])
+    return g, 1 + glen
+
+
+def pack_guti_realloc_command(g: Guti) -> bytes:
+    return bytes([PD_EMM, MT_GUTI_REALLOC_COMMAND]) + _pack_guti_ie(g)
+
+
+def unpack_guti_realloc_command(data: bytes) -> Guti | None:
+    if data[0] != PD_EMM or data[1] != MT_GUTI_REALLOC_COMMAND:
+        return None
+    return _unpack_guti_ie(data[2:])[0]
+
+
+def pack_guti_realloc_complete() -> bytes:
+    return bytes([PD_EMM, MT_GUTI_REALLOC_COMPLETE])
+
+
+def unpack_guti_realloc_complete(data: bytes) -> bool:
+    return len(data) >= 2 and data[0] == PD_EMM \
+        and data[1] == MT_GUTI_REALLOC_COMPLETE
+
+
+# ---------------------------------------------------------------------------
+# ESM procedure-outcome / information messages
+# (reference capability: ``liblte_mme.cc`` ESM information request/response,
+#  PDN connectivity reject, deactivate EPS bearer context, PDN disconnect.)
+# ---------------------------------------------------------------------------
+
+MT_PDN_CONNECTIVITY_REJECT = 0xD1
+MT_PDN_DISCONNECT_REQUEST = 0xD2
+MT_DEACT_BEARER_REQUEST = 0xCD
+MT_DEACT_BEARER_ACCEPT = 0xCE
+MT_ESM_INFORMATION_REQUEST = 0xD9
+MT_ESM_INFORMATION_RESPONSE = 0xDA
+MT_ESM_STATUS = 0xE8
+
+ESM_CAUSE_INSUFFICIENT_RESOURCES = 0x1A
+ESM_CAUSE_UNKNOWN_APN = 0x1B
+ESM_CAUSE_PDN_TYPE_NOT_SUPPORTED = 0x32
+ESM_CAUSE_REGULAR_DEACTIVATION = 0x24
+ESM_CAUSE_PROTOCOL_ERROR = 0x6F
+
+
+def _esm_hdr(ebi: int, pti: int, mt: int) -> bytes:
+    return bytes([(ebi << 4) | PD_ESM, pti, mt])
+
+
+def _esm_match(data: bytes, mt: int) -> bool:
+    return len(data) >= 3 and (data[0] & 0xF) == PD_ESM and data[2] == mt
+
+
+def pack_pdn_connectivity_reject(pti: int, cause: int) -> bytes:
+    return _esm_hdr(0, pti, MT_PDN_CONNECTIVITY_REJECT) + bytes([cause])
+
+
+def unpack_pdn_connectivity_reject(data: bytes) -> tuple[int, int] | None:
+    if not _esm_match(data, MT_PDN_CONNECTIVITY_REJECT):
+        return None
+    return data[1], data[3]                          # (pti, cause)
+
+
+def pack_esm_information_request(pti: int) -> bytes:
+    return _esm_hdr(0, pti, MT_ESM_INFORMATION_REQUEST)
+
+
+def unpack_esm_information_request(data: bytes) -> int | None:
+    return data[1] if _esm_match(data, MT_ESM_INFORMATION_REQUEST) else None
+
+
+def pack_esm_information_response(pti: int, apn: str = "") -> bytes:
+    out = _esm_hdr(0, pti, MT_ESM_INFORMATION_RESPONSE)
+    if apn:
+        # APN IE (24.008 §10.5.6.1): dotted labels as length-prefixed parts
+        parts = b"".join(bytes([len(p)]) + p.encode()
+                         for p in apn.split("."))
+        out += bytes([0x28, len(parts)]) + parts
+    return out
+
+
+def unpack_esm_information_response(data: bytes) -> tuple[int, str] | None:
+    if not _esm_match(data, MT_ESM_INFORMATION_RESPONSE):
+        return None
+    apn = ""
+    if len(data) > 3 and data[3] == 0x28:
+        body, pos, labels = data[5:5 + data[4]], 0, []
+        while pos < len(body):
+            n = body[pos]
+            labels.append(body[pos + 1:pos + 1 + n].decode())
+            pos += 1 + n
+        apn = ".".join(labels)
+    return data[1], apn
+
+
+def pack_deactivate_bearer_request(ebi: int, pti: int, cause: int
+                                   = ESM_CAUSE_REGULAR_DEACTIVATION) -> bytes:
+    return _esm_hdr(ebi, pti, MT_DEACT_BEARER_REQUEST) + bytes([cause])
+
+
+def unpack_deactivate_bearer_request(data: bytes
+                                     ) -> tuple[int, int, int] | None:
+    if not _esm_match(data, MT_DEACT_BEARER_REQUEST):
+        return None
+    return data[0] >> 4, data[1], data[3]            # (ebi, pti, cause)
+
+
+def pack_deactivate_bearer_accept(ebi: int, pti: int = 0) -> bytes:
+    return _esm_hdr(ebi, pti, MT_DEACT_BEARER_ACCEPT)
+
+
+def unpack_deactivate_bearer_accept(data: bytes) -> int | None:
+    return data[0] >> 4 if _esm_match(data, MT_DEACT_BEARER_ACCEPT) else None
+
+
+def pack_pdn_disconnect_request(pti: int, linked_ebi: int) -> bytes:
+    return _esm_hdr(0, pti, MT_PDN_DISCONNECT_REQUEST) \
+        + bytes([linked_ebi & 0xF])
+
+
+def unpack_pdn_disconnect_request(data: bytes) -> tuple[int, int] | None:
+    if not _esm_match(data, MT_PDN_DISCONNECT_REQUEST):
+        return None
+    return data[1], data[3] & 0xF                    # (pti, linked ebi)
+
+
+def pack_esm_status(ebi: int, pti: int, cause: int) -> bytes:
+    return _esm_hdr(ebi, pti, MT_ESM_STATUS) + bytes([cause])
+
+
+def unpack_esm_status(data: bytes) -> tuple[int, int, int] | None:
+    if not _esm_match(data, MT_ESM_STATUS):
+        return None
+    return data[0] >> 4, data[1], data[3]
+
+
+# ---------------------------------------------------------------------------
 # Security-protected NAS (24.301 §9.1/9.5)
 # ---------------------------------------------------------------------------
 

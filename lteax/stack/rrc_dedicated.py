@@ -8,10 +8,16 @@ UL-DCCH / DL-DCCH message pack/unpack — ``liblte_rrc_pack_ul_ccch_msg``,
 DRB reconfiguration and release.)
 
 Covered (Rel-8 field trees):
-  UL-CCCH:  RRCConnectionRequest (S-TMSI / random identity)
-  DL-CCCH:  RRCConnectionSetup (RadioResourceConfigDedicated)
+  UL-CCCH:  RRCConnectionRequest (S-TMSI / random identity),
+            RRCConnectionReestablishmentRequest (C-RNTI/PCI/shortMAC-I)
+  DL-CCCH:  RRCConnectionSetup (RadioResourceConfigDedicated),
+            RRCConnectionReestablishment (+NCC),
+            RRCConnectionReestablishmentReject, RRCConnectionReject
   UL-DCCH:  RRCConnectionSetupComplete (+NAS), ULInformationTransfer,
-            SecurityModeComplete, RRCConnectionReconfigurationComplete
+            SecurityModeComplete, SecurityModeFailure,
+            RRCConnectionReconfigurationComplete,
+            RRCConnectionReestablishmentComplete,
+            MeasurementReport (MeasResults + EUTRA neighbour list)
   DL-DCCH:  DLInformationTransfer, SecurityModeCommand,
             RRCConnectionReconfiguration (+NAS list, DRB add),
             RRCConnectionRelease
@@ -260,13 +266,82 @@ class RrcConnectionRelease:
     cause: str = "other"
 
 
+@dataclasses.dataclass
+class RrcConnectionReject:
+    wait_time: int = 10            # seconds, 1..16
+
+
+@dataclasses.dataclass
+class RrcConnectionReestablishmentRequest:
+    """UL-CCCH reestablishment (36.331 §5.3.7): identifies the UE by
+    (C-RNTI, physCellId, shortMAC-I)."""
+    c_rnti: int = 0                # 16-bit
+    phys_cell_id: int = 0          # 0..503
+    short_mac_i: int = 0           # 16-bit
+    cause: str = "otherFailure"
+
+
+REESTABLISHMENT_CAUSES = ("reconfigurationFailure", "handoverFailure",
+                          "otherFailure", "spare1")
+
+
+@dataclasses.dataclass
+class RrcConnectionReestablishment:
+    rrc_ti: int = 0
+    ncc: int = 0                   # nextHopChainingCount 0..7
+    rrcd: RadioResourceConfigDedicated = dataclasses.field(
+        default_factory=lambda: RadioResourceConfigDedicated(
+            srb_to_add=(SrbToAddMod(1),)))
+
+
+@dataclasses.dataclass
+class RrcConnectionReestablishmentReject:
+    pass
+
+
+@dataclasses.dataclass
+class RrcConnectionReestablishmentComplete:
+    rrc_ti: int = 0
+
+
+@dataclasses.dataclass
+class SecurityModeFailure:
+    rrc_ti: int = 0
+
+
+@dataclasses.dataclass
+class MeasResultEutra:
+    phys_cell_id: int              # 0..503
+    rsrp: int | None = None        # RSRP-Range 0..97
+    rsrq: int | None = None        # RSRQ-Range 0..34
+
+
+@dataclasses.dataclass
+class MeasurementReport:
+    """UL-DCCH MeasurementReport with the serving-cell result and an
+    optional EUTRA neighbour list (36.331 §5.5.5 / MeasResults IE)."""
+    meas_id: int = 1               # 1..32
+    serv_rsrp: int = 0             # 0..97
+    serv_rsrq: int = 0             # 0..34
+    neigh: tuple[MeasResultEutra, ...] = ()
+
+
 # ---------------------------------------------------------------------------
 # UL-CCCH
 # ---------------------------------------------------------------------------
 
-def pack_ul_ccch(m: RrcConnectionRequest) -> np.ndarray:
+def pack_ul_ccch(m) -> np.ndarray:
     w = UperWriter()
     w.bit(0)                       # UL-CCCH-MessageType: c1 (not msgClassExt)
+    if isinstance(m, RrcConnectionReestablishmentRequest):
+        w.cint(0, 0, 1)            # c1: rrcConnectionReestablishmentRequest(0)
+        w.bit(0)                   # criticalExtensions: r8
+        w.bitstring(m.c_rnti, 16)  # ReestabUE-Identity
+        w.cint(m.phys_cell_id, 0, 503)
+        w.bitstring(m.short_mac_i, 16)
+        w.cint(REESTABLISHMENT_CAUSES.index(m.cause), 0, 3)
+        w.bitstring(0, 2)          # spare BIT STRING (SIZE(2))
+        return w.array()
     w.cint(1, 0, 1)                # c1: rrcConnectionRequest(1) [U order]
     w.bit(0)                       # criticalExtensions: r8
     kind = m.identity[0]
@@ -282,9 +357,22 @@ def pack_ul_ccch(m: RrcConnectionRequest) -> np.ndarray:
     return w.array()
 
 
-def unpack_ul_ccch(bits: np.ndarray) -> RrcConnectionRequest:
+def unpack_ul_ccch(bits: np.ndarray):
     r = UperReader(bits)
-    if r.bit() != 0 or r.cint(0, 1) != 1 or r.bit() != 0:
+    if r.bit() != 0:
+        raise ValueError("messageClassExtension")
+    alt = r.cint(0, 1)
+    if alt == 0:                   # rrcConnectionReestablishmentRequest
+        if r.bit() != 0:
+            raise ValueError("not r8")
+        c_rnti = r.bitstring(16)
+        pci = r.cint(0, 503)
+        smac = r.bitstring(16)
+        cause = REESTABLISHMENT_CAUSES[r.cint(0, 3)]
+        r.bitstring(2)
+        return RrcConnectionReestablishmentRequest(
+            c_rnti=c_rnti, phys_cell_id=pci, short_mac_i=smac, cause=cause)
+    if r.bit() != 0:
         raise ValueError("not an r8 RRCConnectionRequest")
     if r.bit() == 0:
         ident = ("stmsi", r.bitstring(8), r.bitstring(32))
@@ -299,9 +387,33 @@ def unpack_ul_ccch(bits: np.ndarray) -> RrcConnectionRequest:
 # DL-CCCH
 # ---------------------------------------------------------------------------
 
-def pack_dl_ccch(m: RrcConnectionSetup) -> np.ndarray:
+def pack_dl_ccch(m) -> np.ndarray:
+    # DL-CCCH c1 alternatives: rrcConnectionReestablishment(0),
+    # rrcConnectionReestablishmentReject(1), rrcConnectionReject(2),
+    # rrcConnectionSetup(3)  [U order]
     w = UperWriter()
     w.bit(0)                       # c1
+    if isinstance(m, RrcConnectionReestablishment):
+        w.cint(0, 0, 3)
+        w.cint(m.rrc_ti, 0, 3)
+        w.bit(0)                   # criticalExtensions: c1
+        w.cint(0, 0, 7)            # rrcConnectionReestablishment-r8(0)
+        w.opt(False)               # nonCriticalExtension
+        _pack_rrcd(w, m.rrcd)
+        w.cint(m.ncc, 0, 7)        # nextHopChainingCount
+        return w.array()
+    if isinstance(m, RrcConnectionReestablishmentReject):
+        w.cint(1, 0, 3)
+        w.bit(0)                   # criticalExtensions: r8
+        w.opt(False)               # nonCriticalExtension
+        return w.array()
+    if isinstance(m, RrcConnectionReject):
+        w.cint(2, 0, 3)
+        w.bit(0)                   # criticalExtensions: c1
+        w.cint(0, 0, 3)            # rrcConnectionReject-r8(0)
+        w.opt(False)               # nonCriticalExtension
+        w.cint(m.wait_time, 1, 16)
+        return w.array()
     w.cint(3, 0, 3)                # rrcConnectionSetup(3) [U order]
     w.cint(m.rrc_ti, 0, 3)
     w.bit(0)                       # criticalExtensions: c1
@@ -311,10 +423,29 @@ def pack_dl_ccch(m: RrcConnectionSetup) -> np.ndarray:
     return w.array()
 
 
-def unpack_dl_ccch(bits: np.ndarray) -> RrcConnectionSetup:
+def unpack_dl_ccch(bits: np.ndarray):
     r = UperReader(bits)
-    if r.bit() != 0 or r.cint(0, 3) != 3:
-        raise ValueError("not an RRCConnectionSetup")
+    if r.bit() != 0:
+        raise ValueError("messageClassExtension")
+    alt = r.cint(0, 3)
+    if alt == 0:                   # rrcConnectionReestablishment
+        ti = r.cint(0, 3)
+        if r.bit() != 0 or r.cint(0, 7) != 0:
+            raise ValueError("not r8")
+        r.opt()
+        rrcd = _unpack_rrcd(r)
+        return RrcConnectionReestablishment(rrc_ti=ti, ncc=r.cint(0, 7),
+                                            rrcd=rrcd)
+    if alt == 1:                   # rrcConnectionReestablishmentReject
+        if r.bit() != 0:
+            raise ValueError("not r8")
+        r.opt()
+        return RrcConnectionReestablishmentReject()
+    if alt == 2:                   # rrcConnectionReject
+        if r.bit() != 0 or r.cint(0, 3) != 0:
+            raise ValueError("not r8")
+        r.opt()
+        return RrcConnectionReject(wait_time=r.cint(1, 16))
     ti = r.cint(0, 3)
     if r.bit() != 0 or r.cint(0, 7) != 0:
         raise ValueError("not r8")
@@ -326,10 +457,61 @@ def unpack_dl_ccch(bits: np.ndarray) -> RrcConnectionSetup:
 # UL-DCCH — c1 CHOICE with 16 alternatives (4 bits) [U order]
 # ---------------------------------------------------------------------------
 
+_UL_DCCH_MEAS_REPORT = 1
+_UL_DCCH_RECONF_COMPLETE = 2
+_UL_DCCH_REESTAB_COMPLETE = 3
 _UL_DCCH_SETUP_COMPLETE = 4
 _UL_DCCH_SMC_COMPLETE = 5
+_UL_DCCH_SMC_FAILURE = 6
 _UL_DCCH_UL_INFO = 9
-_UL_DCCH_RECONF_COMPLETE = 2
+
+
+def _pack_meas_results(w: UperWriter, m: MeasurementReport) -> None:
+    # MeasResults ::= SEQUENCE (extensible) { measId, measResultServCell
+    # { rsrpResult, rsrqResult }, measResultNeighCells CHOICE OPTIONAL }
+    w.bit(0)                       # extension
+    w.opt(bool(m.neigh))           # measResultNeighCells
+    w.cint(m.meas_id, 1, 32)
+    w.cint(m.serv_rsrp, 0, 97)
+    w.cint(m.serv_rsrq, 0, 34)
+    if m.neigh:
+        w.bit(0)                   # neighCells CHOICE: root
+        w.cint(0, 0, 3)            # measResultListEUTRA(0) [U order]
+        w.length(len(m.neigh), 1, 8)   # maxCellReport = 8
+        for n in m.neigh:
+            w.opt(False)           # cgi-Info absent
+            w.cint(n.phys_cell_id, 0, 503)
+            w.bit(0)               # measResult extension
+            w.opt(n.rsrp is not None)
+            w.opt(n.rsrq is not None)
+            if n.rsrp is not None:
+                w.cint(n.rsrp, 0, 97)
+            if n.rsrq is not None:
+                w.cint(n.rsrq, 0, 34)
+
+
+def _unpack_meas_results(r: UperReader) -> MeasurementReport:
+    r.bit()
+    has_neigh = r.opt()
+    mid = r.cint(1, 32)
+    rsrp = r.cint(0, 97)
+    rsrq = r.cint(0, 34)
+    neigh: list[MeasResultEutra] = []
+    if has_neigh:
+        if r.bit() != 0 or r.cint(0, 3) != 0:
+            raise ValueError("only measResultListEUTRA supported")
+        for _ in range(r.length(1, 8)):
+            if r.opt():
+                raise ValueError("cgi-Info not supported")
+            pci = r.cint(0, 503)
+            r.bit()
+            has_p, has_q = r.opt(), r.opt()
+            neigh.append(MeasResultEutra(
+                phys_cell_id=pci,
+                rsrp=r.cint(0, 97) if has_p else None,
+                rsrq=r.cint(0, 34) if has_q else None))
+    return MeasurementReport(meas_id=mid, serv_rsrp=rsrp, serv_rsrq=rsrq,
+                             neigh=tuple(neigh))
 
 
 def pack_ul_dcch(m) -> np.ndarray:
@@ -360,6 +542,22 @@ def pack_ul_dcch(m) -> np.ndarray:
         w.cint(m.rrc_ti, 0, 3)
         w.bit(0)                   # criticalExtensions: r8
         w.opt(False)
+    elif isinstance(m, RrcConnectionReestablishmentComplete):
+        w.cint(_UL_DCCH_REESTAB_COMPLETE, 0, 15)
+        w.cint(m.rrc_ti, 0, 3)
+        w.bit(0)                   # criticalExtensions: r8
+        w.opt(False)
+    elif isinstance(m, SecurityModeFailure):
+        w.cint(_UL_DCCH_SMC_FAILURE, 0, 15)
+        w.cint(m.rrc_ti, 0, 3)
+        w.bit(0)                   # criticalExtensions: r8
+        w.opt(False)
+    elif isinstance(m, MeasurementReport):
+        w.cint(_UL_DCCH_MEAS_REPORT, 0, 15)
+        w.bit(0)                   # criticalExtensions: c1
+        w.cint(0, 0, 7)            # measurementReport-r8(0)
+        w.opt(False)               # nonCriticalExtension
+        _pack_meas_results(w, m)
     elif isinstance(m, UeCapabilityInformation):
         return pack_ue_capability_information(m)
     else:
@@ -398,6 +596,19 @@ def unpack_ul_dcch(bits: np.ndarray):
         ti = r.cint(0, 3)
         r.bit(); r.opt()
         return RrcConnectionReconfigurationComplete(rrc_ti=ti)
+    if alt == _UL_DCCH_REESTAB_COMPLETE:
+        ti = r.cint(0, 3)
+        r.bit(); r.opt()
+        return RrcConnectionReestablishmentComplete(rrc_ti=ti)
+    if alt == _UL_DCCH_SMC_FAILURE:
+        ti = r.cint(0, 3)
+        r.bit(); r.opt()
+        return SecurityModeFailure(rrc_ti=ti)
+    if alt == _UL_DCCH_MEAS_REPORT:
+        if r.bit() != 0 or r.cint(0, 7) != 0:
+            raise ValueError("not r8")
+        r.opt()
+        return _unpack_meas_results(r)
     if alt == _UL_DCCH_UE_CAP_INFO:
         ti = r.cint(0, 3)
         if r.bit() != 0 or r.cint(0, 7) != 0:

@@ -45,6 +45,20 @@ def _imsi_str(imsi: tuple) -> str:
     return "".join(map(str, imsi))
 
 
+def short_mac_i(k_rrc_int: bytes, cell_identity: int, pci: int,
+                c_rnti: int) -> int:
+    """shortMAC-I (36.331 §7.1.1): 16 LSBs of the EIA2 MAC over the
+    UPER-encoded VarShortMAC-Input, with COUNT/BEARER/DIRECTION all ones."""
+    from lteax.stack.uper import UperWriter
+    w = UperWriter()
+    w.bitstring(cell_identity, 28)     # cellIdentity of the target cell
+    w.cint(pci, 0, 503)                # physCellId of the source cell
+    w.bitstring(c_rnti, 16)            # c-RNTI in the source cell
+    msg = bits_to_bytes(w.array())
+    mac = security.eia2(k_rrc_int, 0xFFFFFFFF, 0x1F, 1, msg)
+    return int.from_bytes(mac[2:4], "big")
+
+
 # ---------------------------------------------------------------------------
 # eNB side (RRC + embedded MME-lite)
 # ---------------------------------------------------------------------------
@@ -65,6 +79,7 @@ class _EnbUeProc:
     drb: rd.DrbToAddMod | None = None
     ip: tuple = (10, 0, 0, 2)
     ue_caps: "rd.UeEutraCapability | None" = None
+    resume_state: str = ""
 
 
 class EnbRrc:
@@ -78,11 +93,13 @@ class EnbRrc:
     def __init__(self, hss: Hss, users: UserManager | None = None,
                  mcc=(0, 0, 1), mnc=(0, 1), tac: int = 0x1234,
                  apn: str = "internet", network_name: str = "lteax",
+                 pci: int = 214, cell_identity: int = 0x0000010,
                  seed: int | None = None):
         self.hss = hss
         self.users = users or UserManager()
         self.mcc, self.mnc, self.tac, self.apn = mcc, mnc, tac, apn
         self.network_name = network_name
+        self.pci, self.cell_identity = pci, cell_identity
         self._procs: dict[int, _EnbUeProc] = {}
         self._sqn: dict[str, int] = {}
         self._next_ip = 2
@@ -95,6 +112,8 @@ class EnbRrc:
     # -- CCCH ---------------------------------------------------------------
     def on_ul_ccch(self, rnti: int, raw: bytes) -> list[tuple[str, bytes]]:
         req = rd.unpack_ul_ccch(bytes_to_bits(raw))
+        if isinstance(req, rd.RrcConnectionReestablishmentRequest):
+            return self._on_reestablishment_request(rnti, req)
         self._procs[rnti] = _EnbUeProc(rnti=rnti)
         self.events.append(f"conn-request cause={req.cause}")
         setup = rd.RrcConnectionSetup(
@@ -102,12 +121,56 @@ class EnbRrc:
                 srb_to_add=(rd.SrbToAddMod(1),)))
         return [("ccch", bits_to_bytes(rd.pack_dl_ccch(setup)))]
 
+    def _on_reestablishment_request(
+            self, rnti: int, req: rd.RrcConnectionReestablishmentRequest
+    ) -> list[tuple[str, bytes]]:
+        """36.331 §5.3.7: resume SRB1 for a UE the eNB still has AS context
+        for, authenticated by shortMAC-I; otherwise reject (the reference's
+        ``LTE_fdd_enb_rrc`` rejects unconditionally — context lookup here is
+        the capability superset)."""
+        old = self._procs.get(req.c_rnti)
+        if old is None or not old.k_enb or req.phys_cell_id != self.pci:
+            self.events.append(f"reestab-reject c_rnti={req.c_rnti:#x}")
+            rej = rd.RrcConnectionReestablishmentReject()
+            return [("ccch", bits_to_bytes(rd.pack_dl_ccch(rej)))]
+        _, k_rrc_int, _ = security.generate_as_keys(old.k_enb)
+        expect = short_mac_i(k_rrc_int, self.cell_identity, self.pci,
+                             req.c_rnti)
+        if req.short_mac_i != expect:
+            self.events.append("reestab-reject bad-short-mac")
+            rej = rd.RrcConnectionReestablishmentReject()
+            return [("ccch", bits_to_bytes(rd.pack_dl_ccch(rej)))]
+        if rnti != req.c_rnti:
+            self._procs[rnti] = old
+            del self._procs[req.c_rnti]
+            old.rnti = rnti
+        old.resume_state = old.state
+        old.state = "wait-reestab-complete"
+        self.events.append(f"reestablishment cause={req.cause}")
+        re = rd.RrcConnectionReestablishment(
+            rrc_ti=0, ncc=0, rrcd=rd.RadioResourceConfigDedicated(
+                srb_to_add=(rd.SrbToAddMod(1),)))
+        return [("ccch", bits_to_bytes(rd.pack_dl_ccch(re)))]
+
     # -- DCCH ---------------------------------------------------------------
     def on_ul_dcch(self, rnti: int, raw: bytes) -> list[tuple[str, bytes]]:
         p = self._procs[rnti]
         msg = rd.unpack_ul_dcch(bytes_to_bits(raw))
         if isinstance(msg, rd.RrcConnectionSetupComplete):
             return self._on_setup_complete(p, msg)
+        if isinstance(msg, rd.RrcConnectionReestablishmentComplete):
+            p.state = p.resume_state or "attach-done"
+            self.events.append("reestablishment-complete")
+            return []
+        if isinstance(msg, rd.SecurityModeFailure):
+            self.events.append("as-security-failure")
+            rel = rd.RrcConnectionRelease(rrc_ti=msg.rrc_ti, cause="other")
+            return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rel)))]
+        if isinstance(msg, rd.MeasurementReport):
+            self.events.append(
+                f"meas-report id={msg.meas_id} rsrp={msg.serv_rsrp} "
+                f"neigh={[n.phys_cell_id for n in msg.neigh]}")
+            return []
         if isinstance(msg, rd.UlInformationTransfer):
             return self._on_nas(p, msg.nas)
         if isinstance(msg, rd.SecurityModeComplete):
@@ -323,8 +386,45 @@ class UeRrc:
             identity=("random", int.from_bytes(os.urandom(5), "big")))
         return bits_to_bytes(rd.pack_ul_ccch(req))
 
+    def reestablish(self, c_rnti: int, pci: int = 214,
+                    cell_identity: int = 0x0000010,
+                    cause: str = "otherFailure") -> bytes:
+        """Reestablishment request after e.g. radio link failure
+        (36.331 §5.3.7); requires activated AS security (k_enb)."""
+        assert self.k_enb, "AS security not activated"
+        _, k_rrc_int, _ = security.generate_as_keys(self.k_enb)
+        req = rd.RrcConnectionReestablishmentRequest(
+            c_rnti=c_rnti, phys_cell_id=pci,
+            short_mac_i=short_mac_i(k_rrc_int, cell_identity, pci, c_rnti),
+            cause=cause)
+        self.state = "wait-reestablishment"
+        return bits_to_bytes(rd.pack_ul_ccch(req))
+
+    def measurement_report(self, meas_id: int, serv_rsrp: int,
+                           serv_rsrq: int,
+                           neigh: tuple[rd.MeasResultEutra, ...] = ()
+                           ) -> list[tuple[str, bytes]]:
+        rep = rd.MeasurementReport(meas_id=meas_id, serv_rsrp=serv_rsrp,
+                                   serv_rsrq=serv_rsrq, neigh=neigh)
+        return [("dcch", bits_to_bytes(rd.pack_ul_dcch(rep)))]
+
     def on_dl_ccch(self, raw: bytes) -> list[tuple[str, bytes]]:
         setup = rd.unpack_dl_ccch(bytes_to_bits(raw))
+        if isinstance(setup, rd.RrcConnectionReestablishment):
+            assert self.state == "wait-reestablishment", self.state
+            self.state = "connected"
+            self.events.append(f"reestablished ncc={setup.ncc}")
+            done = rd.RrcConnectionReestablishmentComplete(
+                rrc_ti=setup.rrc_ti)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
+        if isinstance(setup, rd.RrcConnectionReestablishmentReject):
+            self.state = "idle"
+            self.events.append("reestablishment-rejected")
+            return []
+        if isinstance(setup, rd.RrcConnectionReject):
+            self.state = "idle"
+            self.events.append(f"rejected wait={setup.wait_time}s")
+            return []
         assert self.state == "wait-setup", self.state
         self.state = "wait-auth"
         self.events.append(

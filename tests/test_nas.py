@@ -101,3 +101,76 @@ def test_detach_tau_service_emm_info():
     assert nas.unpack_emm_information(nas.pack_emm_information(ei)) == ei
     # service request is distinguishable from plain EMM
     assert nas.unpack_detach_request(nas.pack_service_request(sr)) is None
+
+
+def test_identity_and_auth_failure_roundtrips():
+    req = nas.IdentityRequest(id_type=nas.ID_TYPE_IMSI)
+    assert nas.unpack_identity_request(nas.pack_identity_request(req)) == req
+    imsi = (0, 0, 1, 0, 1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0)
+    resp = nas.IdentityResponse(id_type=nas.ID_TYPE_IMSI, digits=imsi)
+    back = nas.unpack_identity_response(nas.pack_identity_response(resp))
+    assert back.digits == imsi and back.id_type == nas.ID_TYPE_IMSI
+    # even-digit identity (TMSI-style 8 digits)
+    resp8 = nas.IdentityResponse(id_type=nas.ID_TYPE_IMEI,
+                                 digits=tuple(range(8)))
+    assert nas.unpack_identity_response(
+        nas.pack_identity_response(resp8)).digits == tuple(range(8))
+    af = nas.AuthFailure(cause=nas.EMM_CAUSE_SYNCH_FAILURE,
+                         auts=bytes(range(14)))
+    got = nas.unpack_auth_failure(nas.pack_auth_failure(af))
+    assert got == af
+    plain = nas.AuthFailure(cause=nas.EMM_CAUSE_MAC_FAILURE)
+    assert nas.unpack_auth_failure(nas.pack_auth_failure(plain)) == plain
+    assert nas.unpack_auth_reject(nas.pack_auth_reject())
+
+
+def test_reject_and_status_messages():
+    cause, esm = nas.EMM_CAUSE_PLMN_NOT_ALLOWED, b"\x02\x01\xd1\x1b"
+    got = nas.unpack_attach_reject(nas.pack_attach_reject(cause, esm))
+    assert got == (cause, esm)
+    assert nas.unpack_attach_reject(nas.pack_attach_reject(cause)) == \
+        (cause, b"")
+    assert nas.unpack_service_reject(
+        nas.pack_service_reject(nas.EMM_CAUSE_CONGESTION)) == \
+        nas.EMM_CAUSE_CONGESTION
+    assert nas.unpack_tau_reject(
+        nas.pack_tau_reject(nas.EMM_CAUSE_TA_NOT_ALLOWED)) == \
+        nas.EMM_CAUSE_TA_NOT_ALLOWED
+    assert nas.unpack_tau_complete(nas.pack_tau_complete())
+    assert nas.unpack_emm_status(
+        nas.pack_emm_status(nas.EMM_CAUSE_PROTOCOL_ERROR)) == \
+        nas.EMM_CAUSE_PROTOCOL_ERROR
+
+
+def test_guti_reallocation_roundtrip():
+    g = nas.Guti(mcc=(3, 1, 0), mnc=(4, 1, 0), mme_group_id=0x8001,
+                 mme_code=0x42, m_tmsi=0xC0FFEE01)
+    back = nas.unpack_guti_realloc_command(nas.pack_guti_realloc_command(g))
+    assert back == g
+    g2 = nas.Guti(mnc=(0, 1))                    # 2-digit MNC
+    assert nas.unpack_guti_realloc_command(
+        nas.pack_guti_realloc_command(g2)) == g2
+    assert nas.unpack_guti_realloc_complete(nas.pack_guti_realloc_complete())
+
+
+def test_esm_information_and_deactivation():
+    assert nas.unpack_esm_information_request(
+        nas.pack_esm_information_request(pti=9)) == 9
+    pti, apn = nas.unpack_esm_information_response(
+        nas.pack_esm_information_response(9, apn="internet.mnc001.example"))
+    assert (pti, apn) == (9, "internet.mnc001.example")
+    assert nas.unpack_esm_information_response(
+        nas.pack_esm_information_response(3)) == (3, "")
+    assert nas.unpack_pdn_connectivity_reject(
+        nas.pack_pdn_connectivity_reject(5, nas.ESM_CAUSE_UNKNOWN_APN)) == \
+        (5, nas.ESM_CAUSE_UNKNOWN_APN)
+    assert nas.unpack_deactivate_bearer_request(
+        nas.pack_deactivate_bearer_request(5, 2)) == \
+        (5, 2, nas.ESM_CAUSE_REGULAR_DEACTIVATION)
+    assert nas.unpack_deactivate_bearer_accept(
+        nas.pack_deactivate_bearer_accept(5)) == 5
+    assert nas.unpack_pdn_disconnect_request(
+        nas.pack_pdn_disconnect_request(7, 5)) == (7, 5)
+    assert nas.unpack_esm_status(
+        nas.pack_esm_status(5, 7, nas.ESM_CAUSE_PROTOCOL_ERROR)) == \
+        (5, 7, nas.ESM_CAUSE_PROTOCOL_ERROR)

@@ -90,7 +90,58 @@ def test_byte_framing_roundtrip():
     assert rd.unpack_dl_ccch(rd.bytes_to_bits(raw)) == m
 
 
-def test_wrong_channel_rejected():
-    m = rd.SecurityModeCommand()
+def test_unsupported_alternative_rejected():
+    # craft a c1 CHOICE with an alternative neither channel implements
+    bits = np.zeros(16, dtype=np.int32)
+    bits[1:5] = (1, 1, 1, 1)       # c1 alternative 15
     with pytest.raises(ValueError):
-        rd.unpack_ul_dcch(rd.pack_dl_dcch(m))
+        rd.unpack_ul_dcch(bits)
+    with pytest.raises(ValueError):
+        rd.unpack_dl_dcch(bits)
+    ext = np.ones(16, dtype=np.int32)   # messageClassExtension flag set
+    with pytest.raises(ValueError):
+        rd.unpack_ul_dcch(ext)
+
+
+def test_connection_reject_roundtrip():
+    m = rd.RrcConnectionReject(wait_time=16)
+    out = rd.unpack_dl_ccch(rd.pack_dl_ccch(m))
+    assert out == m
+
+
+def test_reestablishment_flow_roundtrip():
+    req = rd.RrcConnectionReestablishmentRequest(
+        c_rnti=0xBEEF, phys_cell_id=503, short_mac_i=0x1234,
+        cause="handoverFailure")
+    assert rd.unpack_ul_ccch(rd.pack_ul_ccch(req)) == req
+    # requests and connection requests share the UL-CCCH channel
+    plain = rd.RrcConnectionRequest()
+    assert isinstance(rd.unpack_ul_ccch(rd.pack_ul_ccch(plain)),
+                      rd.RrcConnectionRequest)
+    re = rd.RrcConnectionReestablishment(rrc_ti=3, ncc=5)
+    out = rd.unpack_dl_ccch(rd.pack_dl_ccch(re))
+    assert out == re and out.ncc == 5
+    rej = rd.RrcConnectionReestablishmentReject()
+    assert rd.unpack_dl_ccch(rd.pack_dl_ccch(rej)) == rej
+    done = rd.RrcConnectionReestablishmentComplete(rrc_ti=3)
+    assert rd.unpack_ul_dcch(rd.pack_ul_dcch(done)) == done
+
+
+def test_security_mode_failure_roundtrip():
+    m = rd.SecurityModeFailure(rrc_ti=2)
+    assert rd.unpack_ul_dcch(rd.pack_ul_dcch(m)) == m
+
+
+def test_measurement_report_roundtrip():
+    serv_only = rd.MeasurementReport(meas_id=7, serv_rsrp=60, serv_rsrq=20)
+    assert rd.unpack_ul_dcch(rd.pack_ul_dcch(serv_only)) == serv_only
+    with_neigh = rd.MeasurementReport(
+        meas_id=32, serv_rsrp=97, serv_rsrq=34,
+        neigh=(rd.MeasResultEutra(phys_cell_id=214, rsrp=45, rsrq=10),
+               rd.MeasResultEutra(phys_cell_id=0, rsrp=12, rsrq=None),
+               rd.MeasResultEutra(phys_cell_id=101, rsrp=None, rsrq=None)))
+    out = rd.unpack_ul_dcch(rd.pack_ul_dcch(with_neigh))
+    assert out == with_neigh
+    # byte framing survives too
+    raw = rd.bits_to_bytes(rd.pack_ul_dcch(with_neigh))
+    assert rd.unpack_ul_dcch(rd.bytes_to_bits(raw)) == with_neigh

@@ -112,3 +112,69 @@ def test_two_ues_get_distinct_ips():
     _pump(enb, ue2, 0x3E)
     assert ue1.ip == (10, 0, 0, 2) and ue2.ip == (10, 0, 0, 3)
     assert ue1.k_enb != ue2.k_enb
+
+
+def test_reestablishment_after_attach():
+    """RLF recovery: attach, then reestablish on a new C-RNTI with a valid
+    shortMAC-I; the eNB moves the UE context and resumes the session."""
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=7)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    assert ue.state == "connected"
+
+    new_rnti = RNTI + 1
+    queue = enb.on_ul_ccch(new_rnti, ue.reestablish(c_rnti=RNTI,
+                                                    cause="otherFailure"))
+    while queue:
+        chan, raw = queue.pop(0)
+        replies = (ue.on_dl_ccch(raw) if chan == "ccch"
+                   else ue.on_dl_dcch(raw))
+        for _, up in replies:
+            queue.extend(enb.on_ul_dcch(new_rnti, up))
+    assert ue.state == "connected"
+    assert any(e.startswith("reestablished") for e in ue.events)
+    assert "reestablishment-complete" in enb.events
+    # context moved to the new C-RNTI and resumed its pre-failure state
+    assert enb.proc(RNTI) is None
+    p = enb.proc(new_rnti)
+    assert p is not None and p.state == "attach-done"
+
+
+def test_reestablishment_rejected_without_context():
+    """A reestablishment request for an unknown C-RNTI (or wrong shortMAC-I)
+    gets RRCConnectionReestablishmentReject — the reference eNB's behavior."""
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=7)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+
+    # unknown C-RNTI
+    out = enb.on_ul_ccch(0x99, ue.reestablish(c_rnti=0x77))
+    assert len(out) == 1 and out[0][0] == "ccch"
+    ue.state = "wait-reestablishment"
+    ue.on_dl_ccch(out[0][1])
+    assert ue.state == "idle"
+    assert "reestablishment-rejected" in ue.events
+
+    # known C-RNTI but corrupted shortMAC-I
+    ue2 = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    ue2.k_enb = bytes(32)          # wrong key -> wrong shortMAC-I
+    out = enb.on_ul_ccch(0x9A, ue2.reestablish(c_rnti=RNTI))
+    ue2.state = "wait-reestablishment"
+    ue2.on_dl_ccch(out[0][1])
+    assert ue2.state == "idle"
+    assert any("bad-short-mac" in e for e in enb.events)
+    # the original context survives a failed hijack attempt
+    assert enb.proc(RNTI) is not None
+
+
+def test_measurement_report_and_smc_failure_events():
+    from lteax.stack import rrc_dedicated as rd
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=3)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    (_, raw), = ue.measurement_report(
+        meas_id=2, serv_rsrp=70, serv_rsrq=25,
+        neigh=(rd.MeasResultEutra(phys_cell_id=3, rsrp=40),))
+    assert enb.on_ul_dcch(RNTI, raw) == []
+    assert any(e.startswith("meas-report id=2") and "neigh=[3]" in e
+               for e in enb.events)
