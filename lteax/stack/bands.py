@@ -22,23 +22,37 @@ class Band:
     n_ul_max: int
 
 
-# FDD bands (subset used by the reference's scanner band list)
+# All Rel-11 FDD bands (36.101 Table 5.7.3-1; the reference's
+# liblte_interface carries the same generation of the table)
 BANDS: tuple[Band, ...] = (
     Band(1, 2110.0, 0, 599, 1920.0, 18000, 18599),
     Band(2, 1930.0, 600, 1199, 1850.0, 18600, 19199),
     Band(3, 1805.0, 1200, 1949, 1710.0, 19200, 19949),
     Band(4, 2110.0, 1950, 2399, 1710.0, 19950, 20399),
     Band(5, 869.0, 2400, 2649, 824.0, 20400, 20649),
+    Band(6, 875.0, 2650, 2749, 830.0, 20650, 20749),
     Band(7, 2620.0, 2750, 3449, 2500.0, 20750, 21449),
     Band(8, 925.0, 3450, 3799, 880.0, 21450, 21799),
+    Band(9, 1844.9, 3800, 4149, 1749.9, 21800, 22149),
+    Band(10, 2110.0, 4150, 4749, 1710.0, 22150, 22749),
+    Band(11, 1475.9, 4750, 4949, 1427.9, 22750, 22949),
     Band(12, 729.0, 5010, 5179, 699.0, 23010, 23179),
     Band(13, 746.0, 5180, 5279, 777.0, 23180, 23279),
     Band(14, 758.0, 5280, 5379, 788.0, 23280, 23379),
     Band(17, 734.0, 5730, 5849, 704.0, 23730, 23849),
-    Band(20, 791.0, 6150, 6449, 832.0, 26150, 26449),
+    Band(18, 860.0, 5850, 5999, 815.0, 23850, 23999),
+    Band(19, 875.0, 6000, 6149, 830.0, 24000, 24149),
+    Band(20, 791.0, 6150, 6449, 832.0, 24150, 24449),
+    Band(21, 1495.9, 6450, 6599, 1447.9, 24450, 24599),
+    Band(22, 3510.0, 6600, 7399, 3410.0, 24600, 25399),
+    Band(23, 2180.0, 7500, 7699, 2000.0, 25500, 25699),
+    Band(24, 1525.0, 7700, 8039, 1626.5, 25700, 26039),
     Band(25, 1930.0, 8040, 8689, 1850.0, 26040, 26689),
     Band(26, 859.0, 8690, 9039, 814.0, 26690, 27039),
+    Band(27, 852.0, 9040, 9209, 807.0, 27040, 27209),
     Band(28, 758.0, 9210, 9659, 703.0, 27210, 27659),
+    Band(30, 2350.0, 9770, 9869, 2305.0, 27660, 27759),
+    Band(31, 462.5, 9870, 9919, 452.5, 27760, 27809),
 )
 
 _BY_BAND = {b.band: b for b in BANDS}

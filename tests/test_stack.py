@@ -235,3 +235,22 @@ def test_sib12_sib13_uper_roundtrips():
     w.bit(0); w.cint(1, 0, 9)
     pack_sib3_body(w, rrc.Sib3())
     assert rrc.unpack_si_list(w.array()) == [("sib3", rrc.Sib3())]
+
+
+def test_bands_full_fdd_table():
+    # contiguity/consistency across the whole table
+    for b in bands.BANDS:
+        n_ch = b.n_dl_max - b.n_offs_dl
+        assert b.n_ul_max - b.n_offs_ul == n_ch, b.band
+        # UL/DL duplex spacing is constant across the band
+        lo = bands.dl_earfcn_to_freq_mhz(b.n_offs_dl)
+        assert abs(lo - b.f_dl_low) < 1e-9
+    # spot checks against 36.101 Table 5.7.3-1
+    assert bands.dl_earfcn_to_freq_mhz(6300) == 806.0            # band 20
+    assert bands.ul_earfcn_for_dl(6300) == 24300
+    assert bands.band_of_dl_earfcn(9820) == 30
+    assert bands.dl_earfcn_to_freq_mhz(4000) == 1864.9           # band 9
+    assert bands.dl_earfcn_to_freq_mhz(9900) == 465.5            # band 31
+    # band 24 is the one FDD band with UL above DL (L-band)
+    b24 = [b for b in bands.BANDS if b.band == 24][0]
+    assert b24.f_ul_low > b24.f_dl_low
