@@ -214,6 +214,52 @@ def pucch_format2_decode(rx: np.ndarray, n_cell_id: int, subframe: int,
 
 
 # ---------------------------------------------------------------------------
+# Formats 2a/2b (36.211 §5.4.2 Table 5.4.2-1): CQI as in format 2 plus 1-2
+# HARQ-ACK bits modulating the SECOND RS symbol of each slot (symbol 5,
+# normal CP).
+# ---------------------------------------------------------------------------
+
+# d(10) constellations: (ack bits) -> symbol  [U exact 2b mapping]
+_D10_2A = ((1.0 + 0j, (0,)), (-1.0 + 0j, (1,)))
+_D10_2B = ((1.0 + 0j, (0, 0)), (-1j, (0, 1)), (1j, (1, 0)), (-1.0 + 0j, (1, 1)))
+
+
+def pucch_format2ab_encode(cqi_bits: np.ndarray, ack_bits: tuple[int, ...],
+                           n_cell_id: int, subframe: int, rnti: int,
+                           alpha_idx: int = 0) -> np.ndarray:
+    """Format 2a (1 ACK bit) / 2b (2 ACK bits): format-2 grid with the
+    second RS symbol in each slot rotated by d(10)."""
+    table = _D10_2A if len(ack_bits) == 1 else _D10_2B
+    d10 = next(d for d, b in table if b == tuple(ack_bits))
+    out = pucch_format2_encode(cqi_bits, n_cell_id, subframe, rnti,
+                               alpha_idx).copy()
+    out[:, 5] *= d10
+    return out
+
+
+def pucch_format2ab_decode(rx: np.ndarray, n_cell_id: int, subframe: int,
+                           rnti: int, a: int, n_ack: int,
+                           alpha_idx: int = 0):
+    """-> (cqi bits, ack bits, metric).  ACK is sliced from the second RS
+    symbol against the first-RS channel estimate; the CQI decode then reuses
+    both RS symbols with the ACK rotation removed."""
+    acc = 0.0 + 0j
+    for slot in range(2):
+        ns = 2 * subframe + slot
+        r = _r_alpha(n_cell_id, ns, alpha_idx)
+        h1 = np.sum(rx[slot, 1] * np.conj(r)) / 12
+        z5 = np.sum(rx[slot, 5] * np.conj(r)) / 12
+        acc += z5 * np.conj(h1)
+    table = _D10_2A if n_ack == 1 else _D10_2B
+    d10, ack = max(table, key=lambda e: float(np.real(acc * np.conj(e[0]))))
+    fixed = np.asarray(rx).copy()
+    fixed[:, 5] = fixed[:, 5] * np.conj(d10)
+    cqi, metric = pucch_format2_decode(fixed, n_cell_id, subframe, rnti, a,
+                                       alpha_idx)
+    return cqi, ack, metric
+
+
+# ---------------------------------------------------------------------------
 # Grid mapping (36.211 §5.4.3): PUCCH region at the band edges with slot
 # hopping — resource m occupies PRB m//2 at one edge in one slot and the
 # mirrored PRB in the other.

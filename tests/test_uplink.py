@@ -229,3 +229,27 @@ def test_srs_generation_and_detection():
     # comb separation: k_tc=1 sees nothing from k_tc=0 sounders
     p1, _ = srs.srs_detect(jnp.asarray(grid), n_rb, u, m_srs, k_tc=1)
     assert float(np.max(np.asarray(p1))) < 0.2
+
+
+def test_pucch_format2ab():
+    """Formats 2a/2b: CQI + 1-2 HARQ-ACK bits on the second RS symbol."""
+    rng = np.random.default_rng(9)
+    cid, sf, rnti, a = 150, 4, 0x52, 6
+    for ack in ((0,), (1,), (0, 0), (0, 1), (1, 0), (1, 1)):
+        bits = rng.integers(0, 2, size=a).astype(np.int32)
+        g = pucch.pucch_format2ab_encode(bits, ack, cid, sf, rnti,
+                                         alpha_idx=3)
+        rx = g * np.complex64(0.9 * np.exp(1j * 0.7)) \
+            + 0.05 * (rng.standard_normal(g.shape)
+                      + 1j * rng.standard_normal(g.shape))
+        cqi, got_ack, _ = pucch.pucch_format2ab_decode(
+            rx.astype(np.complex64), cid, sf, rnti, a, n_ack=len(ack),
+            alpha_idx=3)
+        assert got_ack == ack
+        np.testing.assert_array_equal(cqi, bits)
+    # plain format 2 stays decodable by the 2a/2b receiver with ack=(0,)
+    bits = rng.integers(0, 2, size=a).astype(np.int32)
+    g = pucch.pucch_format2_encode(bits, cid, sf, rnti)
+    cqi, got_ack, _ = pucch.pucch_format2ab_decode(g, cid, sf, rnti, a, 1)
+    assert got_ack == (0,)
+    np.testing.assert_array_equal(cqi, bits)
