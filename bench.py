@@ -123,19 +123,20 @@ def main():
           file=sys.stderr)
 
     if __import__("os").environ.get("LTEAX_BENCH_PIPELINED", "1") == "1":
-        # sustained mode: keep 2 batches in flight so host dispatch overlaps
+        # sustained mode: keep N batches in flight so host dispatch overlaps
         # device execution (how the streaming apps drive the chip); report
         # the better of sustained and per-batch — same work, same barrier
+        depth = int(__import__("os").environ.get("LTEAX_BENCH_DEPTH", "2"))
         inflight = []
         t0 = time.perf_counter()
         for _ in range(reps):
             inflight.append(dec(xd))
-            if len(inflight) > 2:
+            if len(inflight) > depth:
                 np.asarray(inflight.pop(0)[1])
         for r in inflight:
             np.asarray(r[1])
         t_sus = (time.perf_counter() - t0) / reps
-        print(f"sustained (2 in flight): {t_sus*1e3:.2f} ms/batch",
+        print(f"sustained ({depth} in flight): {t_sus*1e3:.2f} ms/batch",
               file=sys.stderr)
         t = min(t, t_sus)
     mbps = b * tbs / t / 1e6

@@ -177,6 +177,19 @@ class EnbSim:
         self.sched.enqueue(rnti, ue.drb_tx.send(ue.drb_pdcp.encode(sdu)),
                            lcid=DRB_LCID)
 
+    def _apply_harq_ack(self, rnti: int, bit: int) -> None:
+        """HARQ-ACK bit 1 = ACK (drop the copy), 0 = NACK (requeue SDUs)."""
+        if bit == 1:
+            self._last_dl.pop(rnti, None)
+        else:
+            payload = self._last_dl.pop(rnti, None)
+            if payload is not None:
+                subs = [s for s in mac_pdu.unpack_mac_pdu(payload)
+                        if s.lcid in (SRB_LCID, DRB_LCID)]
+                for s_ in reversed(subs):
+                    self.sched.ues[rnti].queue.appendleft(
+                        (s_.lcid, s_.payload))
+
     def handle_pusch(self, rnti: int, ul_grid: np.ndarray, sf: int) -> None:
         """Process one UE UL subframe: PUCCH (ACK/NACK + SR) and, when
         present, the PUSCH data region -> DRB UL SDUs.
@@ -197,26 +210,25 @@ class EnbSim:
             (bit,), met = pucch.pucch_format1_decode(
                 res1, self.gc.n_cell_id, sf, oc_idx=PUCCH_OC_ACK, n_bits=1)
             if met > PUCCH_F1_DETECT:      # HARQ ACK/NACK present
-                if bit == 1:               # HARQ-ACK bit 1 = ACK
-                    self._last_dl.pop(rnti, None)
-                else:                      # NACK: requeue the MAC SDUs
-                    payload = self._last_dl.pop(rnti, None)
-                    if payload is not None:
-                        subs = [s for s in mac_pdu.unpack_mac_pdu(payload)
-                                if s.lcid in (SRB_LCID, DRB_LCID)]
-                        for s_ in reversed(subs):
-                            self.sched.ues[rnti].queue.appendleft(
-                                (s_.lcid, s_.payload))
+                self._apply_harq_ack(rnti, bit)
             # scheduling request -> UL grant (DCI 0) on the next DL TTI
             _, sr_met = pucch.pucch_format1_decode(
                 res1, self.gc.n_cell_id, sf, oc_idx=PUCCH_OC_SR, n_bits=0)
             if sr_met > PUCCH_F1_DETECT:
                 self._sr_pending.add(rnti)
-            # periodic wideband CQI (format 2, 4 bits) -> link adaptation
+            # periodic wideband CQI -> link adaptation.  When the eNB is
+            # awaiting a HARQ ACK in this TTI the UE multiplexes it on
+            # format 2a (36.213 §10.1 simultaneous ACK/NACK and CQI);
+            # otherwise plain format 2.
             if pucch.pucch_present(ul_grid, PUCCH_M_CQI, n_rb):
                 res = pucch.pucch_extract(ul_grid, PUCCH_M_CQI, n_rb)
-                bits, _ = pucch.pucch_format2_decode(
-                    res, self.gc.n_cell_id, sf, rnti, a=4)
+                if rnti in self._last_dl:
+                    bits, (ack_bit,), _ = pucch.pucch_format2ab_decode(
+                        res, self.gc.n_cell_id, sf, rnti, a=4, n_ack=1)
+                    self._apply_harq_ack(rnti, ack_bit)
+                else:
+                    bits, _ = pucch.pucch_format2_decode(
+                        res, self.gc.n_cell_id, sf, rnti, a=4)
                 cqi = int(sum(int(b) << i for i, b in enumerate(bits)))
                 if 1 <= cqi <= 15:
                     self.sched.update_cqi(rnti, cqi)
@@ -442,7 +454,7 @@ class UeSim:
                 or (want_data and self.granted)):
             return None
         full = np.zeros((14, n_rb * 12), np.complex64)
-        if want_ack:
+        if want_ack and not want_cqi:
             syms = pucch.pucch_format1_encode((self.pending_ack,),
                                               self.gc.n_cell_id, sf,
                                               oc_idx=PUCCH_OC_ACK)
@@ -450,9 +462,18 @@ class UeSim:
             self.pending_ack = None
         if want_cqi:
             bits = [(self.meas_cqi >> i) & 1 for i in range(4)]
-            syms = pucch.pucch_format2_encode(np.asarray(bits),
-                                              self.gc.n_cell_id, sf,
-                                              self.rnti)
+            if want_ack:
+                # ACK/NACK collides with the periodic CQI: multiplex both
+                # on format 2a (36.213 §10.1) instead of a separate
+                # format-1 transmission
+                syms = pucch.pucch_format2ab_encode(
+                    np.asarray(bits), (self.pending_ack,),
+                    self.gc.n_cell_id, sf, self.rnti)
+                self.pending_ack = None
+            else:
+                syms = pucch.pucch_format2_encode(np.asarray(bits),
+                                                  self.gc.n_cell_id, sf,
+                                                  self.rnti)
             full = pucch.pucch_map_format1(full, syms, PUCCH_M_CQI, n_rb)
             self._cqi_due = False
         if want_sr:

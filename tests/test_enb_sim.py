@@ -255,3 +255,56 @@ def test_pucch_sr_grant_and_harq_ack_loop():
     g_ul = ue.ul_tti_grid(8)
     enb.handle_pusch(0x100, g_ul, 8)
     assert 0x100 not in enb._last_dl       # ACK cleared the retx buffer
+
+
+def test_simultaneous_ack_and_cqi_on_format_2a():
+    """When a HARQ ACK collides with the periodic CQI report, the UE
+    multiplexes both on PUCCH format 2a and the eNB (which knows it is
+    awaiting an ACK) recovers the ACK and the CQI from one resource."""
+    from lteax.stack.mac_sched import CQI_TO_MCS
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    enb = EnbSim(gc)
+    enb.add_ue(0x100, K1, cqi_mcs=9)
+    ue = UeSim(gc, 0x100, K1, cqi_period=1)
+
+    # prime a DL transmission awaiting ACK and a CQI measurement
+    enb.send_data(0x100, b"payload-awaiting-ack")
+    grid = enb.tti_grid(0, 1)
+    ue.handle_grid(grid, 1)
+    assert ue.pending_ack == 1 and ue.meas_cqi == 15
+    assert 0x100 in enb._last_dl
+
+    g_ul = ue.ul_tti_grid(2)
+    assert g_ul is not None
+    # the format-1 ACK resource must be empty (everything rode format 2a)
+    from lteax.phy.channels import pucch as pucch_mod
+    from lteax.apps.enb_sim import PUCCH_M_F1
+    assert not pucch_mod.pucch_present(np.asarray(g_ul), PUCCH_M_F1, 6)
+
+    enb.handle_pusch(0x100, g_ul, 2)
+    # ACK consumed the pending copy; CQI reached the scheduler
+    assert 0x100 not in enb._last_dl
+    assert enb.sched.ues[0x100].cqi_mcs == CQI_TO_MCS[15]
+
+
+def test_nack_on_format_2a_requeues():
+    """NACK multiplexed on format 2a still triggers MAC retransmission."""
+    gc = GenConfig(n_rb_dl=6, n_cell_id=77)
+    enb = EnbSim(gc)
+    enb.add_ue(0x100, K1, cqi_mcs=9)
+    ue = UeSim(gc, 0x100, K1, cqi_period=1)
+    rng = np.random.default_rng(3)
+
+    enb.send_data(0x100, b"will-be-corrupted")
+    grid = np.asarray(enb.tti_grid(0, 1)).astype(np.complex64)
+    noisy = grid + 0.5 * (rng.normal(size=grid.shape)
+                          + 1j * rng.normal(size=grid.shape)).astype(
+                              np.complex64)
+    ue.handle_grid(noisy, 1)
+    if ue.pending_ack != 0:       # ensure the decode really failed
+        ue.pending_ack = 0
+    before = len(enb.sched.ues[0x100].queue)
+    g_ul = ue.ul_tti_grid(2)
+    enb.handle_pusch(0x100, g_ul, 2)
+    assert 0x100 not in enb._last_dl
+    assert len(enb.sched.ues[0x100].queue) > before   # SDUs requeued
