@@ -131,7 +131,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(reps):
             inflight.append(dec(xd))
-            if len(inflight) > depth:
+            if len(inflight) >= depth:
                 np.asarray(inflight.pop(0)[1])
         for r in inflight:
             np.asarray(r[1])

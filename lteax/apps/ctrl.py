@@ -111,3 +111,69 @@ class CtrlServer:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=2)
+
+
+class DebugStreamServer:
+    """Debug message stream: pushes JSON-lines events to every connected
+    client.
+
+    (reference capability: ``LTE_fdd_enb_interface`` debug TCP port 20001
+    with type/level masks — SURVEY.md §5.  The masks live on the
+    ``EventLog`` and are toggled over the CTRL socket via
+    ``lteax.utils.metrics.ctrl_debug_verbs`` (``debug_level`` /
+    ``debug_types`` verbs); this server is the transport.)"""
+
+    def __init__(self, events=None, host: str = "127.0.0.1", port: int = 0):
+        from lteax.utils.metrics import EVENTS
+        self.events = events or EVENTS
+        self._srv = socket.create_server((host, port))
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._conns: list[socket.socket] = []
+        self._lock = threading.Lock()
+        self.events.subscribe(self._push)
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _push(self, line: str) -> None:
+        with self._lock:
+            conns = list(self._conns)
+        dead = []
+        for c in conns:
+            try:
+                c.sendall(line.encode() + b"\n")
+            except OSError:
+                dead.append(c)
+        if dead:
+            with self._lock:
+                for c in dead:
+                    if c in self._conns:
+                        self._conns.remove(c)
+                    try:
+                        c.close()
+                    except OSError:
+                        pass
+
+    def _serve(self):
+        self._srv.settimeout(0.2)
+        try:
+            while not self._stop.is_set():
+                try:
+                    c, _ = self._srv.accept()
+                except socket.timeout:
+                    continue
+                with self._lock:
+                    self._conns.append(c)
+        finally:
+            with self._lock:
+                for c in self._conns:
+                    try:
+                        c.close()
+                    except OSError:
+                        pass
+            self._srv.close()
+
+    def stop(self):
+        self.events.unsubscribe(self._push)
+        self._stop.set()
+        self._thread.join(timeout=2)

@@ -53,6 +53,8 @@ PUCCH_OC_ACK = 0
 PUCCH_OC_SR = 1
 PUCCH_M_CQI = 1
 PUCCH_F1_DETECT = 12.0     # despread-metric presence threshold (~96 at |h|=1)
+PUCCH_F2_ACK_DETECT = 0.5  # format-2a RS |acc| gate (~2.0 at |h|=1); below
+                           # this the ACK slice is noise -> treat as DTX
 
 
 def cqi_from_snr_db(snr_db: float) -> int:
@@ -223,9 +225,14 @@ class EnbSim:
             if pucch.pucch_present(ul_grid, PUCCH_M_CQI, n_rb):
                 res = pucch.pucch_extract(ul_grid, PUCCH_M_CQI, n_rb)
                 if rnti in self._last_dl:
-                    bits, (ack_bit,), _ = pucch.pucch_format2ab_decode(
-                        res, self.gc.n_cell_id, sf, rnti, a=4, n_ack=1)
-                    self._apply_harq_ack(rnti, ack_bit)
+                    bits, (ack_bit,), _, ack_met = \
+                        pucch.pucch_format2ab_decode(
+                            res, self.gc.n_cell_id, sf, rnti, a=4, n_ack=1)
+                    # weak RS correlation = the UE missed the DL assignment
+                    # and sent plain format 2 (DTX) — don't let a
+                    # noise-driven slice ACK away a needed retransmission
+                    if ack_met > PUCCH_F2_ACK_DETECT:
+                        self._apply_harq_ack(rnti, ack_bit)
                 else:
                     bits, _ = pucch.pucch_format2_decode(
                         res, self.gc.n_cell_id, sf, rnti, a=4)
@@ -300,14 +307,35 @@ class EnbSim:
 
         if sf in (0, 5, 9):            # PBCH/sync/SI/paging subframes: no data
             return grid.reshape(cfg.n_sym_subframe, cfg.n_sc)
-        grants = [g for g in self.sched.schedule(sfn, sf) if g.kind == "data"]
-        # one DCI 1A per grant at aggregation 4 in the common search space;
-        # small cells fit fewer L=4 candidates than grants — defer the rest
-        # (round-robin serves them next TTI)
+        grants_all = [g for g in self.sched.schedule(sfn, sf)
+                      if g.kind == "data"]
+        # C-RNTI DCIs go in the UE-specific search space (36.213 §9.1.1):
+        # per grant, the first Y_k-hashed candidate whose CCEs are free
+        # (L=4 preferred, then any L); grants with no free candidate are
+        # deferred (round-robin serves them next TTI)
         n_cces = pdcch_mod.n_cce(cfg, cid, gc.ctrl_syms, gc.phich_resource)
-        max_dcis = max(1, n_cces // 4) if n_cces >= 4 else 0
-        deferred = grants[max_dcis:]
-        grants = grants[:max_dcis]
+        cce_used = np.zeros(n_cces, dtype=bool)
+
+        def alloc_ue_cand(rnti: int) -> tuple[int, int] | None:
+            cands = pdcch_mod.ue_search_candidates(n_cces, rnti, sf)
+            for want_l4 in (True, False):
+                for start, l_agg in cands:
+                    if (l_agg == 4) != want_l4:
+                        continue
+                    if not cce_used[start:start + l_agg].any():
+                        cce_used[start:start + l_agg] = True
+                        return start, l_agg
+            return None
+
+        grants, deferred = [], []
+        placements: list[tuple[int, int]] = []
+        for g in grants_all:
+            c = alloc_ue_cand(g.rnti)
+            if c is None:
+                deferred.append(g)
+            else:
+                grants.append(g)
+                placements.append(c)
         for g in deferred:                    # requeue the original SDUs
             subs = [s for s in mac_pdu.unpack_mac_pdu(g.payload)
                     if s.lcid in (SRB_LCID, DRB_LCID)]
@@ -320,19 +348,22 @@ class EnbSim:
                 self.pcap.write(g.payload, rnti=g.rnti,
                                 subframe=10 * (sfn % 1024) + sf)
         dcis = []
-        for i, g in enumerate(grants):
+        for g, (cce_start, l_agg) in zip(grants, placements):
             bits = dci_1a_pack(Dci1A(rb_start=g.rb_start, l_crb=g.n_prb,
                                      mcs=g.mcs, rv=0, tpc=1), cfg.n_rb_dl)
-            dcis.append((bits, g.rnti, 4 * i, 4))
+            dcis.append((bits, g.rnti, cce_start, l_agg))
             self._last_dl[g.rnti] = g.payload
-        # answer pending SRs with UL grants (DCI 0) in leftover CCEs
-        if self._sr_pending and len(dcis) < max_dcis:
+        # answer pending SRs with UL grants (DCI 0), also UE-specific space
+        if self._sr_pending:
             from lteax.phy.channels.dci import Dci0, dci_0_pack, dci_1a_size
-            for rnti in sorted(self._sr_pending)[:max_dcis - len(dcis)]:
+            for rnti in sorted(self._sr_pending):
+                c = alloc_ue_cand(rnti)
+                if c is None:
+                    continue
                 b0 = dci_0_pack(Dci0(rb_start=UL_ALLOC["rb_start"],
                                      l_crb=UL_ALLOC["n_prb"], mcs=0),
                                 cfg.n_rb_dl, dci_1a_size(cfg.n_rb_dl))
-                dcis.append((b0, rnti, 4 * len(dcis), 4))
+                dcis.append((b0, rnti, c[0], c[1]))
                 self._sr_pending.discard(rnti)
         pd_syms = pdcch_mod.pdcch_encode(dcis, gc.phy, cid, gc.ctrl_syms,
                                          gc.phich_resource, sf,
@@ -544,13 +575,16 @@ class UeSim:
         logical = pdcch_mod.pdcch_llrs_to_logical(
             llr, cfg, cid, gc.ctrl_syms, gc.phich_resource, sf)
         n_cce = pdcch_mod.n_cce(cfg, cid, gc.ctrl_syms, gc.phich_resource)
-        # UL grant (DCI 0) answering our SR
+        # UL grant (DCI 0) answering our SR; C-RNTI monitoring covers both
+        # the common and the Y_k-hashed UE-specific search space
         found0 = pdcch_mod.pdcch_blind_decode_0(logical, cfg.n_rb_dl,
-                                                self.rnti, n_cce)
+                                                self.rnti, n_cce,
+                                                subframe=sf)
         if found0:
             self.granted = True
         found = pdcch_mod.pdcch_blind_decode_1a(logical, cfg.n_rb_dl,
-                                                self.rnti, n_cce)
+                                                self.rnti, n_cce,
+                                                subframe=sf)
         if not found:
             return None
         dci = found[0][0]

@@ -23,6 +23,8 @@ from lteax.apps.file_scan import scan, ScanResult
 from lteax.kernels.polyphase import resample_poly
 from lteax.io.iq import read_iq
 from lteax.stack import bands
+from lteax.utils.metrics import EVENTS, METRICS
+from lteax.utils.trace import stage
 
 
 @dataclasses.dataclass
@@ -35,12 +37,15 @@ class Channel:
 
 def scan_channel(ch: Channel, cfg: PhyConfig) -> ScanResult:
     x = read_iq(ch.path, ch.fmt)
+    METRICS.inc("scanner.samples_in", len(x))
     if ch.rate_hz is not None and abs(ch.rate_hz - cfg.fs) > 1.0:
         frac = Fraction(int(round(cfg.fs)), int(round(ch.rate_hz))) \
             .limit_denominator(1024)
-        x = np.asarray(resample_poly(jnp.asarray(x), frac.numerator,
-                                     frac.denominator))
-    return scan(x, cfg)
+        with stage("resample"):
+            x = np.asarray(resample_poly(jnp.asarray(x), frac.numerator,
+                                         frac.denominator))
+    with stage("cell_search"):
+        return scan(x, cfg)
 
 
 def prescan_channels(chans: list[Channel], cfg: PhyConfig) -> list[dict]:
@@ -88,20 +93,28 @@ def scan_channels(chans: list[Channel], cfg: PhyConfig,
     reports = []
     for ci, ch in enumerate(chans):
         if ckpt is not None and ckpt.done(ch.label):
+            EVENTS.emit("scan.skip", level="debug", channel=ch.label,
+                        reason="checkpointed")
             reports.append(ckpt.result(ch.label))
             continue
         if pre is not None and not pre[ci]["detected"]:
             d = {"channel": ch.label, "mib": None, "n_cell_id": -1,
                  "prescan": pre[ci]}
+            EVENTS.emit("scan.dead", level="debug", channel=ch.label)
+            METRICS.inc("scanner.channels_dead")
             if ckpt is not None:
                 ckpt.record(ch.label, d)
             reports.append(d)
             continue
+        EVENTS.emit("scan.start", level="debug", channel=ch.label)
         try:
             r = scan_channel(ch, cfg)
             d = json.loads(r.to_json())
         except Exception as e:  # pragma: no cover - robustness path
             d = {"error": f"{type(e).__name__}: {e}"}
+            EVENTS.emit("scan.error", level="error", channel=ch.label,
+                        **d)
+            METRICS.inc("scanner.errors")
         d["channel"] = ch.label
         if ch.label.isdigit():
             try:
@@ -109,6 +122,14 @@ def scan_channels(chans: list[Channel], cfg: PhyConfig,
                 d["band"] = bands.band_of_dl_earfcn(int(ch.label))
             except ValueError:
                 pass
+        METRICS.inc("scanner.channels_scanned")
+        if d.get("n_cell_id", -1) >= 0:
+            METRICS.inc("scanner.cells_found")
+            EVENTS.emit("scan.cell", channel=ch.label,
+                        n_cell_id=d.get("n_cell_id"),
+                        sfn=(d.get("mib") or {}).get("sfn"),
+                        tac=(d.get("sib1") or {}).get("tac"),
+                        freq_mhz=d.get("freq_mhz"))
         if ckpt is not None:
             ckpt.record(ch.label, d)
         reports.append(d)

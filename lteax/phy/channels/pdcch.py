@@ -70,6 +70,47 @@ def common_search_candidates(n_cces: int) -> list[tuple[int, int]]:
     return cands
 
 
+def ue_search_y(rnti: int, subframe: int) -> int:
+    """Y_k of the UE-specific search space hash (36.213 §9.1.1):
+    Y_-1 = n_RNTI, Y_k = (A * Y_{k-1}) mod D with A=39827, D=65537."""
+    y = rnti
+    for _ in range(subframe + 1):
+        y = (39827 * y) % 65537
+    return y
+
+
+def ue_search_candidates(n_cces: int, rnti: int, subframe: int
+                         ) -> list[tuple[int, int]]:
+    """(cce_start, L) pairs of the UE-specific search space for this RNTI
+    and subframe (36.213 §9.1.1 Table 9.1.1-1: M(L) = 6/6/2/2 candidates at
+    L = 1/2/4/8)."""
+    y = ue_search_y(rnti, subframe)
+    cands = []
+    for l_agg, n_cand in ((1, 6), (2, 6), (4, 2), (8, 2)):
+        n_l = n_cces // l_agg
+        if n_l == 0:
+            continue
+        for m in range(n_cand):
+            start = l_agg * ((y + m) % n_l)
+            if start + l_agg <= n_cces:
+                cands.append((start, l_agg))
+    return cands
+
+
+def search_candidates(n_cces: int, rnti: int, subframe: int | None
+                     ) -> list[tuple[int, int]]:
+    """Deduped candidate set: common space, plus the UE-specific space when
+    ``subframe`` is given (C-RNTI monitoring per 36.213 §9.1.1)."""
+    cands = common_search_candidates(n_cces)
+    if subframe is not None:
+        seen = set(cands)
+        for c in ue_search_candidates(n_cces, rnti, subframe):
+            if c not in seen:
+                seen.add(c)
+                cands.append(c)
+    return cands
+
+
 def pdcch_encode_logical(dcis: list[tuple[np.ndarray, int, int, int]],
                          cfg: PhyConfig, n_cell_id: int, cfi: int, ng: float,
                          subframe: int) -> np.ndarray:
@@ -161,11 +202,15 @@ def pdcch_llrs_to_logical(llrs_phys: jnp.ndarray, cfg: PhyConfig,
 
 
 def _blind_decode(logical_llrs: jnp.ndarray, payload_size: int, rnti: int,
-                  n_cces: int, unpack) -> list:
-    """Generic common-search-space blind decode: batched Viterbi over all
-    candidates, CRC16 with the RNTI mask, ``unpack(bits)`` to parse."""
+                  n_cces: int, unpack, subframe: int | None = None) -> list:
+    """Generic blind decode: batched Viterbi over every candidate of the
+    common search space (plus the UE-specific space when ``subframe`` is
+    given), CRC16 with the RNTI mask, ``unpack(bits)`` to parse.
+
+    All candidates — both spaces, every aggregation level — go through ONE
+    vmapped Viterbi batch (the reference retries serially per candidate)."""
     d_len = payload_size + 16
-    cands = common_search_candidates(n_cces)
+    cands = search_candidates(n_cces, rnti, subframe)
     if not cands:
         return []
     stacks = []
@@ -189,49 +234,49 @@ def _blind_decode(logical_llrs: jnp.ndarray, payload_size: int, rnti: int,
 
 
 def pdcch_blind_decode_1a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                          n_cces: int) -> list[tuple[Dci1A, int, int]]:
+                          n_cces: int, subframe: int | None = None) -> list[tuple[Dci1A, int, int]]:
     """Blind-decode DCI format 1A in the common search space.
 
     Returns list of (dci, cce_start, L) that passed CRC for ``rnti``."""
     return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
-                         lambda b: dci_1a_unpack(b, n_rb))
+                         lambda b: dci_1a_unpack(b, n_rb), subframe)
 
 
 def pdcch_blind_decode_1c(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                          n_cces: int) -> list:
+                          n_cces: int, subframe: int | None = None) -> list:
     """Blind-decode DCI format 1C (compact SI/paging/RA grants)."""
     from lteax.phy.channels.dci import dci_1c_size, dci_1c_unpack
     return _blind_decode(logical_llrs, dci_1c_size(n_rb), rnti, n_cces,
-                         lambda b: dci_1c_unpack(b, n_rb))
+                         lambda b: dci_1c_unpack(b, n_rb), subframe)
 
 
 def pdcch_blind_decode_1(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                         n_cces: int) -> list:
+                         n_cces: int, subframe: int | None = None) -> list:
     """Blind-decode DCI format 1 (type-0 RBG-bitmap grants)."""
     from lteax.phy.channels.dci import dci_1_size, dci_1_unpack
     return _blind_decode(logical_llrs, dci_1_size(n_rb), rnti, n_cces,
-                         lambda b: dci_1_unpack(b, n_rb))
+                         lambda b: dci_1_unpack(b, n_rb), subframe)
 
 
 def pdcch_blind_decode_2a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                          n_cces: int) -> list:
+                          n_cces: int, subframe: int | None = None) -> list:
     """Blind-decode DCI format 2A (TM3 two-codeword grants)."""
     from lteax.phy.channels.dci import dci_2a_size, dci_2a_unpack
     return _blind_decode(logical_llrs, dci_2a_size(n_rb), rnti, n_cces,
-                         lambda b: dci_2a_unpack(b, n_rb))
+                         lambda b: dci_2a_unpack(b, n_rb), subframe)
 
 
 def pdcch_blind_decode_2(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                         n_cces: int) -> list:
+                         n_cces: int, subframe: int | None = None) -> list:
     """Blind-decode DCI format 2 (TM4 two-codeword grants)."""
     from lteax.phy.channels.dci import dci_2_size, dci_2_unpack
     return _blind_decode(logical_llrs, dci_2_size(n_rb), rnti, n_cces,
-                         lambda b: dci_2_unpack(b, n_rb))
+                         lambda b: dci_2_unpack(b, n_rb), subframe)
 
 
 def pdcch_blind_decode_0(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
-                         n_cces: int) -> list:
+                         n_cces: int, subframe: int | None = None) -> list:
     """Blind-decode DCI format 0 (UL grants; same padded size as 1A)."""
     from lteax.phy.channels.dci import dci_1a_size, dci_0_unpack
     return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
-                         lambda b: dci_0_unpack(b, n_rb))
+                         lambda b: dci_0_unpack(b, n_rb), subframe)

@@ -240,9 +240,13 @@ def pucch_format2ab_encode(cqi_bits: np.ndarray, ack_bits: tuple[int, ...],
 def pucch_format2ab_decode(rx: np.ndarray, n_cell_id: int, subframe: int,
                            rnti: int, a: int, n_ack: int,
                            alpha_idx: int = 0):
-    """-> (cqi bits, ack bits, metric).  ACK is sliced from the second RS
-    symbol against the first-RS channel estimate; the CQI decode then reuses
-    both RS symbols with the ACK rotation removed."""
+    """-> (cqi bits, ack bits, metric, ack_metric).  ACK is sliced from the
+    second RS symbol against the first-RS channel estimate; the CQI decode
+    then reuses both RS symbols with the ACK rotation removed.
+
+    ``ack_metric`` = |acc| of the coherent RS correlation (≈2.0 at |h|=1);
+    callers should treat a weak value as DTX (the UE sent plain format 2)
+    rather than trust a noise-driven ACK slice."""
     acc = 0.0 + 0j
     for slot in range(2):
         ns = 2 * subframe + slot
@@ -256,7 +260,7 @@ def pucch_format2ab_decode(rx: np.ndarray, n_cell_id: int, subframe: int,
     fixed[:, 5] = fixed[:, 5] * np.conj(d10)
     cqi, metric = pucch_format2_decode(fixed, n_cell_id, subframe, rnti, a,
                                        alpha_idx)
-    return cqi, ack, metric
+    return cqi, ack, metric, float(np.abs(acc))
 
 
 # ---------------------------------------------------------------------------

@@ -172,7 +172,10 @@ def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
     def local(samples):
         bits, ok = jax.vmap(one)(samples)
         n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), TIME_AXIS)
-        n_ok = jax.lax.psum(n_ok, CHAN_AXIS)
+        # the in_specs replicate the batch over the chan axis, so chan
+        # replicas all hold the same count — pmean (not psum) keeps n_ok
+        # equal to the number of distinct decoded TBs on any mesh shape
+        n_ok = jax.lax.pmean(n_ok, CHAN_AXIS)
         return bits, ok, n_ok
 
     fn = shard_map(local, mesh=mesh,

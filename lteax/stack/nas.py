@@ -14,6 +14,7 @@ needed by that flow are omitted (tracked for the citation pass).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import struct
 
 from lteax.stack import security as sec
@@ -60,6 +61,24 @@ def _unbcd(data: bytes) -> list[int]:
     return [d for d in out if d != 0xF]
 
 
+def _safe(fn):
+    """Map truncated/malformed input to ``None`` instead of raising.
+
+    Unpack functions parse untrusted over-the-air bytes; any indexing,
+    struct, or IE-decode error on a short or corrupt body means "not this
+    message" — the same contract as returning ``None`` on a header
+    mismatch.  (A bool-returning unpack decays to ``None`` which is falsy,
+    preserving its contract.)
+    """
+    @functools.wraps(fn)
+    def wrapper(data: bytes, *args, **kwargs):
+        try:
+            return fn(data, *args, **kwargs)
+        except (IndexError, struct.error, ValueError, UnicodeDecodeError):
+            return None
+    return wrapper
+
+
 # ---------------------------------------------------------------------------
 # EMM messages
 # ---------------------------------------------------------------------------
@@ -87,6 +106,7 @@ def pack_attach_request(m: AttachRequest) -> bytes:
     return out
 
 
+@_safe
 def unpack_attach_request(data: bytes) -> AttachRequest | None:
     if data[0] != PD_EMM or data[1] != MT_ATTACH_REQUEST:
         return None
@@ -121,6 +141,7 @@ def pack_auth_request(m: AuthRequest) -> bytes:
         + bytes([len(m.autn)]) + m.autn
 
 
+@_safe
 def unpack_auth_request(data: bytes) -> AuthRequest | None:
     if data[0] != PD_EMM or data[1] != MT_AUTH_REQUEST:
         return None
@@ -139,6 +160,7 @@ def pack_auth_response(m: AuthResponse) -> bytes:
     return bytes([PD_EMM, MT_AUTH_RESPONSE, len(m.res)]) + m.res
 
 
+@_safe
 def unpack_auth_response(data: bytes) -> AuthResponse | None:
     if data[0] != PD_EMM or data[1] != MT_AUTH_RESPONSE:
         return None
@@ -159,6 +181,7 @@ def pack_security_mode_command(m: SecurityModeCommand) -> bytes:
                   len(m.replayed_ue_caps)]) + m.replayed_ue_caps
 
 
+@_safe
 def unpack_security_mode_command(data: bytes) -> SecurityModeCommand | None:
     if data[0] != PD_EMM or data[1] != MT_SECURITY_MODE_COMMAND:
         return None
@@ -171,6 +194,7 @@ def pack_security_mode_complete() -> bytes:
     return bytes([PD_EMM, MT_SECURITY_MODE_COMPLETE])
 
 
+@_safe
 def unpack_security_mode_complete(data: bytes) -> bool:
     return len(data) >= 2 and data[0] == PD_EMM and \
         data[1] == MT_SECURITY_MODE_COMPLETE
@@ -186,6 +210,7 @@ def pack_attach_complete(m: AttachComplete) -> bytes:
         struct.pack(">H", len(m.esm_container)) + m.esm_container
 
 
+@_safe
 def unpack_attach_complete(data: bytes) -> AttachComplete | None:
     if data[0] != PD_EMM or data[1] != MT_ATTACH_COMPLETE:
         return None
@@ -213,6 +238,7 @@ def pack_attach_accept(m: AttachAccept) -> bytes:
     return out
 
 
+@_safe
 def unpack_attach_accept(data: bytes) -> AttachAccept | None:
     if data[0] != PD_EMM or data[1] != MT_ATTACH_ACCEPT:
         return None
@@ -250,6 +276,7 @@ def pack_detach_request(m: DetachRequest) -> bytes:
     return bytes([PD_EMM, MT_DETACH_REQUEST, (m.ksi << 4) | dt])
 
 
+@_safe
 def unpack_detach_request(data: bytes) -> DetachRequest | None:
     if data[0] != PD_EMM or data[1] != MT_DETACH_REQUEST:
         return None
@@ -274,6 +301,7 @@ def pack_tau_request(m: TauRequest) -> bytes:
         + struct.pack(">I", m.old_guti)
 
 
+@_safe
 def unpack_tau_request(data: bytes) -> TauRequest | None:
     if data[0] != PD_EMM or data[1] != MT_TAU_REQUEST:
         return None
@@ -297,6 +325,7 @@ def pack_tau_accept(m: TauAccept) -> bytes:
         + plmn.ljust(3, b"\xff") + struct.pack(">H", m.tac) + bytes([0])
 
 
+@_safe
 def unpack_tau_accept(data: bytes) -> TauAccept | None:
     if data[0] != PD_EMM or data[1] != MT_TAU_ACCEPT:
         return None
@@ -322,6 +351,7 @@ def pack_service_request(m: ServiceRequest) -> bytes:
         + struct.pack(">H", m.short_mac)
 
 
+@_safe
 def unpack_service_request(data: bytes) -> ServiceRequest | None:
     if (data[0] >> 4) != MT_SERVICE_REQUEST_HDR or (data[0] & 0xF) != PD_EMM:
         return None
@@ -340,6 +370,7 @@ def pack_emm_information(m: EmmInformation) -> bytes:
         + name
 
 
+@_safe
 def unpack_emm_information(data: bytes) -> EmmInformation | None:
     if data[0] != PD_EMM or data[1] != MT_EMM_INFORMATION:
         return None
@@ -380,6 +411,7 @@ def pack_activate_default_bearer_request(m: ActivateDefaultBearerRequest) -> byt
                   len(apn_b)]) + apn_b + bytes([5, 1, *m.ip])
 
 
+@_safe
 def unpack_activate_default_bearer_request(data: bytes):
     if (data[0] & 0xF) != PD_ESM or data[2] != MT_ACT_DEF_BEARER_REQUEST:
         return None
@@ -402,6 +434,7 @@ def pack_activate_default_bearer_accept(m: ActivateDefaultBearerAccept
     return bytes([(m.ebi << 4) | PD_ESM, m.pti, MT_ACT_DEF_BEARER_ACCEPT])
 
 
+@_safe
 def unpack_activate_default_bearer_accept(data: bytes
                                           ) -> ActivateDefaultBearerAccept | None:
     if (data[0] & 0xF) != PD_ESM or data[2] != MT_ACT_DEF_BEARER_ACCEPT:
@@ -453,6 +486,7 @@ def pack_identity_request(m: IdentityRequest) -> bytes:
     return bytes([PD_EMM, MT_IDENTITY_REQUEST, m.id_type & 0xF])
 
 
+@_safe
 def unpack_identity_request(data: bytes) -> IdentityRequest | None:
     if data[0] != PD_EMM or data[1] != MT_IDENTITY_REQUEST:
         return None
@@ -474,6 +508,7 @@ def pack_identity_response(m: IdentityResponse) -> bytes:
     return bytes([PD_EMM, MT_IDENTITY_RESPONSE, len(body)]) + body
 
 
+@_safe
 def unpack_identity_response(data: bytes) -> IdentityResponse | None:
     if data[0] != PD_EMM or data[1] != MT_IDENTITY_RESPONSE:
         return None
@@ -497,6 +532,7 @@ def pack_auth_failure(m: AuthFailure) -> bytes:
     return out                                       # parameter TLV (IEI 0x30)
 
 
+@_safe
 def unpack_auth_failure(data: bytes) -> AuthFailure | None:
     if data[0] != PD_EMM or data[1] != MT_AUTH_FAILURE:
         return None
@@ -510,6 +546,7 @@ def pack_auth_reject() -> bytes:
     return bytes([PD_EMM, MT_AUTH_REJECT])
 
 
+@_safe
 def unpack_auth_reject(data: bytes) -> bool:
     return len(data) >= 2 and data[0] == PD_EMM and data[1] == MT_AUTH_REJECT
 
@@ -532,6 +569,7 @@ def pack_attach_reject(cause: int, esm_container: bytes = b"") -> bytes:
     return out
 
 
+@_safe
 def unpack_attach_reject(data: bytes) -> tuple[int, bytes] | None:
     if data[0] != PD_EMM or data[1] != MT_ATTACH_REJECT:
         return None
@@ -546,6 +584,7 @@ def pack_service_reject(cause: int) -> bytes:
     return _pack_cause_msg(MT_SERVICE_REJECT, cause)
 
 
+@_safe
 def unpack_service_reject(data: bytes) -> int | None:
     return _unpack_cause_msg(data, MT_SERVICE_REJECT)
 
@@ -554,6 +593,7 @@ def pack_tau_reject(cause: int) -> bytes:
     return _pack_cause_msg(MT_TAU_REJECT, cause)
 
 
+@_safe
 def unpack_tau_reject(data: bytes) -> int | None:
     return _unpack_cause_msg(data, MT_TAU_REJECT)
 
@@ -562,6 +602,7 @@ def pack_tau_complete() -> bytes:
     return bytes([PD_EMM, MT_TAU_COMPLETE])
 
 
+@_safe
 def unpack_tau_complete(data: bytes) -> bool:
     return len(data) >= 2 and data[0] == PD_EMM and data[1] == MT_TAU_COMPLETE
 
@@ -570,6 +611,7 @@ def pack_emm_status(cause: int) -> bytes:
     return _pack_cause_msg(MT_EMM_STATUS, cause)
 
 
+@_safe
 def unpack_emm_status(data: bytes) -> int | None:
     return _unpack_cause_msg(data, MT_EMM_STATUS)
 
@@ -614,6 +656,7 @@ def pack_guti_realloc_command(g: Guti) -> bytes:
     return bytes([PD_EMM, MT_GUTI_REALLOC_COMMAND]) + _pack_guti_ie(g)
 
 
+@_safe
 def unpack_guti_realloc_command(data: bytes) -> Guti | None:
     if data[0] != PD_EMM or data[1] != MT_GUTI_REALLOC_COMMAND:
         return None
@@ -624,6 +667,7 @@ def pack_guti_realloc_complete() -> bytes:
     return bytes([PD_EMM, MT_GUTI_REALLOC_COMPLETE])
 
 
+@_safe
 def unpack_guti_realloc_complete(data: bytes) -> bool:
     return len(data) >= 2 and data[0] == PD_EMM \
         and data[1] == MT_GUTI_REALLOC_COMPLETE
@@ -662,6 +706,7 @@ def pack_pdn_connectivity_reject(pti: int, cause: int) -> bytes:
     return _esm_hdr(0, pti, MT_PDN_CONNECTIVITY_REJECT) + bytes([cause])
 
 
+@_safe
 def unpack_pdn_connectivity_reject(data: bytes) -> tuple[int, int] | None:
     if not _esm_match(data, MT_PDN_CONNECTIVITY_REJECT):
         return None
@@ -672,6 +717,7 @@ def pack_esm_information_request(pti: int) -> bytes:
     return _esm_hdr(0, pti, MT_ESM_INFORMATION_REQUEST)
 
 
+@_safe
 def unpack_esm_information_request(data: bytes) -> int | None:
     return data[1] if _esm_match(data, MT_ESM_INFORMATION_REQUEST) else None
 
@@ -686,6 +732,7 @@ def pack_esm_information_response(pti: int, apn: str = "") -> bytes:
     return out
 
 
+@_safe
 def unpack_esm_information_response(data: bytes) -> tuple[int, str] | None:
     if not _esm_match(data, MT_ESM_INFORMATION_RESPONSE):
         return None
@@ -705,6 +752,7 @@ def pack_deactivate_bearer_request(ebi: int, pti: int, cause: int
     return _esm_hdr(ebi, pti, MT_DEACT_BEARER_REQUEST) + bytes([cause])
 
 
+@_safe
 def unpack_deactivate_bearer_request(data: bytes
                                      ) -> tuple[int, int, int] | None:
     if not _esm_match(data, MT_DEACT_BEARER_REQUEST):
@@ -716,6 +764,7 @@ def pack_deactivate_bearer_accept(ebi: int, pti: int = 0) -> bytes:
     return _esm_hdr(ebi, pti, MT_DEACT_BEARER_ACCEPT)
 
 
+@_safe
 def unpack_deactivate_bearer_accept(data: bytes) -> int | None:
     return data[0] >> 4 if _esm_match(data, MT_DEACT_BEARER_ACCEPT) else None
 
@@ -725,6 +774,7 @@ def pack_pdn_disconnect_request(pti: int, linked_ebi: int) -> bytes:
         + bytes([linked_ebi & 0xF])
 
 
+@_safe
 def unpack_pdn_disconnect_request(data: bytes) -> tuple[int, int] | None:
     if not _esm_match(data, MT_PDN_DISCONNECT_REQUEST):
         return None
@@ -735,6 +785,7 @@ def pack_esm_status(ebi: int, pti: int, cause: int) -> bytes:
     return _esm_hdr(ebi, pti, MT_ESM_STATUS) + bytes([cause])
 
 
+@_safe
 def unpack_esm_status(data: bytes) -> tuple[int, int, int] | None:
     if not _esm_match(data, MT_ESM_STATUS):
         return None
@@ -760,6 +811,7 @@ def protect(plain: bytes, k_nas_int: bytes, count: int, downlink: bool,
     return bytes([(sec_hdr << 4) | PD_EMM]) + mac + bytes([seq]) + body
 
 
+@_safe
 def unprotect(data: bytes, k_nas_int: bytes, count_hint: int,
               downlink: bool, k_nas_enc: bytes | None = None
               ) -> tuple[bytes, bool] | None:

@@ -1,16 +1,18 @@
-"""RRC broadcast message codecs: MIB (exact 36.331 §6.2.2) and a structured
-SIB1/SIB2 subset.
+"""RRC broadcast message codecs in real UNALIGNED PER (X.691): MIB (exact
+36.331 §6.2.2 24-bit encoding), BCCH-DL-SCH-Message SIB1 and
+SystemInformation (SIB2..SIB13 via :mod:`lteax.stack.rrc_sibs`), and PCCH
+Paging.
 
 (reference capability: ``liblte/src/liblte_rrc.cc ::
 liblte_rrc_pack_bcch_bch_msg`` / ``liblte_rrc_unpack_bcch_bch_msg`` /
 ``liblte_rrc_pack_bcch_dlsch_msg`` / ``liblte_rrc_unpack_bcch_dlsch_msg``.)
 
-MIB packing is bit-exact to 36.331 (it is a fixed 24-bit PER encoding).
-SIB1/SIB2 use a deterministic field-ordered packing covering the fields the
-scanner reports (PLMN, TAC, cell identity, SI scheduling; RACH/PUSCH common
-config skeleton for SIB2).  NOTE: the SIB codec is self-consistent
-(gen→scan loopback exact) but not yet UPER-bit-exact to 36.331 — tracked as
-a capability-parity TODO; decoded output (JSON) is the scanner's contract.
+All packers emit the Rel-8 36.331 UPER bit layout (ASN.1 field order
+documented per message below); ``tests/test_spec_vectors.py`` byte-checks a
+hand-derived SIB1 encoding against an independent transcription of the
+grammar.  Optional IEs not carried by the dataclasses are encoded absent;
+extended (post-Rel-8 critical-extension) inputs decode to ``None`` rather
+than mis-parsing.
 """
 
 from __future__ import annotations

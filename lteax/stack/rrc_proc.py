@@ -80,6 +80,7 @@ class _EnbUeProc:
     ip: tuple = (10, 0, 0, 2)
     ue_caps: "rd.UeEutraCapability | None" = None
     resume_state: str = ""
+    resume_k_enb: bytes = b""    # pre-failure KeNB while reestablishing
 
 
 class EnbRrc:
@@ -94,12 +95,13 @@ class EnbRrc:
                  mcc=(0, 0, 1), mnc=(0, 1), tac: int = 0x1234,
                  apn: str = "internet", network_name: str = "lteax",
                  pci: int = 214, cell_identity: int = 0x0000010,
-                 seed: int | None = None):
+                 earfcn: int = 0, seed: int | None = None):
         self.hss = hss
         self.users = users or UserManager()
         self.mcc, self.mnc, self.tac, self.apn = mcc, mnc, tac, apn
         self.network_name = network_name
         self.pci, self.cell_identity = pci, cell_identity
+        self.earfcn = earfcn
         self._procs: dict[int, _EnbUeProc] = {}
         self._sqn: dict[str, int] = {}
         self._next_ip = 2
@@ -129,22 +131,42 @@ class EnbRrc:
         ``LTE_fdd_enb_rrc`` rejects unconditionally — context lookup here is
         the capability superset)."""
         old = self._procs.get(req.c_rnti)
+        if old is None:
+            # retransmitted request: the context was already moved to the
+            # new rnti by the first copy — find it there
+            cand = self._procs.get(rnti)
+            if cand is not None and cand.state == "wait-reestab-complete":
+                old = cand
         if old is None or not old.k_enb or req.phys_cell_id != self.pci:
             self.events.append(f"reestab-reject c_rnti={req.c_rnti:#x}")
             rej = rd.RrcConnectionReestablishmentReject()
             return [("ccch", bits_to_bytes(rd.pack_dl_ccch(rej)))]
-        _, k_rrc_int, _ = security.generate_as_keys(old.k_enb)
+        # shortMAC-I is computed by the UE with its pre-failure keys; on a
+        # retransmitted request (already re-keyed below) validate against
+        # the saved pre-failure KeNB, not the refreshed one.
+        reestablishing = old.state == "wait-reestab-complete"
+        k_src = old.resume_k_enb if reestablishing else old.k_enb
+        _, k_rrc_int, _ = security.generate_as_keys(k_src)
         expect = short_mac_i(k_rrc_int, self.cell_identity, self.pci,
                              req.c_rnti)
         if req.short_mac_i != expect:
             self.events.append("reestab-reject bad-short-mac")
             rej = rd.RrcConnectionReestablishmentReject()
             return [("ccch", bits_to_bytes(rd.pack_dl_ccch(rej)))]
-        if rnti != req.c_rnti:
+        if rnti != old.rnti:
             self._procs[rnti] = old
-            del self._procs[req.c_rnti]
+            del self._procs[old.rnti]
             old.rnti = rnti
-        old.resume_state = old.state
+        if not reestablishing:
+            # a retransmitted request must not clobber the true pre-failure
+            # state with "wait-reestab-complete"
+            old.resume_state = old.state
+            old.resume_k_enb = old.k_enb
+        # 36.331 §5.3.7 / 33.401 A.5: horizontal KeNB* refresh (NCC=0);
+        # idempotent across retransmissions (always derived from the saved
+        # pre-failure key).  PDCP COUNTs restart with the new keys.
+        old.k_enb = security.generate_k_enb_star(
+            old.resume_k_enb, self.pci, self.earfcn)
         old.state = "wait-reestab-complete"
         self.events.append(f"reestablishment cause={req.cause}")
         re = rd.RrcConnectionReestablishment(
@@ -160,6 +182,7 @@ class EnbRrc:
             return self._on_setup_complete(p, msg)
         if isinstance(msg, rd.RrcConnectionReestablishmentComplete):
             p.state = p.resume_state or "attach-done"
+            p.resume_state, p.resume_k_enb = "", b""
             self.events.append("reestablishment-complete")
             return []
         if isinstance(msg, rd.SecurityModeFailure):
@@ -388,7 +411,7 @@ class UeRrc:
 
     def reestablish(self, c_rnti: int, pci: int = 214,
                     cell_identity: int = 0x0000010,
-                    cause: str = "otherFailure") -> bytes:
+                    cause: str = "otherFailure", earfcn: int = 0) -> bytes:
         """Reestablishment request after e.g. radio link failure
         (36.331 §5.3.7); requires activated AS security (k_enb)."""
         assert self.k_enb, "AS security not activated"
@@ -398,6 +421,7 @@ class UeRrc:
             short_mac_i=short_mac_i(k_rrc_int, cell_identity, pci, c_rnti),
             cause=cause)
         self.state = "wait-reestablishment"
+        self._reestab_target = (pci, earfcn)
         return bits_to_bytes(rd.pack_ul_ccch(req))
 
     def measurement_report(self, meas_id: int, serv_rsrp: int,
@@ -413,6 +437,10 @@ class UeRrc:
         if isinstance(setup, rd.RrcConnectionReestablishment):
             assert self.state == "wait-reestablishment", self.state
             self.state = "connected"
+            # mirror the eNB's horizontal KeNB* refresh (33.401 A.5)
+            pci, earfcn = self._reestab_target
+            self.k_enb = security.generate_k_enb_star(self.k_enb, pci,
+                                                      earfcn)
             self.events.append(f"reestablished ncc={setup.ncc}")
             done = rd.RrcConnectionReestablishmentComplete(
                 rrc_ti=setup.rrc_ti)

@@ -56,6 +56,16 @@ def generate_nas_keys(k_asme: bytes, enc_alg: int = 1, int_alg: int = 1
     return k_enc, k_int
 
 
+def generate_k_enb_star(key: bytes, pci: int, earfcn_dl: int) -> bytes:
+    """33.401 A.5: KeNB* refresh for handover / reestablishment.
+
+    ``key`` is the current KeNB (horizontal derivation, NCC unchanged) or
+    the NH (vertical derivation, NCC advanced).
+    """
+    return kdf(key, 0x13, struct.pack(">H", pci),
+               struct.pack(">H", earfcn_dl))
+
+
 def generate_as_keys(k_enb: bytes, enc_alg: int = 1, int_alg: int = 1
                      ) -> tuple[bytes, bytes, bytes]:
     """-> (k_rrc_enc, k_rrc_int, k_up_enc)."""

@@ -242,7 +242,7 @@ def test_pucch_format2ab():
         rx = g * np.complex64(0.9 * np.exp(1j * 0.7)) \
             + 0.05 * (rng.standard_normal(g.shape)
                       + 1j * rng.standard_normal(g.shape))
-        cqi, got_ack, _ = pucch.pucch_format2ab_decode(
+        cqi, got_ack, _, _ = pucch.pucch_format2ab_decode(
             rx.astype(np.complex64), cid, sf, rnti, a, n_ack=len(ack),
             alpha_idx=3)
         assert got_ack == ack
@@ -250,6 +250,6 @@ def test_pucch_format2ab():
     # plain format 2 stays decodable by the 2a/2b receiver with ack=(0,)
     bits = rng.integers(0, 2, size=a).astype(np.int32)
     g = pucch.pucch_format2_encode(bits, cid, sf, rnti)
-    cqi, got_ack, _ = pucch.pucch_format2ab_decode(g, cid, sf, rnti, a, 1)
+    cqi, got_ack, _, _ = pucch.pucch_format2ab_decode(g, cid, sf, rnti, a, 1)
     assert got_ack == (0,)
     np.testing.assert_array_equal(cqi, bits)
