@@ -38,6 +38,13 @@ def main():
     from lteax.phy.channels import pdsch as pdsch_mod
     from lteax.phy.tables.tbs import get_tbs_for_mcs
     from lteax.shard.pipeline import make_batch_decoder, make_batch_decoder_pallas
+    from lteax.utils.metrics import EVENTS, METRICS
+    from lteax.utils.trace import profile_to, stage
+    import contextlib
+    import os as _os
+    if _os.environ.get("LTEAX_BENCH_EVENTLOG"):
+        EVENTS.open(_os.environ["LTEAX_BENCH_EVENTLOG"])
+    trace_dir = _os.environ.get("LTEAX_TRACE")
 
     cfg = PhyConfig(n_rb_dl=100)
     cid, sf, rnti, mcs, cfi = 214, 1, 0x1234, 28, 1
@@ -110,14 +117,18 @@ def main():
         print(f"WARNING: only {n_ok}/{b} TBs decoded", file=sys.stderr)
 
     times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        ok = dec(xd)[1]
-        # a device->host transfer is the reliable completion barrier on the
-        # axon backend (block_until_ready can return early for small
-        # outputs); `ok` is tiny so the transfer itself is negligible
-        np.asarray(ok)
-        times.append(time.perf_counter() - t0)
+    prof = profile_to(trace_dir) if trace_dir else contextlib.nullcontext()
+    with prof:
+        for _ in range(reps):
+            with stage("decode_batch"):
+                t0 = time.perf_counter()
+                ok = dec(xd)[1]
+                # a device->host transfer is the reliable completion
+                # barrier on the axon backend (block_until_ready can return
+                # early for small outputs); `ok` is tiny so the transfer
+                # itself is negligible
+                np.asarray(ok)
+                times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     print(f"per-batch median {t*1e3:.2f} ms (min {min(times)*1e3:.2f})",
           file=sys.stderr)
@@ -144,6 +155,10 @@ def main():
     print(f"best {t*1e3:.2f} ms/batch of {b} subframes; "
           f"{samples_per_s/1e6:.1f} Msps equivalent", file=sys.stderr)
 
+    METRICS.gauge("bench.mbit_per_s", mbps)
+    METRICS.inc("bench.tbs_decoded", b * reps)
+    EVENTS.emit("bench.result", mbit_per_s=round(mbps, 2), batch=b,
+                msps=round(samples_per_s / 1e6, 1))
     baseline = 75.376   # Mbit/s — reference real-time bound at this config
     print(json.dumps({
         "metric": "decoded DL-SCH throughput, 20 MHz MCS28 (TBS 75376), "

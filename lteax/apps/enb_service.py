@@ -14,19 +14,21 @@ Then: echo "help" | nc 127.0.0.1 20000
 from __future__ import annotations
 
 import argparse
+import json
 import threading
 import time
 
 import numpy as np
 import jax.numpy as jnp
 
-from lteax.apps.ctrl import CtrlServer
+from lteax.apps.ctrl import CtrlServer, DebugStreamServer
 from lteax.apps.enb_sim import EnbSim, UeSim
 from lteax.apps.file_gen import GenConfig
 from lteax.phy.ofdm import subframe_to_samples
 from lteax.stack.cnfg_db import CnfgDb
 from lteax.stack.rrc_proc import EnbRrc, UeRrc
 from lteax.stack.users import Hss, UserManager
+from lteax.utils.metrics import EVENTS, METRICS, ctrl_debug_verbs
 
 
 class _SimUe:
@@ -69,10 +71,15 @@ class EnbService:
             "detach_ue": self._cmd_detach_ue,
             "ping": self._cmd_ping,
             "status": self._cmd_status,
+            "metrics": lambda a: json.dumps(METRICS.snapshot()),
         }
         cmds.update(self.hss.ctrl_commands())
+        cmds.update(ctrl_debug_verbs())
         self.ctrl = CtrlServer(self.cnfg.as_ctrl_params(), cmds, port=port)
         self.port = self.ctrl.port
+        # second socket: debug message stream (reference port-20001 parity)
+        self.debug_stream = DebugStreamServer(
+            port=port + 1 if port else 0)
 
     # -- construction --------------------------------------------------------
     def _gen_config(self) -> GenConfig:
@@ -98,6 +105,8 @@ class EnbService:
             iq = self.cnfg.get("iq_out")
             if iq:
                 self._iq_file = open(iq, "wb")
+        EVENTS.emit("enb.start", n_rb=self.cnfg.get("bandwidth"),
+                    n_id_cell=self.cnfg.get("n_id_cell"))
         if args and args[0] == "freerun":
             self._run.set()
             self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -135,6 +144,7 @@ class EnbService:
             if status is not None:
                 enb.handle_status(rnti, status)
         self._tti += 1
+        METRICS.inc("enb.ttis")
 
     def _loop(self) -> None:
         while self._run.is_set():
@@ -170,6 +180,8 @@ class EnbService:
                                     mcc=gc.mcc, mnc=gc.mnc))
             ue.start_attach()
             self.ues[rnti] = _SimUe(imsi, ue)
+        EVENTS.emit("enb.ue_attach", imsi=imsi, rnti=rnti)
+        METRICS.inc("enb.attaches")
         return f"ue {imsi} rnti=0x{rnti:04X} attaching"
 
     def _cmd_detach_ue(self, args) -> str:
@@ -178,6 +190,7 @@ class EnbService:
             return f"error: unknown imsi {args[0]}"
         with self._lock:
             su.ue._rrc_reply(su.ue.rrc_ue.detach())
+        EVENTS.emit("enb.ue_detach", imsi=args[0])
         return f"ue {args[0]} detaching"
 
     def _cmd_ping(self, args) -> str:
@@ -211,6 +224,8 @@ class EnbService:
 
     def close(self) -> None:
         self._cmd_stop([])
+        EVENTS.emit("enb.stop", level="debug", tti=self._tti)
+        self.debug_stream.stop()
         self.ctrl.stop()
 
 

@@ -148,7 +148,14 @@ def main(argv=None):
                    help="device-batched PSS prescan; skip dead channels")
     p.add_argument("--checkpoint", default=None,
                    help="resume file (skip finished channels)")
+    p.add_argument("--eventlog", default=None,
+                   help="JSON-lines event log path ('-' = stdout)")
+    p.add_argument("--debug-level", default="info",
+                   choices=("error", "warn", "info", "debug"))
     a = p.parse_args(argv)
+    if a.eventlog:
+        EVENTS.open(a.eventlog)
+        EVENTS.set_level(a.debug_level)
     cfg = PhyConfig(n_rb_dl=a.n_rb)
     chans = []
     for spec in a.captures:
@@ -160,6 +167,8 @@ def main(argv=None):
     for rep in scan_channels(chans, cfg, checkpoint_path=a.checkpoint,
                              prescan=a.prescan):
         print(json.dumps(rep))
+    if a.eventlog:
+        METRICS.dump()
 
 
 if __name__ == "__main__":

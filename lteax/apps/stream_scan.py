@@ -30,6 +30,7 @@ from lteax.apps.ctrl import CtrlServer
 from lteax.io import iq as iqio
 from lteax.io import native
 from lteax.utils.checkpoint import ScanCheckpoint
+from lteax.utils.metrics import EVENTS, METRICS, ctrl_debug_verbs
 
 
 class StreamScanService:
@@ -53,9 +54,11 @@ class StreamScanService:
             "status": lambda a: json.dumps(self.status()),
             "results": lambda a: json.dumps(self.results.get(int(a[0]), {})
                                             if a else self.results),
+            "metrics": lambda a: json.dumps(METRICS.snapshot()),
             # NB: not "shutdown" — that is a CtrlServer built-in which only
             # stops the socket; "stop" also ends the scan loop.
             "stop": lambda a: (self._stop.set(), "stopping")[1],
+            **ctrl_debug_verbs(),
         }, port=port)
 
     def status(self) -> dict:
@@ -112,6 +115,15 @@ class StreamScanService:
             rec = json.loads(res.to_json())
             rec["window"] = w
             self.results[w] = rec
+            METRICS.inc("stream_scan.windows")
+            METRICS.inc("stream_scan.samples", len(x))
+            if rec.get("n_cell_id", -1) >= 0:
+                METRICS.inc("stream_scan.cells_found")
+                EVENTS.emit("scan.cell", window=w,
+                            n_cell_id=rec.get("n_cell_id"),
+                            sfn=(rec.get("mib") or {}).get("sfn"))
+            else:
+                EVENTS.emit("scan.window_empty", level="debug", window=w)
             if self.ckpt is not None:
                 self.ckpt.record(key, rec)
             self.windows_done = w + 1
@@ -132,12 +144,16 @@ def main(argv=None):
                     help="listen for live IQ on this TCP port instead of "
                          "reading a file (0 = ephemeral; rtl_tcp-style)")
     ap.add_argument("--fmt", default="fc32", choices=("fc32", "sc8", "sc16"))
+    ap.add_argument("--eventlog", default=None,
+                    help="JSON-lines event log path ('-' = stdout)")
     ap.add_argument("--n-rb", type=int, default=6)
     ap.add_argument("--window-sf", type=int, default=60)
     ap.add_argument("--max-windows", type=int, default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--port", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.eventlog:
+        EVENTS.open(args.eventlog)
 
     src = None
     if args.tcp_port is not None:

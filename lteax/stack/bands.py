@@ -1,4 +1,4 @@
-"""LTE FDD band <-> EARFCN <-> frequency mapping (36.101 §5.7.3).
+"""LTE band <-> EARFCN <-> frequency mapping (36.101 §5.7.3), FDD + TDD.
 
 (reference capability: ``liblte/src/liblte_interface.cc ::
 liblte_interface_dl_earfcn_to_frequency`` and the first/last-EARFCN tables.)
@@ -20,6 +20,7 @@ class Band:
     f_ul_low: float
     n_offs_ul: int
     n_ul_max: int
+    tdd: bool = False      # TDD bands: UL == DL (same EARFCN range)
 
 
 # All Rel-11 FDD bands (36.101 Table 5.7.3-1; the reference's
@@ -53,7 +54,25 @@ BANDS: tuple[Band, ...] = (
     Band(28, 758.0, 9210, 9659, 703.0, 27210, 27659),
     Band(30, 2350.0, 9770, 9869, 2305.0, 27660, 27759),
     Band(31, 462.5, 9870, 9919, 452.5, 27760, 27809),
+    # TDD bands 33-44 (36.101 Table 5.7.3-1; the reference's
+    # liblte_interface band map includes the TDD rows too).  UL = DL.
+    Band(33, 1900.0, 36000, 36199, 1900.0, 36000, 36199, tdd=True),
+    Band(34, 2010.0, 36200, 36349, 2010.0, 36200, 36349, tdd=True),
+    Band(35, 1850.0, 36350, 36949, 1850.0, 36350, 36949, tdd=True),
+    Band(36, 1930.0, 36950, 37549, 1930.0, 36950, 37549, tdd=True),
+    Band(37, 1910.0, 37550, 37749, 1910.0, 37550, 37749, tdd=True),
+    Band(38, 2570.0, 37750, 38249, 2570.0, 37750, 38249, tdd=True),
+    Band(39, 1880.0, 38250, 38649, 1880.0, 38250, 38649, tdd=True),
+    Band(40, 2300.0, 38650, 39649, 2300.0, 38650, 39649, tdd=True),
+    Band(41, 2496.0, 39650, 41589, 2496.0, 39650, 41589, tdd=True),
+    Band(42, 3400.0, 41590, 43589, 3400.0, 41590, 43589, tdd=True),
+    Band(43, 3600.0, 43590, 45589, 3600.0, 43590, 45589, tdd=True),
+    Band(44, 703.0, 45590, 46589, 703.0, 45590, 46589, tdd=True),
 )
+
+
+def is_tdd_band(band: int) -> bool:
+    return _BY_BAND[band].tdd
 
 _BY_BAND = {b.band: b for b in BANDS}
 

@@ -1,4 +1,4 @@
-"""PDCP entity: COUNT state, EIA2 integrity, EEA2 ciphering (36.323 §5).
+"""PDCP entity: COUNT state, EIA1/2 integrity, EEA1/2 ciphering (36.323 §5).
 
 (reference capability: ``LTE_fdd_enb_pdcp.{h,cc}`` — SRB integrity+ciphering
 and DRB ciphering over the `pdcp_pdu` codecs, with HFN/SN COUNT maintenance.)
@@ -13,14 +13,19 @@ modest reordering).  BEARER for 33.401 is the 5-bit rb identity - 1.
 from __future__ import annotations
 
 from lteax.stack import pdcp_pdu
-from lteax.stack.security import eea2, eia2
+from lteax.stack.security import eea, eia
 
 
 class PdcpEntity:
     def __init__(self, *, srb: bool, rb_id: int, direction_tx: int,
                  k_enc: bytes | None = None, k_int: bytes | None = None,
-                 sn_bits: int | None = None):
+                 sn_bits: int | None = None, enc_alg: int = 2,
+                 int_alg: int = 2):
         self.srb = srb
+        # negotiated EPS algorithm ids (SecurityModeCommand): EEA1/EEA2,
+        # EIA1/EIA2 via security.eea/eia dispatch
+        self.enc_alg = enc_alg
+        self.int_alg = int_alg
         self.sn_bits = 5 if srb else (sn_bits or 12)
         self.mod = 1 << self.sn_bits
         self.bearer5 = (rb_id - 1) & 0x1F
@@ -62,16 +67,17 @@ class PdcpEntity:
         self.tx_count += 1
         if self.srb:
             mac = b"\x00\x00\x00\x00" if self.k_int is None else \
-                eia2(self.k_int, count, self.bearer5, self.dir_tx,
-                     self._header(sn) + sdu)
+                eia(self.int_alg, self.k_int, count, self.bearer5,
+                    self.dir_tx, self._header(sn) + sdu)
             body = sdu + mac
             if self.k_enc is not None:
-                body = eea2(self.k_enc, count, self.bearer5, self.dir_tx,
-                            body)
+                body = eea(self.enc_alg, self.k_enc, count, self.bearer5,
+                           self.dir_tx, body)
             return bytes([sn & 0x1F]) + body
         body = sdu
         if self.k_enc is not None:
-            body = eea2(self.k_enc, count, self.bearer5, self.dir_tx, body)
+            body = eea(self.enc_alg, self.k_enc, count, self.bearer5,
+                       self.dir_tx, body)
         return pdcp_pdu.pack_drb(pdcp_pdu.PdcpDrbPdu(sn=sn, data=body,
                                                      sn_bits=self.sn_bits))
 
@@ -83,11 +89,12 @@ class PdcpEntity:
             count = self._infer_count(sn)
             body = raw[1:]
             if self.k_enc is not None:
-                body = eea2(self.k_enc, count, self.bearer5, dir_rx, body)
+                body = eea(self.enc_alg, self.k_enc, count, self.bearer5,
+                           dir_rx, body)
             sdu, mac = body[:-4], body[-4:]
             if self.k_int is not None:
-                want = eia2(self.k_int, count, self.bearer5, dir_rx,
-                            self._header(sn) + sdu)
+                want = eia(self.int_alg, self.k_int, count, self.bearer5,
+                           dir_rx, self._header(sn) + sdu)
                 if mac != want:
                     return None
         else:
@@ -95,7 +102,8 @@ class PdcpEntity:
             count = self._infer_count(pdu.sn)
             sdu = pdu.data
             if self.k_enc is not None:
-                sdu = eea2(self.k_enc, count, self.bearer5, dir_rx, sdu)
+                sdu = eea(self.enc_alg, self.k_enc, count, self.bearer5,
+                          dir_rx, sdu)
         self.rx_next = max(self.rx_next, count + 1)
         return sdu
 

@@ -193,3 +193,34 @@ def eia2(key: bytes, count: int, bearer: int, direction: int,
     nbytes = -(-total_bits // 8)
     m = (m_int << (8 * nbytes - total_bits)).to_bytes(nbytes, "big")
     return aes_cmac(key, m, total_bits)[:4]
+
+
+# ---------------------------------------------------------------------------
+# 128-EEA1 / 128-EIA1 (SNOW 3G, 35.215/35.216) + algorithm dispatch
+# ---------------------------------------------------------------------------
+
+from lteax.stack.snow3g import eea1, eia1  # noqa: E402,F401
+
+
+def eea(alg: int, key: bytes, count: int, bearer: int, direction: int,
+        data: bytes) -> bytes:
+    """EPS ciphering dispatch: 0 = EEA0 (null), 1 = 128-EEA1 (SNOW 3G),
+    2 = 128-EEA2 (AES-CTR)."""
+    if alg == 0:
+        return data
+    if alg == 1:
+        return eea1(key, count, bearer, direction, data)
+    if alg == 2:
+        return eea2(key, count, bearer, direction, data)
+    raise ValueError(f"unsupported EEA{alg}")
+
+
+def eia(alg: int, key: bytes, count: int, bearer: int, direction: int,
+        data: bytes, data_bits: int | None = None) -> bytes:
+    """EPS integrity dispatch: 1 = 128-EIA1 (SNOW 3G UIA2 MAC),
+    2 = 128-EIA2 (AES-CMAC)."""
+    if alg == 1:
+        return eia1(key, count, bearer, direction, data, data_bits)
+    if alg == 2:
+        return eia2(key, count, bearer, direction, data, data_bits)
+    raise ValueError(f"unsupported EIA{alg}")

@@ -73,6 +73,13 @@ def test_kdf_keys_distinct():
 def test_bands():
     assert bands.dl_earfcn_to_freq_mhz(300) == 2140.0           # band 1
     assert bands.band_of_dl_earfcn(300) == 1
+    # TDD rows (36.101 Table 5.7.3-1): UL EARFCN == DL EARFCN
+    assert bands.dl_earfcn_to_freq_mhz(38000) == 2595.0         # band 38
+    assert bands.band_of_dl_earfcn(38000) == 38
+    assert bands.is_tdd_band(38) and not bands.is_tdd_band(20)
+    assert bands.ul_earfcn_for_dl(38000) == 38000
+    assert bands.dl_earfcn_to_freq_mhz(36000) == 1900.0         # band 33
+    assert bands.dl_earfcn_to_freq_mhz(46589) == 802.9          # band 44 top
     assert bands.dl_freq_to_earfcn(1, 2140.0) == 300
     assert bands.band_of_dl_earfcn(6300) == 20
     assert bands.ul_earfcn_for_dl(300) == 18300
