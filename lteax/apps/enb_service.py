@@ -54,7 +54,10 @@ class EnbService:
                      .define("network_name", "lteax")
                      .define("enable_pcap", False)
                      .define("pcap_path", "/tmp/lteax_enb.pcap")
-                     .define("iq_out", ""))
+                     .define("iq_out", "")
+                     .define("gw_enable", False)
+                     .define("gw_ifname", "lteax_gw")
+                     .define("gw_ip", "10.0.0.1"))
         self.hss = Hss(hss_path)
         self.enb: EnbSim | None = None
         self.ues: dict[int, _SimUe] = {}
@@ -63,6 +66,8 @@ class EnbService:
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
         self._iq_file = None
+        self.gw = None
+        self._gw_routed: set = set()
         cmds = {
             "start": self._cmd_start,
             "stop": self._cmd_stop,
@@ -105,6 +110,16 @@ class EnbService:
             iq = self.cnfg.get("iq_out")
             if iq:
                 self._iq_file = open(iq, "wb")
+            if self.cnfg.get("gw_enable") and self.gw is None:
+                # reference LTE_fdd_enb_gw parity: TUN device bridging the
+                # kernel IP stack to the UEs' default bearers
+                from lteax.stack.gw import GwTun
+                try:
+                    self.gw = GwTun(ifname=self.cnfg.get("gw_ifname"),
+                                    ip=self.cnfg.get("gw_ip"))
+                except Exception as e:
+                    EVENTS.emit("gw.error", level="error", error=str(e))
+                    self.gw = None
         EVENTS.emit("enb.start", n_rb=self.cnfg.get("bandwidth"),
                     n_id_cell=self.cnfg.get("n_id_cell"))
         if args and args[0] == "freerun":
@@ -145,6 +160,28 @@ class EnbService:
                 enb.handle_status(rnti, status)
         self._tti += 1
         METRICS.inc("enb.ttis")
+        if self.gw is not None:
+            self._gw_tti()
+
+    def _gw_tti(self) -> None:
+        """Register routes for newly-addressed UEs; flush UE uplink IP
+        packets into the kernel."""
+        for rnti, su in list(self.ues.items()):
+            ip = su.ue.rrc_ue.ip if su.ue.rrc_ue is not None else None
+            if ip and rnti not in self._gw_routed:
+                self._gw_routed.add(rnti)
+                self.gw.add_route(tuple(ip), lambda pkt, r=rnti:
+                                  self._gw_dl(r, pkt))
+        for rnti, eu in list(self.enb.ues.items()):
+            while eu.ul_sdus:
+                self.gw.send_ul(eu.ul_sdus.pop(0))
+
+    def _gw_dl(self, rnti: int, pkt: bytes) -> None:
+        """TUN read thread -> DL bearer queue (lock: the TTI loop owns
+        the scheduler)."""
+        with self._lock:
+            if self.enb is not None and rnti in self.enb.ues:
+                self.enb.send_data(rnti, pkt)
 
     def _loop(self) -> None:
         while self._run.is_set():
@@ -224,6 +261,9 @@ class EnbService:
 
     def close(self) -> None:
         self._cmd_stop([])
+        if self.gw is not None:
+            self.gw.close()
+            self.gw = None
         EVENTS.emit("enb.stop", level="debug", tti=self._tti)
         self.debug_stream.stop()
         self.ctrl.stop()

@@ -425,6 +425,9 @@ class UeSim:
         self.ul_tx = UmTransmitter()
         self._ul_queue: list[bytes] = []
         self._ccch_queue: list[bytes] = []
+        # answer IPv4 ICMP echo requests arriving on the DRB (the simulated
+        # UE's IP stack — lets a real host `ping` the UE through the GW TUN)
+        self.auto_icmp = True
 
     # -- RRC attach mode -----------------------------------------------------
     def start_attach(self, cause: str = "mo-Signalling") -> None:
@@ -622,4 +625,11 @@ class UeSim:
                     sdu = self.drb_pdcp.decode(pdcp_raw)
                     if sdu is not None:
                         self.data_sdus.append(sdu)
+                        if self.auto_icmp:
+                            # simulated UE IP stack: answer pings arriving
+                            # over the DRB (GW TUN path end-to-end)
+                            from lteax.stack.gw import ipv4_icmp_echo_reply
+                            rep = ipv4_icmp_echo_reply(sdu)
+                            if rep is not None:
+                                self.send_ul(rep)
         return status
