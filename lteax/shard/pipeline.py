@@ -159,6 +159,192 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     return lambda samples_iq: f2(f1(samples_iq))
 
 
+def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
+                             n_iter: int = 6, noise_var: float = 1e-3,
+                             interpret: bool = False):
+    """Batched UL-SCH (PUSCH) production decoder with the DL levers applied.
+
+    (B, 14, m_sc, 2) float32 IQ grids -> ((B, TBS), (B,) ok).
+
+    Same receive chain as :func:`lteax.phy.channels.pusch.pusch_decode`
+    (DM-RS LS chest + linear time interp, unbiased MMSE eq, IDFT
+    de-precoding, max-log demap, descramble, channel de-interleave,
+    de-match, turbo, CRC) restructured for throughput exactly like the
+    PDSCH path above: scrambling signs precomputed on host, the channel
+    de-interleaver as a pure reshape/transpose (data-only PUSCH: the
+    36.212 §5.2.2.8 matrix is rectangular), de-match applied once at batch
+    level, and a two-program front/turbo split feeding the Pallas kernel
+    (early-stop + compacted straggler retry).
+
+    (reference capability: ``liblte/src/liblte_phy.cc ::
+    liblte_phy_pusch_channel_decode`` — serial per-subframe C++.)"""
+    import os
+    import numpy as np
+    from lteax.phy import seq
+    from lteax.phy.fec.crc import check_crc
+    from lteax.phy.channels.pdsch import soft_dematch
+    from lteax.phy.channels import pusch as pu
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    geom = alloc.geom
+    m_sc = alloc.m_sc
+    d_len = geom.k + 4
+    data_syms = [s for s in range(14) if s not in pu.DMRS_SYMS]
+    ref0 = np.conj(pu.dmrs_pusch(n_cell_id, 2 * subframe, m_sc))
+    ref1 = np.conj(pu.dmrs_pusch(n_cell_id, 2 * subframe + 1, m_sc))
+    w = np.clip(np.asarray(
+        [(s - pu.DMRS_SYMS[0]) / (pu.DMRS_SYMS[1] - pu.DMRS_SYMS[0])
+         for s in data_syms], dtype=np.float32), 0.0, 1.0)[:, None]
+    sgn = jnp.asarray(seq.scrambling_symbols_np(
+        pu._c_init(rnti, subframe, n_cell_id), geom.g))
+    r_mux = geom.g // (12 * alloc.qm)
+    assert geom.g == 12 * r_mux * alloc.qm, "data-only PUSCH interleaver"
+    nv = noise_var
+
+    mdtype = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16")
+    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
+    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
+    tb_ = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
+    early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
+    early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
+
+    def front(g_iq):                         # (14, m_sc, 2) f32
+        grid = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
+        h0 = grid[pu.DMRS_SYMS[0]] * ref0
+        h1 = grid[pu.DMRS_SYMS[1]] * ref1
+        h = (1 - w) * h0[None] + w * h1[None]
+        y = grid[jnp.asarray(data_syms)]
+        p = jnp.abs(h) ** 2
+        xf = y * jnp.conj(h) / (p + nv)
+        xf = xf / jnp.maximum(p / (p + nv), 1e-12)
+        xt = pu._ul_dft(xf, inverse=True)
+        eff = jnp.mean(nv / jnp.maximum(p, 1e-12), axis=-1,
+                       keepdims=True) * jnp.ones_like(p)
+        llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))
+        llr = llr * sgn
+        if mdtype.startswith("bf16"):
+            llr = llr.astype(jnp.bfloat16)
+        # channel DE-interleaver (36.212 §5.2.2.8, data-only) is a pure
+        # rectangular transpose: (C_mux=12, R_mux, Qm) -> row-major
+        return llr.reshape(12, r_mux, alloc.qm).transpose(1, 0, 2).reshape(-1)
+
+    def stage_front(batch_iq):
+        llr = jax.vmap(front)(batch_iq)                # (B, G)
+        return soft_dematch(llr, geom)                 # (B, C, 3, D)
+
+    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
+
+    def stage_turbo(d_llr):
+        bsz = d_llr.shape[0]
+        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
+        out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter,
+                                        win=win, acq=acq, tb=tb_,
+                                        mdtype=mdtype, early_crc=early_crc,
+                                        return_n_iter=print_iters,
+                                        interpret=interpret)
+        bits, n_it = out if print_iters else (out, None)
+        bits = bits.reshape(bsz, geom.info.c, geom.k)
+        if geom.info.cb_crc:
+            payload, cb_ok = check_crc(bits, "24B")
+        else:
+            payload, cb_ok = bits, jnp.ones((bsz, geom.info.c), bool)
+        tb_full = pdsch_mod.desegment_device(payload, geom.info)
+        tb_bits, ok = check_crc(tb_full, "24A")
+        ok = ok & jnp.all(cb_ok, axis=-1)
+        return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
+
+    if interpret:
+        return jax.jit(lambda g: stage_turbo(stage_front(g)))
+    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
+    dec = lambda batch_iq: f2(f1(batch_iq))
+    dec.stage_front, dec.stage_turbo = f1, f2   # exposed for bench breakdowns
+    return dec
+
+
+def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                            scheme, n_iter: int = 6, interpret: bool = False):
+    """Batched 2x2 TM3 dual-codeword production decoder (DL levers applied).
+
+    (2 rx, B, n_samps, 2) float32 IQ -> ((2B, TBS), (2B,) ok): OFDM demod on
+    both RX antennas, CRS chest per (rx, port) — the two RX rows batched
+    through one chest call per port — structured-slice RE extraction
+    (no flat gathers), per-RE unbiased MMSE demix, both layers demapped in
+    one call, host-precomputed per-codeword scrambling, batch-level
+    de-match, and the two-program front/turbo split with ONE fused Pallas
+    batch over both codewords.
+
+    (reference capability: beyond ``liblte_phy``'s single-codeword
+    ceiling — SURVEY.md §2.2 layer map / precoding row.)"""
+    import os
+    import numpy as np
+    from lteax.phy import mimo, seq
+    from lteax.phy.fec.crc import check_crc
+    from lteax.phy.channels.pdsch import _c_init, soft_dematch
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    re_idx = pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe)
+    extract, _, _ = make_flat_extractor(re_idx, cfg.n_sym_subframe, cfg.n_sc)
+    d_len = geom.k + 4
+    sgn = jnp.asarray(np.stack(
+        [seq.scrambling_symbols_np(_c_init(rnti, subframe, n_cell_id, q),
+                                   geom.g) for q in range(2)]))
+
+    mdtype = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16")
+    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
+    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
+    tb_ = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
+    early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
+    early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
+
+    def front(sub_iq):                       # (2 rx, n_samps, 2)
+        s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
+        grids = samples_to_subframe(s, cfg)              # (2, 14, n_sc)
+        # one chest call per TX port, both RX rows ride the leading dim
+        h = jnp.stack([extract(chest.estimate_channel(
+            grids, cfg, n_cell_id, subframe, port=t)
+            .reshape(2, -1)) for t in range(2)], axis=-2)   # (2rx, 2tx, M)
+        nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
+        y = extract(grids.reshape(2, -1))                # (2rx, M)
+        x_hat, eff = mimo.mmse_demix_2layers(y, mimo.heff_tm3(h), nvar)
+        llr = demodulate_maxlog(x_hat.reshape(-1), scheme, eff.reshape(-1))
+        llr = llr.reshape(2, geom.g) * sgn               # (2 cw, G)
+        if mdtype.startswith("bf16"):
+            llr = llr.astype(jnp.bfloat16)
+        return llr
+
+    def stage_front(batch_iq):               # (2rx, B, n_samps, 2)
+        llr = jax.vmap(front, in_axes=1)(batch_iq)       # (B, 2, G)
+        return soft_dematch(llr.reshape(-1, geom.g), geom)
+
+    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
+
+    def stage_turbo(d_llr):
+        c2 = d_llr.shape[0]                  # 2B codewords
+        flat = d_llr.reshape(c2 * geom.info.c, 3, d_len)
+        out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter,
+                                        win=win, acq=acq, tb=tb_,
+                                        mdtype=mdtype, early_crc=early_crc,
+                                        return_n_iter=print_iters,
+                                        interpret=interpret)
+        bits, n_it = out if print_iters else (out, None)
+        bits = bits.reshape(c2, geom.info.c, geom.k)
+        if geom.info.cb_crc:
+            payload, cb_ok = check_crc(bits, "24B")
+        else:
+            payload, cb_ok = bits, jnp.ones((c2, geom.info.c), bool)
+        tb_full = pdsch_mod.desegment_device(payload, geom.info)
+        tb_bits, ok = check_crc(tb_full, "24A")
+        ok = ok & jnp.all(cb_ok, axis=-1)
+        return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
+
+    if interpret:
+        return jax.jit(lambda g: stage_turbo(stage_front(g)))
+    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
+    dec = lambda batch_iq: f2(f1(batch_iq))
+    dec.stage_front, dec.stage_turbo = f1, f2   # exposed for bench breakdowns
+    return dec
+
+
 def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
                          geom, scheme, n_iter: int = 6):
     """Time-sharded bulk decoder: (B_total, n_samps) sharded on axis 0 over

@@ -250,9 +250,15 @@ class SecurityModeComplete:
 
 @dataclasses.dataclass
 class RrcConnectionReconfiguration:
+    """Optionally carries a measurement configuration and/or an intra-LTE
+    handover command (mobilityControlInfo + securityConfigHO) — see
+    :mod:`lteax.stack.rrc_meas` for those IEs."""
     rrc_ti: int = 0
     nas_list: tuple[bytes, ...] = ()
     rrcd: RadioResourceConfigDedicated | None = None
+    meas_config: object | None = None      # rrc_meas.MeasConfig
+    mobility: object | None = None         # rrc_meas.MobilityControlInfo
+    sec_ho: object | None = None           # rrc_meas.SecurityConfigHO
 
 
 @dataclasses.dataclass
@@ -657,22 +663,29 @@ def pack_dl_dcch(m) -> np.ndarray:
         w.bit(0)                   # integrityProtAlgorithm: root
         w.cint(INTEGRITY_ALGS.index(m.integrity), 0, 7)
     elif isinstance(m, RrcConnectionReconfiguration):
+        from lteax.stack import rrc_meas
         w.cint(_DL_DCCH_RECONF, 0, 15)
         w.cint(m.rrc_ti, 0, 3)
         w.bit(0)                   # criticalExtensions: c1
         w.cint(0, 0, 7)            # rrcConnectionReconfiguration-r8(0)
-        w.opt(False)               # measConfig
-        w.opt(False)               # mobilityControlInfo
+        w.opt(m.meas_config is not None)
+        w.opt(m.mobility is not None)
         w.opt(bool(m.nas_list))    # dedicatedInfoNASList
         w.opt(m.rrcd is not None)  # radioResourceConfigDedicated
-        w.opt(False)               # securityConfigHO
+        w.opt(m.sec_ho is not None)
         w.opt(False)               # nonCriticalExtension
+        if m.meas_config is not None:
+            rrc_meas.pack_meas_config(w, m.meas_config)
+        if m.mobility is not None:
+            rrc_meas.pack_mobility_control_info(w, m.mobility)
         if m.nas_list:
             w.length(len(m.nas_list), 1, 11)
             for nas in m.nas_list:
                 w.octets(nas)
         if m.rrcd is not None:
             _pack_rrcd(w, m.rrcd)
+        if m.sec_ho is not None:
+            rrc_meas.pack_security_config_ho(w, m.sec_ho)
     elif isinstance(m, RrcConnectionRelease):
         w.cint(_DL_DCCH_RELEASE, 0, 15)
         w.cint(m.rrc_ti, 0, 3)
@@ -722,19 +735,21 @@ def unpack_dl_dcch(bits: np.ndarray):
         r.bit()
         if r.cint(0, 7) != 0:
             raise ValueError("not r8")
+        from lteax.stack import rrc_meas
         has_meas, has_mob = r.opt(), r.opt()
         has_nas, has_rrcd = r.opt(), r.opt()
         has_sec, _ = r.opt(), r.opt()
-        if has_meas or has_mob or has_sec:
-            raise ValueError("measConfig/mobility/securityConfigHO "
-                             "not supported")
+        meas = rrc_meas.unpack_meas_config(r) if has_meas else None
+        mob = rrc_meas.unpack_mobility_control_info(r) if has_mob else None
         nas_list: tuple[bytes, ...] = ()
         if has_nas:
             nas_list = tuple(r.octets()
                              for _ in range(r.length(1, 11)))
         rrcd = _unpack_rrcd(r) if has_rrcd else None
+        sec = rrc_meas.unpack_security_config_ho(r) if has_sec else None
         return RrcConnectionReconfiguration(rrc_ti=ti, nas_list=nas_list,
-                                            rrcd=rrcd)
+                                            rrcd=rrcd, meas_config=meas,
+                                            mobility=mob, sec_ho=sec)
     if alt == _DL_DCCH_RELEASE:
         ti = r.cint(0, 3)
         r.bit()

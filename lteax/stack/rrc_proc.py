@@ -107,6 +107,10 @@ class EnbRrc:
         self._next_ip = 2
         self._rng = np.random.default_rng(seed)
         self.events: list[str] = []
+        # handover neighbour map: target PCI -> target DL EARFCN (a
+        # MeasurementReport naming one of these stronger than serving
+        # triggers start_handover)
+        self.neighbors: dict[int, int] = {}
 
     def proc(self, rnti: int) -> _EnbUeProc | None:
         return self._procs.get(rnti)
@@ -193,6 +197,13 @@ class EnbRrc:
             self.events.append(
                 f"meas-report id={msg.meas_id} rsrp={msg.serv_rsrp} "
                 f"neigh={[n.phys_cell_id for n in msg.neigh]}")
+            # A3-style handover decision: any configured neighbour reported
+            # stronger than serving triggers the handover command
+            for n in msg.neigh:
+                if (n.phys_cell_id in self.neighbors
+                        and n.rsrp is not None
+                        and n.rsrp > msg.serv_rsrp):
+                    return self.start_handover(rnti, n.phys_cell_id)
             return []
         if isinstance(msg, rd.UlInformationTransfer):
             return self._on_nas(p, msg.nas)
@@ -211,6 +222,12 @@ class EnbRrc:
                         f"{[b.band for b in p.ue_caps.bands]}")
             return self._send_reconfiguration(p)
         if isinstance(msg, rd.RrcConnectionReconfigurationComplete):
+            if p.state == "wait-ho-complete":
+                # target-cell ReconfigurationComplete ends the handover
+                p.state = p.resume_state or "attach-done"
+                p.resume_state = ""
+                self.events.append("handover-complete")
+                return []
             # RRC connection is up; p.state stays wait-attach-complete
             # until the NAS AttachComplete lands
             u = self.users.find(rnti)
@@ -366,6 +383,65 @@ class EnbRrc:
         rel = rd.RrcConnectionRelease(rrc_ti=3, cause="other")
         return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rel)))]
 
+    # -- measurements + intra-LTE handover (36.331 §5.5 / §5.3.5.4) ---------
+    def configure_measurements(self, rnti: int, a3_offset: int = 6,
+                               earfcn: int | None = None
+                               ) -> list[tuple[str, bytes]]:
+        """Send an A3 (neighbour-better-than-serving) measurement config on
+        the serving carrier.  (reference capability: liblte_rrc meas-config
+        IEs; the reference eNB never sent them — capability beyond.)"""
+        from lteax.stack import rrc_meas as rmx
+        assert rnti in self._procs
+        mc = rmx.MeasConfig(
+            objects=((1, rmx.MeasObjectEutra(
+                carrier_freq=self.earfcn if earfcn is None else earfcn)),),
+            reports=((1, rmx.ReportConfigEutra(
+                event="a3", a3_offset=a3_offset, hysteresis=2,
+                time_to_trigger=8)),),
+            ids=(rmx.MeasIdToAddMod(1, 1, 1),))
+        self.events.append("meas-config")
+        rec = rd.RrcConnectionReconfiguration(rrc_ti=0, meas_config=mc)
+        return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rec)))]
+
+    def _alloc_rnti(self) -> int:
+        r = 0x60
+        while r in self._procs:
+            r += 1
+        return r
+
+    def start_handover(self, rnti: int, target_pci: int,
+                       new_rnti: int | None = None,
+                       target_earfcn: int | None = None,
+                       preamble: int = 5) -> list[tuple[str, bytes]]:
+        """Issue the intra-LTE handover command: a reconfiguration with
+        mobilityControlInfo (target PCI/C-RNTI, dedicated RACH preamble)
+        and securityConfigHO; the eNB-side context moves to the new C-RNTI
+        with KeNB* keying (33.401 A.5, horizontal NCC=0)."""
+        from lteax.stack import rrc_meas as rmx
+        p = self._procs[rnti]
+        if new_rnti is None:
+            new_rnti = self._alloc_rnti()
+        tearf = self.neighbors.get(
+            target_pci, self.earfcn if target_earfcn is None
+            else target_earfcn)
+        if target_earfcn is not None:
+            tearf = target_earfcn
+        p.resume_state = p.state
+        p.state = "wait-ho-complete"
+        p.k_enb = security.generate_k_enb_star(p.k_enb, target_pci, tearf)
+        del self._procs[rnti]
+        p.rnti = new_rnti
+        self._procs[new_rnti] = p
+        mob = rmx.MobilityControlInfo(
+            target_pci=target_pci, t304=3, new_ue_identity=new_rnti,
+            dl_carrier_freq=tearf, rach_dedicated=(preamble, 0))
+        rec = rd.RrcConnectionReconfiguration(
+            rrc_ti=1, mobility=mob,
+            sec_ho=rmx.SecurityConfigHO(next_hop_chaining_count=0))
+        self.events.append(f"handover-command target_pci={target_pci} "
+                           f"new_rnti={new_rnti:#x}")
+        return [("dcch", bits_to_bytes(rd.pack_dl_dcch(rec)))]
+
 
 # ---------------------------------------------------------------------------
 # UE side
@@ -390,6 +466,8 @@ class UeRrc:
         self.ip: tuple | None = None
         self.network_name: str | None = None
         self.events: list[str] = []
+        self.c_rnti: int | None = None     # set by handover commands
+        self.meas_config = None            # rrc_meas.MeasConfig when set
 
     def detach(self) -> list[tuple[str, bytes]]:
         """UE-initiated detach (24.301 §5.5.2.2)."""
@@ -550,6 +628,30 @@ class UeRrc:
 
     def _on_reconfiguration(self, msg: rd.RrcConnectionReconfiguration
                             ) -> list[tuple[str, bytes]]:
+        if msg.mobility is not None:
+            # intra-LTE handover (36.331 §5.3.5.4): sync to the target cell,
+            # take the new C-RNTI, refresh KeNB per securityConfigHO
+            mob = msg.mobility
+            ncc = msg.sec_ho.next_hop_chaining_count if msg.sec_ho else 0
+            earf = (mob.dl_carrier_freq if mob.dl_carrier_freq is not None
+                    else 0)
+            self.k_enb = security.generate_k_enb_star(
+                self.k_enb, mob.target_pci, earf)
+            self.c_rnti = mob.new_ue_identity
+            self.events.append(
+                f"handover target_pci={mob.target_pci} ncc={ncc} "
+                f"preamble={mob.rach_dedicated}")
+            done = rd.RrcConnectionReconfigurationComplete(
+                rrc_ti=msg.rrc_ti)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
+        if (msg.meas_config is not None and msg.rrcd is None
+                and not msg.nas_list):
+            # measurement-only reconfiguration while connected
+            self.meas_config = msg.meas_config
+            self.events.append("meas-configured")
+            done = rd.RrcConnectionReconfigurationComplete(
+                rrc_ti=msg.rrc_ti)
+            return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
         assert self.state == "wait-reconfiguration", self.state
         out: list[tuple[str, bytes]] = []
         attach_esm = None

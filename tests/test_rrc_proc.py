@@ -178,3 +178,60 @@ def test_measurement_report_and_smc_failure_events():
     assert enb.on_ul_dcch(RNTI, raw) == []
     assert any(e.startswith("meas-report id=2") and "neigh=[3]" in e
                for e in enb.events)
+
+
+def test_measurement_driven_handover():
+    """A3 meas config -> UE MeasurementReport -> handover command with
+    mobilityControlInfo/securityConfigHO -> complete on the target C-RNTI,
+    with KeNB* chained identically on both sides (33.401 A.5)."""
+    from lteax.stack.rrc_dedicated import MeasResultEutra
+
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=11)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    k_before = ue.k_enb
+
+    enb.neighbors[350] = 6300          # PCI 350 lives on EARFCN 6300
+    (chan, raw), = enb.configure_measurements(RNTI)
+    assert chan == "dcch"
+    replies = ue.on_dl_dcch(raw)
+    assert ue.meas_config is not None
+    assert ue.meas_config.reports[0][1].event == "a3"
+    for _, up in replies:
+        assert enb.on_ul_dcch(RNTI, up) == []
+
+    # neighbour 350 stronger than serving -> eNB issues the HO command
+    (_, rep), = ue.measurement_report(
+        1, serv_rsrp=50, serv_rsrq=20, neigh=(MeasResultEutra(350, rsrp=60),))
+    cmds = enb.on_ul_dcch(RNTI, rep)
+    assert len(cmds) == 1
+    assert any(e.startswith("handover-command") for e in enb.events)
+
+    replies = ue.on_dl_dcch(cmds[0][1])
+    new_rnti = ue.c_rnti
+    assert new_rnti is not None and new_rnti != RNTI
+    assert enb.proc(RNTI) is None
+    p = enb.proc(new_rnti)
+    assert p is not None and p.state == "wait-ho-complete"
+
+    # ReconfigurationComplete lands on the target cell / new C-RNTI
+    (_, up), = replies
+    assert enb.on_ul_dcch(new_rnti, up) == []
+    assert p.state == "attach-done"
+    assert "handover-complete" in enb.events
+    # keys refreshed and equal on both sides
+    assert ue.k_enb == p.k_enb and ue.k_enb != k_before
+
+
+def test_explicit_handover_no_measurements():
+    enb = EnbRrc(_mk_hss(), UserManager(), seed=11)
+    ue = UeRrc(IMSI, bytes.fromhex(K_HEX), bytes.fromhex(OPC_HEX))
+    _pump(enb, ue, RNTI)
+    cmds = enb.start_handover(RNTI, target_pci=17, new_rnti=0x99,
+                              target_earfcn=2850, preamble=11)
+    replies = ue.on_dl_dcch(cmds[0][1])
+    assert ue.c_rnti == 0x99
+    assert any("preamble=(11, 0)" in e for e in ue.events)
+    assert enb.on_ul_dcch(0x99, replies[0][1]) == []
+    assert enb.proc(0x99).state == "attach-done"
+    assert ue.k_enb == enb.proc(0x99).k_enb
