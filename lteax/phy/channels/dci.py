@@ -452,3 +452,178 @@ def dci_2_unpack(bits: np.ndarray, n_rb: int) -> Dci2 | None:
     if len(bits) != dci_2_size(n_rb):
         return None
     return _dci_2x_unpack(bits, n_rb, 3)
+
+
+# ---------------------------------------------------------------------------
+# DCI formats 1B / 1D (36.212 §5.3.3.1.3A / §5.3.3.1.4A) — rank-1
+# closed-loop precoding grants (TM6) and MU-MIMO grants (TM5)
+# ---------------------------------------------------------------------------
+#
+# Same contiguous-RIV body as format 1A but without the 0/1A format flag,
+# plus TPMI precoding information (2 bits for 2 antenna ports, 4 for 4)
+# and one trailing bit: PMI confirmation (1B) or downlink power offset (1D).
+# (reference capability: liblte_phy.cc carries only 1A — formats beyond are
+# capability-plus; sizes follow the §5.3.3.1.2 padding rules: never an
+# ambiguous size and never equal to the 0/1A size monitored alongside.)
+
+
+@dataclasses.dataclass
+class Dci1B:
+    rb_start: int
+    l_crb: int
+    mcs: int
+    rv: int
+    harq: int = 0
+    ndi: int = 0
+    tpc: int = 0
+    tpmi: int = 0          # codebook index for rank-1 precoding
+    pmi_confirm: int = 0   # 1 = precoder follows the UE's PMI report
+    distributed: bool = False
+
+
+@dataclasses.dataclass
+class Dci1D:
+    rb_start: int
+    l_crb: int
+    mcs: int
+    rv: int
+    harq: int = 0
+    ndi: int = 0
+    tpc: int = 0
+    tpmi: int = 0
+    dl_power_offset: int = 0   # 1 = -10log10(2) dB (MU-MIMO power split)
+    distributed: bool = False
+
+
+def _tpmi_bits(n_ant: int) -> int:
+    return 2 if n_ant == 2 else 4
+
+
+def _dci_1bd_size(n_rb: int, n_ant: int) -> int:
+    n = 1 + riv_bits(n_rb) + 5 + 3 + 1 + 2 + 2 + _tpmi_bits(n_ant) + 1
+    while n == dci_1a_size(n_rb) or n in AMBIGUOUS_SIZES:
+        n += 1
+    return n
+
+
+def dci_1b_size(n_rb: int, n_ant: int = 2) -> int:
+    return _dci_1bd_size(n_rb, n_ant)
+
+
+def dci_1d_size(n_rb: int, n_ant: int = 2) -> int:
+    return _dci_1bd_size(n_rb, n_ant)
+
+
+def _dci_1bd_pack(d, n_rb: int, n_ant: int, last_bit: int) -> np.ndarray:
+    bits: list[int] = []
+    _put(bits, 1 if d.distributed else 0, 1)
+    _put(bits, riv_encode(n_rb, d.rb_start, d.l_crb), riv_bits(n_rb))
+    _put(bits, d.mcs, 5)
+    _put(bits, d.harq, 3)
+    _put(bits, d.ndi, 1)
+    _put(bits, d.rv, 2)
+    _put(bits, d.tpc, 2)
+    _put(bits, d.tpmi, _tpmi_bits(n_ant))
+    _put(bits, last_bit, 1)
+    while len(bits) < _dci_1bd_size(n_rb, n_ant):
+        bits.append(0)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_1b_pack(d: Dci1B, n_rb: int, n_ant: int = 2) -> np.ndarray:
+    return _dci_1bd_pack(d, n_rb, n_ant, d.pmi_confirm)
+
+
+def dci_1d_pack(d: Dci1D, n_rb: int, n_ant: int = 2) -> np.ndarray:
+    return _dci_1bd_pack(d, n_rb, n_ant, d.dl_power_offset)
+
+
+def _dci_1bd_unpack(bits: np.ndarray, n_rb: int, n_ant: int):
+    pos = 0
+    dist, pos = _get(bits, pos, 1)
+    riv, pos = _get(bits, pos, riv_bits(n_rb))
+    mcs, pos = _get(bits, pos, 5)
+    harq, pos = _get(bits, pos, 3)
+    ndi, pos = _get(bits, pos, 1)
+    rv, pos = _get(bits, pos, 2)
+    tpc, pos = _get(bits, pos, 2)
+    tpmi, pos = _get(bits, pos, _tpmi_bits(n_ant))
+    last, pos = _get(bits, pos, 1)
+    start, l = riv_decode(n_rb, riv)
+    if start + l > n_rb or l < 1:
+        return None
+    return (dict(rb_start=start, l_crb=l, mcs=mcs, rv=rv, harq=harq,
+                 ndi=ndi, tpc=tpc, tpmi=tpmi, distributed=bool(dist)), last)
+
+
+def dci_1b_unpack(bits: np.ndarray, n_rb: int, n_ant: int = 2) -> Dci1B | None:
+    if len(bits) != dci_1b_size(n_rb, n_ant):
+        return None
+    got = _dci_1bd_unpack(bits, n_rb, n_ant)
+    if got is None:
+        return None
+    fields, last = got
+    return Dci1B(pmi_confirm=last, **fields)
+
+
+def dci_1d_unpack(bits: np.ndarray, n_rb: int, n_ant: int = 2) -> Dci1D | None:
+    if len(bits) != dci_1d_size(n_rb, n_ant):
+        return None
+    got = _dci_1bd_unpack(bits, n_rb, n_ant)
+    if got is None:
+        return None
+    fields, last = got
+    return Dci1D(dl_power_offset=last, **fields)
+
+
+# ---------------------------------------------------------------------------
+# DCI formats 3 / 3A (36.212 §5.3.3.1.6 / §5.3.3.1.7) — group TPC commands
+# on TPC-PUCCH-RNTI / TPC-PUSCH-RNTI; payload size equals format 0/1A
+# ---------------------------------------------------------------------------
+
+
+def dci_3_n_commands(n_rb: int) -> int:
+    return dci_1a_size(n_rb) // 2
+
+
+def dci_3a_n_commands(n_rb: int) -> int:
+    return dci_1a_size(n_rb)
+
+
+def dci_3_pack(tpc_commands, n_rb: int) -> np.ndarray:
+    """N = floor(L_1A/2) two-bit TPC commands; missing commands pad as 0."""
+    size = dci_1a_size(n_rb)
+    n = dci_3_n_commands(n_rb)
+    if len(tpc_commands) > n:
+        raise ValueError("too many TPC commands")
+    bits: list[int] = []
+    for c in tpc_commands:
+        _put(bits, c, 2)
+    while len(bits) < size:
+        bits.append(0)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_3_unpack(bits: np.ndarray, n_rb: int) -> tuple[int, ...] | None:
+    if len(bits) != dci_1a_size(n_rb):
+        return None
+    n = dci_3_n_commands(n_rb)
+    return tuple(int(bits[2 * i]) * 2 + int(bits[2 * i + 1])
+                 for i in range(n))
+
+
+def dci_3a_pack(tpc_commands, n_rb: int) -> np.ndarray:
+    """M = L_1A one-bit TPC commands."""
+    size = dci_1a_size(n_rb)
+    if len(tpc_commands) > size:
+        raise ValueError("too many TPC commands")
+    bits = [int(c) & 1 for c in tpc_commands]
+    while len(bits) < size:
+        bits.append(0)
+    return np.asarray(bits, dtype=np.int32)
+
+
+def dci_3a_unpack(bits: np.ndarray, n_rb: int) -> tuple[int, ...] | None:
+    if len(bits) != dci_1a_size(n_rb):
+        return None
+    return tuple(int(b) for b in bits)

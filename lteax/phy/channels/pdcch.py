@@ -280,3 +280,39 @@ def pdcch_blind_decode_0(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
     from lteax.phy.channels.dci import dci_1a_size, dci_0_unpack
     return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
                          lambda b: dci_0_unpack(b, n_rb), subframe)
+
+
+def pdcch_blind_decode_1b(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int, subframe: int | None = None,
+                          n_ant: int = 2) -> list:
+    """Blind-decode DCI format 1B (TM6 rank-1 closed-loop grants)."""
+    from lteax.phy.channels.dci import dci_1b_size, dci_1b_unpack
+    return _blind_decode(logical_llrs, dci_1b_size(n_rb, n_ant), rnti,
+                         n_cces, lambda b: dci_1b_unpack(b, n_rb, n_ant),
+                         subframe)
+
+
+def pdcch_blind_decode_1d(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int, subframe: int | None = None,
+                          n_ant: int = 2) -> list:
+    """Blind-decode DCI format 1D (TM5 MU-MIMO grants)."""
+    from lteax.phy.channels.dci import dci_1d_size, dci_1d_unpack
+    return _blind_decode(logical_llrs, dci_1d_size(n_rb, n_ant), rnti,
+                         n_cces, lambda b: dci_1d_unpack(b, n_rb, n_ant),
+                         subframe)
+
+
+def pdcch_blind_decode_3(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                         n_cces: int, subframe: int | None = None) -> list:
+    """Blind-decode DCI format 3 (2-bit group TPC on a TPC-RNTI)."""
+    from lteax.phy.channels.dci import dci_1a_size, dci_3_unpack
+    return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
+                         lambda b: dci_3_unpack(b, n_rb), subframe)
+
+
+def pdcch_blind_decode_3a(logical_llrs: jnp.ndarray, n_rb: int, rnti: int,
+                          n_cces: int, subframe: int | None = None) -> list:
+    """Blind-decode DCI format 3A (1-bit group TPC on a TPC-RNTI)."""
+    from lteax.phy.channels.dci import dci_1a_size, dci_3a_unpack
+    return _blind_decode(logical_llrs, dci_1a_size(n_rb), rnti, n_cces,
+                         lambda b: dci_3a_unpack(b, n_rb), subframe)

@@ -269,3 +269,65 @@ def test_pdcch_blind_decode_format1():
     dci, start, l_agg = found[0]
     assert dci.rbg_bitmap == bm and dci.mcs == 9 and dci.harq == 2
     assert dci.prbs(cfg.n_rb_dl) == [1, 4]
+
+
+def test_dci_1b_1d_roundtrip():
+    from lteax.phy.channels.dci import (Dci1B, Dci1D, dci_1b_pack,
+                                        dci_1b_unpack, dci_1d_pack,
+                                        dci_1d_unpack, dci_1b_size,
+                                        dci_1a_size, AMBIGUOUS_SIZES)
+    for n_rb in (6, 25, 50, 100):
+        for n_ant in (2, 4):
+            sz = dci_1b_size(n_rb, n_ant)
+            assert sz not in AMBIGUOUS_SIZES and sz != dci_1a_size(n_rb)
+            d = Dci1B(rb_start=2, l_crb=3, mcs=17, rv=2, harq=5, ndi=1,
+                      tpc=3, tpmi=n_ant - 1, pmi_confirm=1, distributed=False)
+            back = dci_1b_unpack(dci_1b_pack(d, n_rb, n_ant), n_rb, n_ant)
+            assert back == d
+            e = Dci1D(rb_start=1, l_crb=4, mcs=8, rv=0, tpmi=1,
+                      dl_power_offset=1)
+            back = dci_1d_unpack(dci_1d_pack(e, n_rb, n_ant), n_rb, n_ant)
+            assert back == e
+
+
+def test_dci_3_3a_roundtrip():
+    from lteax.phy.channels.dci import (dci_3_pack, dci_3_unpack,
+                                        dci_3a_pack, dci_3a_unpack,
+                                        dci_3_n_commands, dci_3a_n_commands,
+                                        dci_1a_size)
+    for n_rb in (6, 50, 100):
+        n = dci_3_n_commands(n_rb)
+        cmds = tuple((i * 7) % 4 for i in range(n))
+        bits = dci_3_pack(cmds, n_rb)
+        assert len(bits) == dci_1a_size(n_rb)
+        assert dci_3_unpack(bits, n_rb) == cmds
+        m = dci_3a_n_commands(n_rb)
+        cmds1 = tuple(i % 2 for i in range(m))
+        bits = dci_3a_pack(cmds1, n_rb)
+        assert dci_3a_unpack(bits, n_rb) == cmds1
+
+
+def test_pdcch_blind_decode_1b_and_3():
+    """Formats 1B (UE-specific TM6 grant) and 3 (TPC-RNTI group power
+    control) through the PDCCH encode -> blind decode loop."""
+    from lteax.phy.channels.dci import (Dci1B, dci_1b_pack, dci_3_pack,
+                                        dci_3_n_commands)
+    cfg = PhyConfig(n_rb_dl=25)
+    cfi, sf, ng = 3, 2, 1.0
+    rnti_ue, rnti_tpc = 0x3D, 0x10
+    ncce = pdcch.n_cce(cfg, NID, cfi, ng)
+    assert ncce >= 8, ncce
+    d = Dci1B(rb_start=3, l_crb=2, mcs=12, rv=0, tpmi=2, pmi_confirm=1)
+    bits_b = dci_1b_pack(d, cfg.n_rb_dl)
+    cmds = tuple(i % 4 for i in range(dci_3_n_commands(cfg.n_rb_dl)))
+    bits_3 = dci_3_pack(cmds, cfg.n_rb_dl)
+    sym = pdcch.pdcch_encode([(bits_b, rnti_ue, 0, 4),
+                              (bits_3, rnti_tpc, 4, 4)],
+                             cfg, NID, cfi, ng, sf)[0]
+    llr = np.asarray(demodulate_maxlog(sym, "qpsk"))
+    logical = pdcch.pdcch_llrs_to_logical(jnp.asarray(llr), cfg, NID, cfi,
+                                          ng, sf)
+    found = pdcch.pdcch_blind_decode_1b(logical, cfg.n_rb_dl, rnti_ue, ncce)
+    assert found and found[0][0] == d
+    found3 = pdcch.pdcch_blind_decode_3(logical, cfg.n_rb_dl, rnti_tpc, ncce)
+    assert found3 and found3[0][0] == cmds
