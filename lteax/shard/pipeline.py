@@ -210,8 +210,11 @@ def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
 
     def front(g_iq):                         # (14, m_sc, 2) f32
         grid = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
-        h0 = grid[pu.DMRS_SYMS[0]] * ref0
-        h1 = grid[pu.DMRS_SYMS[1]] * ref1
+        # delay-domain denoised LS chest (see pusch.chest_taps: the raw
+        # per-subcarrier estimate costs ~3 dB effective SNR and a full
+        # extra turbo iteration batch-wide)
+        h0 = pu.chest_denoise(grid[pu.DMRS_SYMS[0]] * ref0)
+        h1 = pu.chest_denoise(grid[pu.DMRS_SYMS[1]] * ref1)
         h = (1 - w) * h0[None] + w * h1[None]
         y = grid[jnp.asarray(data_syms)]
         p = jnp.abs(h) ** 2
