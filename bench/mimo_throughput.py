@@ -92,7 +92,8 @@ def main():
     # extraction, one chest call per port (RX rows batched), hoisted
     # scrambling, batch-level de-match, two-program split, fused Pallas
     # turbo over both codewords with early stop + compacted retry
-    os.environ.setdefault("LTEAX_PRINT_ITERS", "1")
+    # (set LTEAX_PRINT_ITERS=1 for the iteration diagnostic — it measurably
+    # slows the pipeline, so it is not on by default)
     from lteax.shard.pipeline import make_mimo_batch_decoder
     f = make_mimo_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom, scheme,
                                 n_iter=a.iters)

@@ -299,14 +299,25 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
     early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
 
+    # chest mode: "ls" = LS + linear 2D interp, "mmse" = Wiener frequency
+    # interpolation (chest.estimate_channel_mmse) — lower chest noise means
+    # fewer batch-wide turbo iterations (same mechanism as the UL
+    # delay-domain denoising; see bench/ul_iterprobe.py)
+    chest_mode = os.environ.get("LTEAX_MIMO_CHEST", "mmse")
+
     def front(sub_iq):                       # (2 rx, n_samps, 2)
         s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
         grids = samples_to_subframe(s, cfg)              # (2, 14, n_sc)
-        # one chest call per TX port, both RX rows ride the leading dim
-        h = jnp.stack([extract(chest.estimate_channel(
-            grids, cfg, n_cell_id, subframe, port=t)
-            .reshape(2, -1)) for t in range(2)], axis=-2)   # (2rx, 2tx, M)
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
+        # one chest call per TX port, both RX rows ride the leading dim
+        if chest_mode == "mmse":
+            est = lambda t: chest.estimate_channel_mmse(
+                grids, cfg, n_cell_id, subframe, port=t, noise_var=nvar)
+        else:
+            est = lambda t: chest.estimate_channel(
+                grids, cfg, n_cell_id, subframe, port=t)
+        h = jnp.stack([extract(est(t).reshape(2, -1))
+                       for t in range(2)], axis=-2)         # (2rx, 2tx, M)
         y = extract(grids.reshape(2, -1))                # (2rx, M)
         x_hat, eff = mimo.mmse_demix_2layers(y, mimo.heff_tm3(h), nvar)
         llr = demodulate_maxlog(x_hat.reshape(-1), scheme, eff.reshape(-1))
