@@ -311,8 +311,12 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
         # one chest call per TX port, both RX rows ride the leading dim
         if chest_mode == "mmse":
+            # STATIC noise prior -> host-precomputed Wiener matrix (the
+            # traced-nv on-device solve is bf16-catastrophic on TPU)
+            nv_prior = float(os.environ.get("LTEAX_MIMO_CHEST_NV", "3e-3"))
             est = lambda t: chest.estimate_channel_mmse(
-                grids, cfg, n_cell_id, subframe, port=t, noise_var=nvar)
+                grids, cfg, n_cell_id, subframe, port=t,
+                noise_var=nv_prior)
         else:
             est = lambda t: chest.estimate_channel(
                 grids, cfg, n_cell_id, subframe, port=t)
