@@ -79,8 +79,12 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
 
     # batch-invariant scrambling signs, precomputed on host (computing the
     # Gold sequence inside the vmapped front cost ~6 ms/batch(384))
+    # c_init computed in python ints: the eager jnp _c_init path hits the
+    # axon backend's eager-dispatch rejection intermittently (FAILED_
+    # PRECONDITION during decoder construction)
     sgn = jnp.asarray(seq.scrambling_symbols_np(
-        _c_init(rnti, subframe, n_cell_id), geom.g))
+        int(rnti) * 2 ** 14 + int(subframe) * 512 + int(n_cell_id),
+        geom.g))
 
     def front(samples_iq):
         # device-boundary IQ may be f32, bf16 or int8 pairs (bf16/int8 halve/
@@ -196,7 +200,8 @@ def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
         [(s - pu.DMRS_SYMS[0]) / (pu.DMRS_SYMS[1] - pu.DMRS_SYMS[0])
          for s in data_syms], dtype=np.float32), 0.0, 1.0)[:, None]
     sgn = jnp.asarray(seq.scrambling_symbols_np(
-        pu._c_init(rnti, subframe, n_cell_id), geom.g))
+        int(rnti) * 2 ** 14 + int(subframe) * 512 + int(n_cell_id),
+        geom.g))   # python-int c_init: avoids eager axon dispatch
     r_mux = geom.g // (12 * alloc.qm)
     assert geom.g == 12 * r_mux * alloc.qm, "data-only PUSCH interleaver"
     nv = noise_var
@@ -285,12 +290,13 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     from lteax.phy.channels.pdsch import _c_init, soft_dematch
     from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
-    re_idx = pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe)
-    extract, _, _ = make_flat_extractor(re_idx, cfg.n_sym_subframe, cfg.n_sc)
+    re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
     d_len = geom.k + 4
     sgn = jnp.asarray(np.stack(
-        [seq.scrambling_symbols_np(_c_init(rnti, subframe, n_cell_id, q),
-                                   geom.g) for q in range(2)]))
+        [seq.scrambling_symbols_np(
+            int(rnti) * 2 ** 14 + q * 2 ** 13 + int(subframe) * 512
+            + int(n_cell_id), geom.g)
+         for q in range(2)]))   # python-int c_init: avoids eager axon dispatch
 
     mdtype = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16")
     win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
@@ -305,30 +311,39 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     # delay-domain denoising; see bench/ul_iterprobe.py)
     chest_mode = os.environ.get("LTEAX_MIMO_CHEST", "mmse")
 
+    nv_prior = float(os.environ.get("LTEAX_MIMO_CHEST_NV", "3e-3"))
+
     def front(sub_iq):                       # (2 rx, n_samps, 2)
+        # NOTE front structure chosen by measurement (bench/mimo_front_probe*):
+        # per-rx chest calls + flat re_idx gathers + per-codeword demap with
+        # the de-match hoisted to batch level measured 43 ms/batch(192);
+        # "cleaner" batched-chest + structured-extract + joint-demap combos
+        # measured 81-82 ms (backend fusion interaction — each change alone
+        # is neutral).
         s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
-        grids = samples_to_subframe(s, cfg)              # (2, 14, n_sc)
-        nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
-        # one chest call per TX port, both RX rows ride the leading dim
+        grids = jax.vmap(lambda ss: samples_to_subframe(ss, cfg))(s)
         if chest_mode == "mmse":
             # STATIC noise prior -> host-precomputed Wiener matrix (the
             # traced-nv on-device solve is bf16-catastrophic on TPU)
-            nv_prior = float(os.environ.get("LTEAX_MIMO_CHEST_NV", "3e-3"))
-            est = lambda t: chest.estimate_channel_mmse(
-                grids, cfg, n_cell_id, subframe, port=t,
+            est = lambda r, t: chest.estimate_channel_mmse(
+                grids[r], cfg, n_cell_id, subframe, port=t,
                 noise_var=nv_prior)
         else:
-            est = lambda t: chest.estimate_channel(
-                grids, cfg, n_cell_id, subframe, port=t)
-        h = jnp.stack([extract(est(t).reshape(2, -1))
-                       for t in range(2)], axis=-2)         # (2rx, 2tx, M)
-        y = extract(grids.reshape(2, -1))                # (2rx, M)
+            est = lambda r, t: chest.estimate_channel(
+                grids[r], cfg, n_cell_id, subframe, port=t)
+        h = jnp.stack([jnp.stack([est(r, t).reshape(-1)[re_idx]
+                                  for t in range(2)]) for r in range(2)])
+        nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
+        y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
         x_hat, eff = mimo.mmse_demix_2layers(y, mimo.heff_tm3(h), nvar)
-        llr = demodulate_maxlog(x_hat.reshape(-1), scheme, eff.reshape(-1))
-        llr = llr.reshape(2, geom.g) * sgn               # (2 cw, G)
-        if mdtype.startswith("bf16"):
-            llr = llr.astype(jnp.bfloat16)
-        return llr
+        outs = []
+        for q in range(2):
+            llr = demodulate_maxlog(x_hat[q], scheme, eff[q])
+            llr = llr * sgn[q]
+            if mdtype.startswith("bf16"):
+                llr = llr.astype(jnp.bfloat16)
+            outs.append(llr)
+        return jnp.stack(outs)               # (2 cw, G)
 
     def stage_front(batch_iq):               # (2rx, B, n_samps, 2)
         llr = jax.vmap(front, in_axes=1)(batch_iq)       # (B, 2, G)
