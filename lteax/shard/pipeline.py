@@ -305,11 +305,12 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
     early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
 
-    # chest mode: "ls" = LS + linear 2D interp, "mmse" = Wiener frequency
-    # interpolation (chest.estimate_channel_mmse) — lower chest noise means
-    # fewer batch-wide turbo iterations (same mechanism as the UL
-    # delay-domain denoising; see bench/ul_iterprobe.py)
-    chest_mode = os.environ.get("LTEAX_MIMO_CHEST", "mmse")
+    # chest mode: "ls" = LS + linear 2D interp (default), "mmse" = Wiener
+    # frequency interpolation (chest.estimate_channel_mmse).  Same-session
+    # A/B at B=192 / 25 dB: ls 496.8 Mbit/s (58.3 ms sustained), mmse
+    # 397.4 (72.8 ms) — the HIGHEST-precision Wiener matmuls cost ~14 ms
+    # and do not cut the batch iteration count at this operating point.
+    chest_mode = os.environ.get("LTEAX_MIMO_CHEST", "ls")
 
     nv_prior = float(os.environ.get("LTEAX_MIMO_CHEST_NV", "3e-3"))
 
