@@ -607,6 +607,45 @@ def unpack_tau_complete(data: bytes) -> bool:
     return len(data) >= 2 and data[0] == PD_EMM and data[1] == MT_TAU_COMPLETE
 
 
+MT_DL_NAS_TRANSPORT = 0x62
+MT_UL_NAS_TRANSPORT = 0x63
+
+
+def pack_dl_nas_transport(container: bytes) -> bytes:
+    """DOWNLINK NAS TRANSPORT (24.301 §8.2.12): carries an SMS-CP message
+    transparently inside the NAS message container LV IE.
+
+    (reference capability: ``liblte_mme_pack_downlink_nas_transport_msg``.)"""
+    assert len(container) <= 252
+    return bytes([PD_EMM, MT_DL_NAS_TRANSPORT, len(container)]) + container
+
+
+@_safe
+def unpack_dl_nas_transport(data: bytes) -> bytes | None:
+    if data[0] != PD_EMM or data[1] != MT_DL_NAS_TRANSPORT:
+        return None
+    n = data[2]
+    if len(data) < 3 + n:
+        return None
+    return bytes(data[3:3 + n])
+
+
+def pack_ul_nas_transport(container: bytes) -> bytes:
+    """UPLINK NAS TRANSPORT (24.301 §8.2.30)."""
+    assert len(container) <= 252
+    return bytes([PD_EMM, MT_UL_NAS_TRANSPORT, len(container)]) + container
+
+
+@_safe
+def unpack_ul_nas_transport(data: bytes) -> bytes | None:
+    if data[0] != PD_EMM or data[1] != MT_UL_NAS_TRANSPORT:
+        return None
+    n = data[2]
+    if len(data) < 3 + n:
+        return None
+    return bytes(data[3:3 + n])
+
+
 def pack_emm_status(cause: int) -> bytes:
     return _pack_cause_msg(MT_EMM_STATUS, cause)
 

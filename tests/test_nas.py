@@ -174,3 +174,17 @@ def test_esm_information_and_deactivation():
     assert nas.unpack_esm_status(
         nas.pack_esm_status(5, 7, nas.ESM_CAUSE_PROTOCOL_ERROR)) == \
         (5, 7, nas.ESM_CAUSE_PROTOCOL_ERROR)
+
+
+def test_nas_transport_roundtrip():
+    """DL/UL NAS TRANSPORT carry an opaque SMS-CP container (24.301
+    §8.2.12/§8.2.30; reference: liblte_mme_pack_downlink_nas_transport)."""
+    sms = bytes([0x09, 0x01, 0x23, 0x0B] + list(range(11)))
+    wire = nas.pack_dl_nas_transport(sms)
+    assert nas.unpack_dl_nas_transport(wire) == sms
+    assert nas.unpack_ul_nas_transport(wire) is None      # wrong MT
+    wire = nas.pack_ul_nas_transport(sms)
+    assert nas.unpack_ul_nas_transport(wire) == sms
+    # truncated container -> None, no raise
+    assert nas.unpack_ul_nas_transport(wire[:-3]) is None
+    assert nas.unpack_ul_nas_transport(b"\x07") is None
