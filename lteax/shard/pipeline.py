@@ -311,6 +311,7 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     # 397.4 (72.8 ms) — the HIGHEST-precision Wiener matmuls cost ~14 ms
     # and do not cut the batch iteration count at this operating point.
     chest_mode = os.environ.get("LTEAX_MIMO_CHEST", "ls")
+    denoise = os.environ.get("LTEAX_MIMO_DENOISE", "0") == "1"
 
     nv_prior = float(os.environ.get("LTEAX_MIMO_CHEST_NV", "3e-3"))
 
@@ -332,6 +333,13 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
         else:
             est = lambda r, t: chest.estimate_channel(
                 grids[r], cfg, n_cell_id, subframe, port=t)
+        if denoise:
+            # delay-domain truncation of the interpolated estimate (the UL
+            # lever applied to the CRS chest: cut chest noise components
+            # outside the CP span before the 2x2 demix)
+            from lteax.phy.channels.pusch import chest_denoise
+            est0 = est
+            est = lambda r, t: chest_denoise(est0(r, t))
         h = jnp.stack([jnp.stack([est(r, t).reshape(-1)[re_idx]
                                   for t in range(2)]) for r in range(2)])
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
