@@ -177,6 +177,83 @@ def run(verbose: bool = True, noise_db: float = 12.0,
                          drb_rx.data) == ip_packet
     log("[3] Ciphered user-plane packet delivered on DRB1")
     result["user_plane"] = True
+
+    # 4. intra-LTE handover over the PHY: A3 meas config -> UE measurement
+    #    report -> handover command on the SOURCE cell -> dedicated-preamble
+    #    RACH + ReconfigurationComplete on the TARGET cell, with KeNB*
+    #    re-keying of SRB1 on both ends (36.331 §5.3.5.4 / 33.401 A.5).
+    #    (reference capability: beyond openLTE's eNB, which never sent
+    #    measConfig/mobilityControlInfo; the liblte_rrc codec carries them.)
+    from lteax.stack.rrc_dedicated import MeasResultEutra
+
+    pci_t, earfcn_t = 350, 6300
+    enb.neighbors[pci_t] = earfcn_t
+    (chan, raw), = enb.configure_measurements(C_RNTI)
+    for chan2, up in _dl(chan, raw):
+        assert _ul(chan2, up) == []
+    assert ue.meas_config is not None
+    log("[4] A3 measurement configuration delivered over PDSCH")
+
+    (_, rep), = ue.measurement_report(
+        1, serv_rsrp=50, serv_rsrq=20,
+        neigh=(MeasResultEutra(pci_t, rsrp=62),))
+    pdu = mac_pdu.pack_mac_pdu(
+        [mac_pdu.MacSubPdu(LCID_DCCH, ul_srb.frame(rep))])
+    got = _ul_sch(pdu, DCCH_TBS, C_RNTI, _next_sf(), cid, noise, rng)
+    sub = mac_pdu.unpack_mac_pdu(got)[0]
+    cmds = enb.on_ul_dcch(C_RNTI, ul_srb.deframe(sub.payload))
+    assert len(cmds) == 1, "measurement report did not trigger handover"
+    # the handover command still rides the SOURCE cell's SRB1
+    ho_replies = _dl(*cmds[0])
+    new_rnti = ue.c_rnti
+    assert new_rnti is not None and ue.ho_rach is not None
+    log(f"[5] Handover command over source-cell PDSCH: target PCI {pci_t}, "
+        f"new C-RNTI 0x{new_rnti:04X}, dedicated preamble "
+        f"{ue.ho_rach[0]}")
+
+    # dedicated-preamble (contention-free) RACH on the TARGET cell
+    burst = prach.generate_prach(u_root, ue.ho_rach[0], ncs)
+    rx = burst + (rng.standard_normal(len(burst))
+                  + 1j * rng.standard_normal(len(burst))) * np.sqrt(noise / 2)
+    dets = prach.detect_prach(rx[ncp:].astype(np.complex64), u_root, ncs)
+    assert dets and max(dets, key=lambda t: t[2])[0] == ue.ho_rach[0]
+    rar = mac_pdu.pack_rar_pdu([mac_pdu.Rar(
+        rapid=ue.ho_rach[0], timing_advance=1, ul_grant=0x123,
+        tc_rnti=new_rnti)])
+    got = _dl_sch(rar, 256, RA_RNTI, 1, pci_t, noise, rng)
+    assert got is not None
+    _, rars = mac_pdu.unpack_rar_pdu(got)
+    assert rars[0].tc_rnti == new_rnti
+
+    # SRB1 re-keys from KeNB* on both ends; PDCP COUNTs restart
+    dl_t, ul_t = _SrbLink(downlink=True), _SrbLink(downlink=False)
+    _, k_rrc_int_t, _ = security.generate_as_keys(ue.k_enb)
+    dl_t.k_int = ul_t.k_int = k_rrc_int_t
+    # ReconfigurationComplete on the TARGET cell (pci_t scrambling)
+    (chan, comp), = ho_replies
+    pdu = mac_pdu.pack_mac_pdu(
+        [mac_pdu.MacSubPdu(LCID_DCCH, ul_t.frame(comp))])
+    got = _ul_sch(pdu, DCCH_TBS, new_rnti, _next_sf(), pci_t, noise, rng)
+    assert got is not None, "target-cell PUSCH decode failed"
+    sub = mac_pdu.unpack_mac_pdu(got)[0]
+    assert enb.on_ul_dcch(new_rnti, ul_t.deframe(sub.payload)) == []
+    p = enb.proc(new_rnti)
+    assert p is not None and p.state == "attach-done"
+    assert ue.k_enb == p.k_enb
+    assert "handover-complete" in enb.events
+
+    # user plane resumes on the target cell with the refreshed keys
+    _, _, k_up_t = security.generate_as_keys(ue.k_enb)
+    pkt = b"\x45\x00" + bytes(18) + b"pong"
+    drb = pdcp_pdu.pack_drb(pdcp_pdu.PdcpDrbPdu(
+        sn=0, data=security.eea2(k_up_t, 0, 4, 0, pkt)))
+    got = _ul_sch(drb, 504, new_rnti, _next_sf(), pci_t, noise, rng)
+    drb_rx = pdcp_pdu.unpack_drb(got[:len(drb)])
+    _, _, k_up_e = security.generate_as_keys(p.k_enb)
+    assert security.eea2(k_up_e, 0, 4, 0, drb_rx.data) == pkt
+    log(f"[6] Handover complete on PCI {pci_t}: dedicated RACH + "
+        f"re-keyed SRB1 ReconfigurationComplete + user plane resumed")
+    result["handover"] = True
     return result
 
 

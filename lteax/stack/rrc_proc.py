@@ -468,6 +468,8 @@ class UeRrc:
         self.events: list[str] = []
         self.c_rnti: int | None = None     # set by handover commands
         self.meas_config = None            # rrc_meas.MeasConfig when set
+        self.ho_target: tuple | None = None    # (pci, earfcn) from HO cmd
+        self.ho_rach: tuple | None = None      # dedicated (preamble, mask)
 
     def detach(self) -> list[tuple[str, bytes]]:
         """UE-initiated detach (24.301 §5.5.2.2)."""
@@ -638,6 +640,8 @@ class UeRrc:
             self.k_enb = security.generate_k_enb_star(
                 self.k_enb, mob.target_pci, earf)
             self.c_rnti = mob.new_ue_identity
+            self.ho_target = (mob.target_pci, earf)
+            self.ho_rach = mob.rach_dedicated      # dedicated preamble
             self.events.append(
                 f"handover target_pci={mob.target_pci} ncc={ncc} "
                 f"preamble={mob.rach_dedicated}")

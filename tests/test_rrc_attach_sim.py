@@ -1,4 +1,6 @@
-"""Full RRC+NAS attach over the PHY (PRACH -> RAR -> RRC/NAS -> bearer)."""
+"""Full RRC+NAS attach + intra-LTE handover over the PHY
+(PRACH -> RAR -> RRC/NAS -> bearer -> measConfig -> report -> HO command ->
+dedicated RACH + re-keyed complete on the target cell)."""
 
 from lteax.apps.rrc_attach_sim import run
 
@@ -6,4 +8,4 @@ from lteax.apps.rrc_attach_sim import run
 def test_rrc_attach_over_phy():
     res = run(verbose=False)
     assert res == {"rach": True, "as_security": True, "attach": True,
-                   "user_plane": True}
+                   "user_plane": True, "handover": True}
