@@ -1,10 +1,13 @@
-"""Scaling benchmark: samples/s of the sharded bulk decode vs device count
+"""Scaling benchmark: samples/s of the sharded PRODUCTION decode (Pallas
+kernel + early stop + shard-local compacted retry) vs device count
 (north star: >=80% efficiency 1 chip -> N).
 
-On a multi-chip host this measures real ICI scaling; on the single tunneled
-chip (or CPU) it records the 1-device baseline the pod runs compare against.
+On a multi-chip host this measures real ICI scaling of the path that ships;
+on the single tunneled chip (or CPU) it records the 1-device baseline the
+pod runs compare against.  ``--xla-turbo`` benches the slow XLA-scan
+reference decoder instead (the pre-r3 behavior).
 
-    python bench/scaling.py [--n-rb 25] [--per-dev 4]
+    python bench/scaling.py [--n-rb 100] [--mcs 28] [--per-dev 4]
 """
 
 from __future__ import annotations
@@ -22,8 +25,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-rb", type=int, default=25)
-    ap.add_argument("--mcs", type=int, default=16)
+    ap.add_argument("--n-rb", type=int, default=100)
+    ap.add_argument("--mcs", type=int, default=28)
+    ap.add_argument("--xla-turbo", action="store_true",
+                    help="bench the XLA-scan reference decoder instead")
     ap.add_argument("--per-dev", type=int, default=4)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true",
@@ -43,7 +48,8 @@ def main():
     from lteax.phy.channels import pdsch as pdsch_mod
     from lteax.phy.tables.tbs import get_tbs_for_mcs
     from lteax.shard.mesh import make_mesh
-    from lteax.shard.pipeline import make_sharded_decoder
+    from lteax.shard.pipeline import (make_sharded_decoder,
+                                      make_sharded_decoder_pallas)
     from lteax.io.iq import to_iq_f32
 
     cfg = PhyConfig(n_rb_dl=a.n_rb)
@@ -84,8 +90,13 @@ def main():
     for n_dev in [d for d in (1, 2, 4, 8) if d <= n_dev_all]:
         mesh = make_mesh(n_chan=1, n_time=n_dev,
                          devices=jax.devices()[:n_dev])
-        dec = make_sharded_decoder(mesh, cfg, cid, ctrl, prbs, sf, rnti,
-                                   geom, scheme, n_iter=6)
+        if a.xla_turbo:
+            dec = make_sharded_decoder(mesh, cfg, cid, ctrl, prbs, sf, rnti,
+                                       geom, scheme, n_iter=6)
+        else:
+            dec = make_sharded_decoder_pallas(
+                mesh, cfg, cid, ctrl, prbs, sf, rnti, geom, scheme, n_iter=6,
+                interpret=jax.default_backend() == "cpu")
         x = np.tile(x1, (n_dev, 1))
         xd = jnp.asarray(to_iq_f32(x))
         out = dec(xd)

@@ -598,6 +598,8 @@ def dci_3_pack(tpc_commands, n_rb: int) -> np.ndarray:
         raise ValueError("too many TPC commands")
     bits: list[int] = []
     for c in tpc_commands:
+        if not 0 <= int(c) <= 3:
+            raise ValueError(f"TPC command {c} out of range 0..3")
         _put(bits, c, 2)
     while len(bits) < size:
         bits.append(0)
@@ -617,7 +619,10 @@ def dci_3a_pack(tpc_commands, n_rb: int) -> np.ndarray:
     size = dci_1a_size(n_rb)
     if len(tpc_commands) > size:
         raise ValueError("too many TPC commands")
-    bits = [int(c) & 1 for c in tpc_commands]
+    for c in tpc_commands:
+        if not 0 <= int(c) <= 1:
+            raise ValueError(f"TPC command {c} out of range 0..1")
+    bits = [int(c) for c in tpc_commands]
     while len(bits) < size:
         bits.append(0)
     return np.asarray(bits, dtype=np.int32)

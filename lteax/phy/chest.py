@@ -191,8 +191,16 @@ def estimate_channel_mmse(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
     ref = jnp.asarray(_crs_ref_values(cfg, n_cell_id, port, subframe))
     h_ls = rx * jnp.conj(ref)                              # (..., n_ps, n_p)
     vs = n_cell_id % 6
-    static_nv = isinstance(noise_var, (int, float))
-    if not static_nv:
+    # np.floating included: host-computed noise estimates commonly arrive as
+    # np.float32, and missing them would silently fall back to the on-device
+    # solve that is bf16-catastrophic on TPU (see _wiener_matrix)
+    static_nv = isinstance(noise_var, (int, float, np.floating))
+    if static_nv:
+        # quantize to a coarse (1 dB) grid so per-subframe estimated floats
+        # don't grow the lru_cache (and its O(n_p^3) host inverse) unboundedly
+        nv_q = 10.0 ** (round(10.0 * np.log10(max(float(noise_var), 1e-12)))
+                        / 10.0)
+    else:
         nv = jnp.asarray(noise_var, dtype=jnp.complex64)
     cols = []
     for i, sym in enumerate(syms):
@@ -200,7 +208,7 @@ def estimate_channel_mmse(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
         l = sym % cfg.n_sym_slot
         shift = (_crs_v(port, l, slot) + vs) % 6
         if static_nv:
-            w = _wiener_matrix(cfg, shift, tau_max_us, float(noise_var))
+            w = _wiener_matrix(cfg, shift, tau_max_us, nv_q)
             cols.append(_cmatmul_hi(h_ls[..., i, :], w))
         else:
             r_dp, r_pp = _mmse_pilot_corr(cfg, shift, tau_max_us)

@@ -1,0 +1,127 @@
+"""Frozen decoder tuning profile (VERDICT r2 item 6).
+
+Every production-decoder numerics/behavior knob that was previously an
+``os.environ`` read inside the factory functions lives here as a versioned
+dataclass field.  The shipped defaults ARE the measured winning composition
+(PERF.md provenance on each field); env vars are demoted to *overrides* via
+:meth:`DecoderTuning.from_env`, which every factory calls when no explicit
+profile is passed — so existing ``LTEAX_*`` A/B workflows keep working, but
+the composition of record is code+YAML, not ambient process state.
+
+(reference capability: ``LTE_fdd_enb_cnfg_db`` is the reference's analogous
+typed parameter store — SURVEY.md §2.3.)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, fields, replace
+
+
+@dataclass(frozen=True)
+class DecoderTuning:
+    """Production decode-pipeline tuning.  Defaults = shipped profile.
+
+    Turbo kernel (kernels/turbo_mlm.py):
+
+    - ``win``/``acq``: max-log-MAP window / acquisition length.  acq=16
+      measured statistically identical to 32 at/below the MCS28 threshold
+      (NII seeds boundaries after iteration 1) and ~9% faster end-to-end.
+    - ``tb``: Pallas sublane tile (codeblocks per grid step).
+    - ``gb``: lane fold (codeblocks sharing the 128-lane axis); None = auto.
+    - ``mdtype``: trellis metric dtype — "bf16" (+7.5% headline, ~0.1 dB
+      threshold cost), "bf16_f32store", or "f32".
+    - ``fused``: fused second-half combine (half the VMEM stores).
+    - ``nofreeze``: drop the beta main-sweep freeze — LOSES near threshold
+      (batch-wide early stop pays 1-2 extra iterations); experiment only.
+    - ``pinpad``: pinned padding instead of freeze blends (DL 591->602,
+      MIMO 392->406 at 25 dB, threshold-neutral).
+    - ``earlystop``: CRC-based half-iteration early termination.
+    - ``ext_scale``: extrinsic damping (max-log standard 0.75).
+    - ``retry_m``: compacted-retry subbatch size (stragglers re-iterated in
+      a gathered retry_m-block batch); 0 disables.
+
+    Front-end / chest:
+
+    - ``mimo_chest``: "ls" (LS + linear interp; measured 497 vs 397 Mbit/s
+      for "mmse" at the 25 dB operating point) or "mmse" (host-Wiener).
+    - ``mimo_denoise``: pilot-level delay-domain CRS denoise — cuts the
+      reported iteration count but net-loses when the retry is compact
+      (NEXT.md r2); keep off by default.
+    - ``mimo_chest_nv``: static noise prior for the "mmse" Wiener matrix.
+    - ``struct_dematch``: structured (reshape-based) de-match — crashes the
+      TPU worker when composed with the Pallas kernel in one program
+      (KNOWN_ISSUES.md); default-off until the backend fix lands.
+    """
+
+    win: int = 128
+    acq: int = 16
+    tb: int = 16
+    gb: int | None = None
+    mdtype: str = "bf16"
+    fused: bool = True
+    nofreeze: bool = False
+    pinpad: bool = True
+    earlystop: bool = True
+    ext_scale: float = 0.75
+    retry_m: int = 128
+    mimo_chest: str = "ls"
+    mimo_denoise: bool = False
+    mimo_chest_nv: float = 3e-3
+    struct_dematch: bool = False
+
+    # env var name -> (field, parser).  Kept 1:1 with the historical knobs.
+    _ENV = {
+        "LTEAX_PALLAS_WIN": ("win", int),
+        "LTEAX_PALLAS_ACQ": ("acq", int),
+        "LTEAX_PALLAS_TB": ("tb", int),
+        "LTEAX_PALLAS_GB": ("gb", lambda s: None if s == "auto" else int(s)),
+        "LTEAX_PALLAS_DTYPE": ("mdtype", str),
+        "LTEAX_PALLAS_FUSED": ("fused", lambda s: s == "1"),
+        "LTEAX_PALLAS_NOFREEZE": ("nofreeze", lambda s: s == "1"),
+        "LTEAX_PALLAS_PINPAD": ("pinpad", lambda s: s == "1"),
+        "LTEAX_PALLAS_EARLYSTOP": ("earlystop", lambda s: s == "1"),
+        "LTEAX_EXT_SCALE": ("ext_scale", float),
+        "LTEAX_RETRY_M": ("retry_m", int),
+        "LTEAX_MIMO_CHEST": ("mimo_chest", str),
+        "LTEAX_MIMO_DENOISE": ("mimo_denoise", lambda s: s == "1"),
+        "LTEAX_MIMO_CHEST_NV": ("mimo_chest_nv", float),
+        "LTEAX_STRUCT_DEMATCH": ("struct_dematch", lambda s: s == "1"),
+    }
+
+    @classmethod
+    def from_env(cls, base: "DecoderTuning | None" = None) -> "DecoderTuning":
+        """Shipped profile with any set ``LTEAX_*`` env vars applied on top."""
+        t = base if base is not None else cls()
+        ov = {}
+        for var, (field, parse) in cls._ENV.items():
+            val = os.environ.get(var)
+            if val is not None:
+                ov[field] = parse(val)
+        return replace(t, **ov) if ov else t
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DecoderTuning":
+        known = {f.name for f in fields(cls)}
+        bad = set(d) - known
+        if bad:
+            raise ValueError(f"unknown tuning keys: {sorted(bad)}")
+        return cls(**d)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "DecoderTuning":
+        """Load a profile from a YAML file (a ``tuning:`` section or a flat
+        mapping)."""
+        import yaml
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        return cls.from_dict(doc.get("tuning", doc))
+
+    def to_dict(self) -> dict:
+        return {f.name: getattr(self, f.name) for f in fields(self)}
+
+    def early_crc(self, cb_crc: bool) -> str | None:
+        """CRC flavor for the kernel's early stop (None when disabled)."""
+        if not self.earlystop:
+            return None
+        return "24B" if cb_crc else "24A"

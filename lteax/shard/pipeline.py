@@ -6,9 +6,21 @@ CRC — as ONE jitted function, vmapped over a subframe batch and sharded over
 a (chan, time) device mesh with ``shard_map``.  The reference processes
 subframes serially on one core (SURVEY.md §3.5); here the batch IS the
 parallelism.
+
+Production decoders (DL / UL / 2x2 MIMO) are built as a two-program
+front/turbo split feeding the Pallas max-log-MAP kernel; the sharded
+variants (``make_sharded_*``) wrap the SAME stage functions in ``shard_map``
+with the batch axis on the ``time`` mesh axis, so the thing that scales IS
+the production path — early stop, compacted straggler retry (shard-local:
+the retry's argsort/gather runs inside the shard_map body) and all.
+
+All tuning knobs come from :class:`lteax.phy.tuning.DecoderTuning`
+(env vars are overrides, not the source of truth).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +33,7 @@ from lteax.phy.ofdm import samples_to_subframe
 from lteax.phy.grid import pdsch_flat_idx, make_flat_extractor
 from lteax.phy.mod import demodulate_maxlog
 from lteax.phy.channels import pdsch as pdsch_mod
+from lteax.phy.tuning import DecoderTuning
 from lteax.shard.mesh import TIME_AXIS, CHAN_AXIS
 
 
@@ -60,22 +73,69 @@ def make_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     return jax.jit(jax.vmap(one))
 
 
-def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
-                              geom, scheme, n_iter: int = 6, tb: int | None = None,
-                              interpret: bool = False):
-    import os
-    if tb is None:
-        tb = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
-    """Like make_batch_decoder but the turbo stage runs as ONE flat Pallas
-    batch over all (subframe x codeblock) blocks — the production path."""
-    from lteax.phy import seq
+def _crc_stage(bits, geom, print_iters, n_it):
+    """Shared CRC/desegment tail of every turbo stage.
+
+    ``bits`` is the kernel's flat (B*C, K) output; regroup per TB."""
     from lteax.phy.fec.crc import check_crc
-    from lteax.phy.channels.pdsch import _c_init, soft_dematch
+    bsz = bits.shape[0] // geom.info.c
+    bits = bits.reshape(bsz, geom.info.c, geom.k)
+    if geom.info.cb_crc:
+        payload, cb_ok = check_crc(bits, "24B")
+    else:
+        payload, cb_ok = bits, jnp.ones((bsz, geom.info.c), bool)
+    tb_full = pdsch_mod.desegment_device(payload, geom.info)
+    tb_bits, ok = check_crc(tb_full, "24A")
+    ok = ok & jnp.all(cb_ok, axis=-1)
+    return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
+
+
+def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret):
+    """(B*, C, 3, D) de-matched LLRs -> (tb_bits, ok[, n_it]) via the Pallas
+    kernel with early stop + compacted retry (batch-local, so shard-local
+    under shard_map)."""
     from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    d_len = geom.k + 4
+    early_crc = t.early_crc(geom.info.cb_crc)
+    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
+
+    def stage_turbo(d_llr):
+        bsz = d_llr.shape[0]
+        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
+        out = turbo_decode_batch_pallas(
+            flat, geom.k, n_iter=n_iter, tb=t.tb, win=t.win, acq=t.acq,
+            gb=t.gb, early_crc=early_crc, mdtype=t.mdtype,
+            ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
+            pinpad=t.pinpad, retry_m=t.retry_m,
+            return_n_iter=print_iters, interpret=interpret)
+        bits, n_it = out if print_iters else (out, None)
+        return _crc_stage(bits, geom, print_iters, n_it)
+
+    return stage_turbo, print_iters
+
+
+def _two_program(stage_front, stage_turbo, interpret):
+    """The production two-program split.  Composing the front's slice/concat
+    graphs with the Pallas kernel in a single program crashes the TPU worker
+    on this backend (KNOWN_ISSUES.md); the split also measures slightly
+    FASTER (173.9 vs ~196 ms at fixed-6/B=384 — less fusion pressure).
+    Calls chain asynchronously, so there is no extra host round-trip."""
+    if interpret:
+        return jax.jit(lambda s: stage_turbo(stage_front(s)))
+    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
+    dec = lambda samples_iq: f2(f1(samples_iq))
+    dec.stage_front, dec.stage_turbo = f1, f2   # for bench breakdowns
+    return dec
+
+
+def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
+                  n_iter, t: DecoderTuning, interpret):
+    """Build the DL production (stage_front, stage_turbo) pair."""
+    from lteax.phy import seq
 
     re_idx = pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe)
     extract, _, _ = make_flat_extractor(re_idx, cfg.n_sym_subframe, cfg.n_sc)
-    d_len = geom.k + 4
 
     # batch-invariant scrambling signs, precomputed on host (computing the
     # Gold sequence inside the vmapped front cost ~6 ms/batch(384))
@@ -100,99 +160,50 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
         llr = demodulate_maxlog(extract(x_eq), scheme, extract(eff_nv))
         return llr * sgn
 
-    import os
-    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
-    # acq=16 measured statistically identical to 32 at/below the MCS28
-    # threshold (NII seeds window boundaries after iteration 1), and ~9%
-    # faster end-to-end
-    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
-    gb_env = os.environ.get("LTEAX_PALLAS_GB", "auto")
-    gb = None if gb_env == "auto" else int(gb_env)
-    # bf16 trellis arithmetic/stores with per-block renormalisation:
-    # +7.5% headline throughput, 384/384 CRC at the operating point,
-    # ~0.1 dB sensitivity cost at the MCS28 threshold (PERF.md); f32 via env
-    mdtype = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16")
-    # CRC-based early termination: stop once every codeblock checks
-    early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
-    early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
-    # extrinsic damping (max-log standard 0.75); higher converges faster at
-    # comfortable margins, lower is safer near threshold
-    ext_scale = float(os.environ.get("LTEAX_EXT_SCALE", "0.75"))
-
     def stage_front(samples_iq):
         llr = jax.vmap(front)(samples_iq)              # (B, G)
-        if mdtype.startswith("bf16"):
+        if t.mdtype.startswith("bf16"):
             # carry LLRs in the trellis dtype: halves de-match + turbo-input
             # HBM traffic (the kernel computes in bf16 anyway)
             llr = llr.astype(jnp.bfloat16)
         # de-match at batch level (natively batched)
-        return soft_dematch(llr, geom)                 # (B, C, 3, D)
+        return pdsch_mod.soft_dematch(llr, geom)       # (B, C, 3, D)
 
-    # diagnostic: report how many turbo iterations the early stop ran
-    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
-
-    def stage_turbo(d_llr):
-        bsz = d_llr.shape[0]
-        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
-        out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter, tb=tb,
-                                        win=win, acq=acq, gb=gb,
-                                        early_crc=early_crc, mdtype=mdtype,
-                                        ext_scale=ext_scale,
-                                        return_n_iter=print_iters,
-                                        interpret=interpret)
-        bits, n_it = out if print_iters else (out, None)
-        bits = bits.reshape(bsz, geom.info.c, geom.k)
-        if geom.info.cb_crc:
-            payload, cb_ok = check_crc(bits, "24B")
-        else:
-            payload, cb_ok = bits, jnp.ones((bsz, geom.info.c), bool)
-        tb_full = pdsch_mod.desegment_device(payload, geom.info)
-        tb_bits, ok = check_crc(tb_full, "24A")
-        ok = ok & jnp.all(cb_ok, axis=-1)
-        return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
-
-    # Two jit programs, not one: composing the front's slice/concat graphs
-    # with the Pallas kernel in a single program crashes the TPU worker on
-    # this backend (KNOWN_ISSUES.md), the split measures slightly FASTER
-    # (173.9 vs ~196 ms at fixed-6/B=384 — less fusion pressure), and it
-    # unlocks the structured de-match (LTEAX_STRUCT_DEMATCH=1).  Calls chain
-    # asynchronously, so there is no extra host round-trip.
-    if interpret:
-        return jax.jit(lambda s: stage_turbo(stage_front(s)))
-    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
-    return lambda samples_iq: f2(f1(samples_iq))
+    stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
+    return stage_front, stage_turbo
 
 
-def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
-                             n_iter: int = 6, noise_var: float = 1e-3,
-                             interpret: bool = False):
-    """Batched UL-SCH (PUSCH) production decoder with the DL levers applied.
+def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
+                              geom, scheme, n_iter: int = 6,
+                              tb: int | None = None,
+                              tuning: DecoderTuning | None = None,
+                              interpret: bool = False):
+    """Like make_batch_decoder but the turbo stage runs as ONE flat Pallas
+    batch over all (subframe x codeblock) blocks — the production path."""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    if tb is not None:
+        from dataclasses import replace
+        t = replace(t, tb=tb)
+    f1, f2 = _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                           scheme, n_iter, t, interpret)
+    return _two_program(f1, f2, interpret)
 
-    (B, 14, m_sc, 2) float32 IQ grids -> ((B, TBS), (B,) ok).
 
-    Same receive chain as :func:`lteax.phy.channels.pusch.pusch_decode`
-    (DM-RS LS chest + linear time interp, unbiased MMSE eq, IDFT
-    de-precoding, max-log demap, descramble, channel de-interleave,
-    de-match, turbo, CRC) restructured for throughput exactly like the
-    PDSCH path above: scrambling signs precomputed on host, the channel
-    de-interleaver as a pure reshape/transpose (data-only PUSCH: the
-    36.212 §5.2.2.8 matrix is rectangular), de-match applied once at batch
-    level, and a two-program front/turbo split feeding the Pallas kernel
-    (early-stop + compacted straggler retry).
+def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
+                  t: DecoderTuning, interpret):
+    """Build the UL production (stage_front, stage_turbo) pair.
 
-    (reference capability: ``liblte/src/liblte_phy.cc ::
-    liblte_phy_pusch_channel_decode`` — serial per-subframe C++.)"""
-    import os
+    ``noise_var=None`` (default): per-subframe DM-RS-residual noise
+    estimation — the difference of the two DM-RS symbols' raw LS estimates
+    is pure noise for channels static over a subframe (same estimator
+    family as the DL's ``chest.estimate_noise_var``); a float pins a
+    static prior (the pre-r3 behavior, correct only at a known SNR)."""
     import numpy as np
     from lteax.phy import seq
-    from lteax.phy.fec.crc import check_crc
-    from lteax.phy.channels.pdsch import soft_dematch
     from lteax.phy.channels import pusch as pu
-    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
     geom = alloc.geom
     m_sc = alloc.m_sc
-    d_len = geom.k + 4
     data_syms = [s for s in range(14) if s not in pu.DMRS_SYMS]
     ref0 = np.conj(pu.dmrs_pusch(n_cell_id, 2 * subframe, m_sc))
     ref1 = np.conj(pu.dmrs_pusch(n_cell_id, 2 * subframe + 1, m_sc))
@@ -204,22 +215,23 @@ def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
         geom.g))   # python-int c_init: avoids eager axon dispatch
     r_mux = geom.g // (12 * alloc.qm)
     assert geom.g == 12 * r_mux * alloc.qm, "data-only PUSCH interleaver"
-    nv = noise_var
-
-    mdtype = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16")
-    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
-    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
-    tb_ = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
-    early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
-    early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
 
     def front(g_iq):                         # (14, m_sc, 2) f32
         grid = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
+        ls0 = grid[pu.DMRS_SYMS[0]] * ref0   # raw LS at the two pilots
+        ls1 = grid[pu.DMRS_SYMS[1]] * ref1
+        if noise_var is None:
+            # per-subframe noise estimate from the DM-RS residual: the LS
+            # difference is noise-only under a subframe-static channel
+            nv = jnp.maximum(
+                jnp.mean(jnp.abs(ls0 - ls1) ** 2) / 2.0, 1e-6)
+        else:
+            nv = noise_var
         # delay-domain denoised LS chest (see pusch.chest_taps: the raw
         # per-subcarrier estimate costs ~3 dB effective SNR and a full
         # extra turbo iteration batch-wide)
-        h0 = pu.chest_denoise(grid[pu.DMRS_SYMS[0]] * ref0)
-        h1 = pu.chest_denoise(grid[pu.DMRS_SYMS[1]] * ref1)
+        h0 = pu.chest_denoise(ls0)
+        h1 = pu.chest_denoise(ls1)
         h = (1 - w) * h0[None] + w * h1[None]
         y = grid[jnp.asarray(data_syms)]
         p = jnp.abs(h) ** 2
@@ -230,7 +242,7 @@ def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
                        keepdims=True) * jnp.ones_like(p)
         llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))
         llr = llr * sgn
-        if mdtype.startswith("bf16"):
+        if t.mdtype.startswith("bf16"):
             llr = llr.astype(jnp.bfloat16)
         # channel DE-interleaver (36.212 §5.2.2.8, data-only) is a pure
         # rectangular transpose: (C_mux=12, R_mux, Qm) -> row-major
@@ -238,82 +250,50 @@ def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
 
     def stage_front(batch_iq):
         llr = jax.vmap(front)(batch_iq)                # (B, G)
-        return soft_dematch(llr, geom)                 # (B, C, 3, D)
+        return pdsch_mod.soft_dematch(llr, geom)       # (B, C, 3, D)
 
-    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
-
-    def stage_turbo(d_llr):
-        bsz = d_llr.shape[0]
-        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
-        out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter,
-                                        win=win, acq=acq, tb=tb_,
-                                        mdtype=mdtype, early_crc=early_crc,
-                                        return_n_iter=print_iters,
-                                        interpret=interpret)
-        bits, n_it = out if print_iters else (out, None)
-        bits = bits.reshape(bsz, geom.info.c, geom.k)
-        if geom.info.cb_crc:
-            payload, cb_ok = check_crc(bits, "24B")
-        else:
-            payload, cb_ok = bits, jnp.ones((bsz, geom.info.c), bool)
-        tb_full = pdsch_mod.desegment_device(payload, geom.info)
-        tb_bits, ok = check_crc(tb_full, "24A")
-        ok = ok & jnp.all(cb_ok, axis=-1)
-        return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
-
-    if interpret:
-        return jax.jit(lambda g: stage_turbo(stage_front(g)))
-    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
-    dec = lambda batch_iq: f2(f1(batch_iq))
-    dec.stage_front, dec.stage_turbo = f1, f2   # exposed for bench breakdowns
-    return dec
+    stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
+    return stage_front, stage_turbo
 
 
-def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
-                            scheme, n_iter: int = 6, interpret: bool = False):
-    """Batched 2x2 TM3 dual-codeword production decoder (DL levers applied).
+def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
+                             n_iter: int = 6, noise_var: float | None = None,
+                             tuning: DecoderTuning | None = None,
+                             interpret: bool = False):
+    """Batched UL-SCH (PUSCH) production decoder with the DL levers applied.
 
-    (2 rx, B, n_samps, 2) float32 IQ -> ((2B, TBS), (2B,) ok): OFDM demod on
-    both RX antennas, CRS chest per (rx, port) — the two RX rows batched
-    through one chest call per port — structured-slice RE extraction
-    (no flat gathers), per-RE unbiased MMSE demix, both layers demapped in
-    one call, host-precomputed per-codeword scrambling, batch-level
-    de-match, and the two-program front/turbo split with ONE fused Pallas
-    batch over both codewords.
+    (B, 14, m_sc, 2) float32 IQ grids -> ((B, TBS), (B,) ok).
 
-    (reference capability: beyond ``liblte_phy``'s single-codeword
-    ceiling — SURVEY.md §2.2 layer map / precoding row.)"""
-    import os
+    Same receive chain as :func:`lteax.phy.channels.pusch.pusch_decode`
+    (DM-RS LS chest + linear time interp, unbiased MMSE eq, IDFT
+    de-precoding, max-log demap, descramble, channel de-interleave,
+    de-match, turbo, CRC) restructured for throughput exactly like the
+    PDSCH path: scrambling signs precomputed on host, the channel
+    de-interleaver as a pure reshape/transpose, de-match applied once at
+    batch level, and a two-program front/turbo split feeding the Pallas
+    kernel (early-stop + compacted straggler retry).  Noise is estimated
+    per subframe from the DM-RS residual unless a static prior is passed.
+
+    (reference capability: ``liblte/src/liblte_phy.cc ::
+    liblte_phy_pusch_channel_decode`` — serial per-subframe C++.)"""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2 = _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter,
+                           noise_var, t, interpret)
+    return _two_program(f1, f2, interpret)
+
+
+def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
+                 n_iter, t: DecoderTuning, interpret):
+    """Build the 2x2 TM3 production (stage_front, stage_turbo) pair."""
     import numpy as np
     from lteax.phy import mimo, seq
-    from lteax.phy.fec.crc import check_crc
-    from lteax.phy.channels.pdsch import _c_init, soft_dematch
-    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
     re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
-    d_len = geom.k + 4
     sgn = jnp.asarray(np.stack(
         [seq.scrambling_symbols_np(
             int(rnti) * 2 ** 14 + q * 2 ** 13 + int(subframe) * 512
             + int(n_cell_id), geom.g)
          for q in range(2)]))   # python-int c_init: avoids eager axon dispatch
-
-    mdtype = os.environ.get("LTEAX_PALLAS_DTYPE", "bf16")
-    win = int(os.environ.get("LTEAX_PALLAS_WIN", "128"))
-    acq = int(os.environ.get("LTEAX_PALLAS_ACQ", "16"))
-    tb_ = int(os.environ.get("LTEAX_PALLAS_TB", "16"))
-    early = os.environ.get("LTEAX_PALLAS_EARLYSTOP", "1") == "1"
-    early_crc = ("24B" if geom.info.cb_crc else "24A") if early else None
-
-    # chest mode: "ls" = LS + linear 2D interp (default), "mmse" = Wiener
-    # frequency interpolation (chest.estimate_channel_mmse).  Same-session
-    # A/B at B=192 / 25 dB: ls 496.8 Mbit/s (58.3 ms sustained), mmse
-    # 397.4 (72.8 ms) — the HIGHEST-precision Wiener matmuls cost ~14 ms
-    # and do not cut the batch iteration count at this operating point.
-    chest_mode = os.environ.get("LTEAX_MIMO_CHEST", "ls")
-    denoise = os.environ.get("LTEAX_MIMO_DENOISE", "0") == "1"
-
-    nv_prior = float(os.environ.get("LTEAX_MIMO_CHEST_NV", "3e-3"))
 
     def front(sub_iq):                       # (2 rx, n_samps, 2)
         # NOTE front structure chosen by measurement (bench/mimo_front_probe*):
@@ -324,20 +304,20 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
         # is neutral).
         s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
         grids = jax.vmap(lambda ss: samples_to_subframe(ss, cfg))(s)
-        if chest_mode == "mmse":
+        if t.mimo_chest == "mmse":
             # STATIC noise prior -> host-precomputed Wiener matrix (the
             # traced-nv on-device solve is bf16-catastrophic on TPU)
-            est = lambda r, t: chest.estimate_channel_mmse(
-                grids[r], cfg, n_cell_id, subframe, port=t,
-                noise_var=nv_prior)
+            est = lambda r, tx: chest.estimate_channel_mmse(
+                grids[r], cfg, n_cell_id, subframe, port=tx,
+                noise_var=t.mimo_chest_nv)
         else:
             # pilot-level delay-domain denoise (the UL lever applied to the
             # CRS chest; drops the batch turbo count 3/6 -> 2/6 at 25 dB)
-            est = lambda r, t: chest.estimate_channel(
-                grids[r], cfg, n_cell_id, subframe, port=t,
-                denoise=denoise)
-        h = jnp.stack([jnp.stack([est(r, t).reshape(-1)[re_idx]
-                                  for t in range(2)]) for r in range(2)])
+            est = lambda r, tx: chest.estimate_channel(
+                grids[r], cfg, n_cell_id, subframe, port=tx,
+                denoise=t.mimo_denoise)
+        h = jnp.stack([jnp.stack([est(r, tx).reshape(-1)[re_idx]
+                                  for tx in range(2)]) for r in range(2)])
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
         y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
         x_hat, eff = mimo.mmse_demix_2layers(y, mimo.heff_tm3(h), nvar)
@@ -345,50 +325,175 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
         for q in range(2):
             llr = demodulate_maxlog(x_hat[q], scheme, eff[q])
             llr = llr * sgn[q]
-            if mdtype.startswith("bf16"):
+            if t.mdtype.startswith("bf16"):
                 llr = llr.astype(jnp.bfloat16)
             outs.append(llr)
         return jnp.stack(outs)               # (2 cw, G)
 
     def stage_front(batch_iq):               # (2rx, B, n_samps, 2)
         llr = jax.vmap(front, in_axes=1)(batch_iq)       # (B, 2, G)
-        return soft_dematch(llr.reshape(-1, geom.g), geom)
+        return pdsch_mod.soft_dematch(llr.reshape(-1, geom.g), geom)
 
-    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
+    stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
+    return stage_front, stage_turbo
 
-    def stage_turbo(d_llr):
-        c2 = d_llr.shape[0]                  # 2B codewords
-        flat = d_llr.reshape(c2 * geom.info.c, 3, d_len)
-        out = turbo_decode_batch_pallas(flat, geom.k, n_iter=n_iter,
-                                        win=win, acq=acq, tb=tb_,
-                                        mdtype=mdtype, early_crc=early_crc,
-                                        return_n_iter=print_iters,
-                                        interpret=interpret)
-        bits, n_it = out if print_iters else (out, None)
-        bits = bits.reshape(c2, geom.info.c, geom.k)
-        if geom.info.cb_crc:
-            payload, cb_ok = check_crc(bits, "24B")
-        else:
-            payload, cb_ok = bits, jnp.ones((c2, geom.info.c), bool)
-        tb_full = pdsch_mod.desegment_device(payload, geom.info)
-        tb_bits, ok = check_crc(tb_full, "24A")
-        ok = ok & jnp.all(cb_ok, axis=-1)
-        return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
 
-    if interpret:
-        return jax.jit(lambda g: stage_turbo(stage_front(g)))
-    f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
-    dec = lambda batch_iq: f2(f1(batch_iq))
-    dec.stage_front, dec.stage_turbo = f1, f2   # exposed for bench breakdowns
+def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                            scheme, n_iter: int = 6,
+                            tuning: DecoderTuning | None = None,
+                            interpret: bool = False):
+    """Batched 2x2 TM3 dual-codeword production decoder (DL levers applied).
+
+    (2 rx, B, n_samps, 2) float32 IQ -> ((2B, TBS), (2B,) ok): OFDM demod on
+    both RX antennas, CRS chest per (rx, port), per-RE unbiased MMSE demix,
+    both layers demapped in one call, host-precomputed per-codeword
+    scrambling, batch-level de-match, and the two-program front/turbo split
+    with ONE fused Pallas batch over both codewords.
+
+    (reference capability: beyond ``liblte_phy``'s single-codeword
+    ceiling — SURVEY.md §2.2 layer map / precoding row.)"""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2 = _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                          scheme, n_iter, t, interpret)
+    return _two_program(f1, f2, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Sharded production decoders: the SAME stage functions under shard_map.
+# ---------------------------------------------------------------------------
+
+
+def _shard_two_stage(mesh, stage_front, stage_turbo, in_spec, batch_axis=0):
+    """Wrap a production (front, turbo) stage pair in shard_map over
+    ``mesh`` with the subframe batch on the ``time`` mesh axis.
+
+    Keeps the two-program split (same backend constraint as single-device);
+    the intermediate de-matched LLR array stays device-resident with its
+    P(time) sharding between the programs.  The compacted retry inside the
+    turbo stage is shard-local: its argsort/gather and early-stop while_loop
+    see only the local subbatch, so each shard stops independently — exactly
+    the behavior that maximizes throughput when stragglers cluster.
+
+    Returns fn: sharded_batch -> (tb_bits P(time), ok P(time),
+    n_ok replicated int32 — the psum'd CRC-pass metric)."""
+    mid_spec = P(TIME_AXIS, None, None, None)    # (B, C, 3, D)
+
+    def local_turbo(d_llr):
+        tb_bits, ok = stage_turbo(d_llr)
+        n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), TIME_AXIS)
+        # in_specs replicate over chan; pmean keeps n_ok equal to the number
+        # of distinct decoded TBs on any mesh shape
+        n_ok = jax.lax.pmean(n_ok, CHAN_AXIS)
+        return tb_bits, ok, n_ok
+
+    # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry no
+    # varying-mesh-axes annotation, which the default vma check rejects
+    f1 = jax.jit(shard_map(stage_front, mesh=mesh, in_specs=(in_spec,),
+                           out_specs=mid_spec, check_vma=False))
+    f2 = jax.jit(shard_map(local_turbo, mesh=mesh, in_specs=(mid_spec,),
+                           out_specs=(P(TIME_AXIS, None), P(TIME_AXIS), P()),
+                           check_vma=False))
+    dec = lambda batch: f2(f1(batch))
+    dec.stage_front, dec.stage_turbo = f1, f2
+    return dec
+
+
+def make_sharded_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs, subframe,
+                                rnti, geom, scheme, n_iter: int = 6,
+                                tuning: DecoderTuning | None = None,
+                                interpret: bool = False):
+    """Time-sharded PRODUCTION DL decoder: (B, n_samps, 2) f32 IQ sharded on
+    axis 0 over the ``time`` mesh axis -> (bits, ok, n_ok).  B must divide
+    by the time-axis size.  (VERDICT r2 item 1: the multi-chip path IS the
+    Pallas path.)"""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2 = _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                           scheme, n_iter, t, interpret)
+    return _shard_two_stage(mesh, f1, f2, P(TIME_AXIS, None, None))
+
+
+def make_sharded_pusch_decoder(mesh, alloc, rnti, subframe, n_cell_id,
+                               n_iter: int = 6, noise_var: float | None = None,
+                               tuning: DecoderTuning | None = None,
+                               interpret: bool = False):
+    """Time-sharded PRODUCTION UL decoder: (B, 14, m_sc, 2) f32 IQ grids
+    sharded on axis 0 -> (bits, ok, n_ok)."""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2 = _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter,
+                           noise_var, t, interpret)
+    return _shard_two_stage(mesh, f1, f2, P(TIME_AXIS, None, None, None))
+
+
+def make_sharded_mimo_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe,
+                              rnti, geom, scheme, n_iter: int = 6,
+                              tuning: DecoderTuning | None = None,
+                              interpret: bool = False):
+    """Time-sharded PRODUCTION 2x2 MIMO decoder: (2rx, B, n_samps, 2) f32 IQ
+    with the subframe batch (axis 1) sharded -> (bits (2B,TBS), ok, n_ok)."""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2 = _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                          scheme, n_iter, t, interpret)
+    return _shard_two_stage(mesh, f1, f2, P(None, TIME_AXIS, None, None))
+
+
+def make_sharded_acquire_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs,
+                                        subframe, rnti, geom, scheme,
+                                        n_iter: int = 6,
+                                        tuning: DecoderTuning | None = None,
+                                        interpret: bool = False):
+    """Halo-exchange PSS acquisition + the production decode front composed
+    in ONE sharded program (SURVEY §7 step 7), with the Pallas turbo stage
+    as program 2 (the documented backend constraint on composing the front's
+    slice/concat graphs with the Pallas kernel — see ``_two_program``).
+
+    Input: (B, n_samps, 2) f32 IQ, batch on the ``time`` mesh axis, treated
+    additionally as a contiguous capture for the acquisition correlator
+    (shard boundaries get ppermute halos over ICI).
+    Returns (bits, ok, n_ok, pss_peak) — pss_peak is the replicated global
+    max of the |PSS matched filter| over the whole capture."""
+    from lteax.phy.sync import pss_time_filters
+    from lteax.shard.halo import overlap_save_correlate
+
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2 = _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                           scheme, n_iter, t, interpret)
+    taps = jnp.asarray(pss_time_filters(cfg)[n_cell_id % 3])
+    mid_spec = P(TIME_AXIS, None, None, None)
+
+    def front_acq(samples_iq):               # local (b_loc, n_samps, 2)
+        xc = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
+              ).astype(jnp.complex64)
+        corr = overlap_save_correlate(xc.reshape(-1), taps, TIME_AXIS)
+        peak = jax.lax.pmax(jnp.max(jnp.abs(corr)), TIME_AXIS)
+        return f1(samples_iq), peak
+
+    def local_turbo(d_llr):
+        tb_bits, ok = f2(d_llr)
+        n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), TIME_AXIS)
+        n_ok = jax.lax.pmean(n_ok, CHAN_AXIS)
+        return tb_bits, ok, n_ok
+
+    g1 = jax.jit(shard_map(front_acq, mesh=mesh,
+                           in_specs=(P(TIME_AXIS, None, None),),
+                           out_specs=(mid_spec, P()), check_vma=False))
+    g2 = jax.jit(shard_map(local_turbo, mesh=mesh, in_specs=(mid_spec,),
+                           out_specs=(P(TIME_AXIS, None), P(TIME_AXIS), P()),
+                           check_vma=False))
+
+    def dec(batch):
+        d_llr, peak = g1(batch)
+        bits, ok, n_ok = g2(d_llr)
+        return bits, ok, n_ok, peak
+
     return dec
 
 
 def make_sharded_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti,
                          geom, scheme, n_iter: int = 6):
-    """Time-sharded bulk decoder: (B_total, n_samps) sharded on axis 0 over
-    the ``time`` mesh axis -> (bits, ok, n_ok_psum).
-
-    ``n_ok_psum`` (replicated scalar) exercises the metric-psum path.
+    """Time-sharded bulk decoder over the XLA-turbo reference path:
+    (B_total, n_samps) sharded on axis 0 over the ``time`` mesh axis ->
+    (bits, ok, n_ok_psum).  Kept as the slow-path oracle;
+    ``make_sharded_decoder_pallas`` is the production sharded decoder.
     """
     one = make_subframe_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
                                 geom, scheme, n_iter)

@@ -628,6 +628,29 @@ class UeRrc:
             raise ValueError(f"unsupported NAS type 0x{got[0][1]:02X}")
         raise ValueError(f"NAS in unexpected state {self.state}")
 
+    def _apply_reconfig_extras(self, msg: rd.RrcConnectionReconfiguration
+                               ) -> None:
+        """Apply the non-procedure-defining parts a reconfiguration may also
+        carry (measConfig, radioResourceConfigDedicated, piggybacked NAS) —
+        real HO commands routinely combine these (36.331 §5.3.5.4)."""
+        if msg.meas_config is not None:
+            self.meas_config = msg.meas_config
+            self.events.append("meas-configured")
+        if msg.rrcd is not None and msg.rrcd.drb_to_add:
+            self.drb = msg.rrcd.drb_to_add[0]
+        for wire in msg.nas_list:
+            got = nas.unprotect(wire, self.k_nas_int, self.nas_dl,
+                                downlink=True, k_nas_enc=self.k_nas_enc)
+            if got is None or not got[1]:
+                raise ValueError("bad protected NAS in reconfiguration")
+            self.nas_dl += 1
+            info = nas.unpack_emm_information(got[0])
+            if info is not None:
+                self.network_name = info.network_name
+                self.events.append(f"emm-info name={info.network_name}")
+            else:
+                self.events.append(f"nas-in-reconfig type=0x{got[0][1]:02X}")
+
     def _on_reconfiguration(self, msg: rd.RrcConnectionReconfiguration
                             ) -> list[tuple[str, bytes]]:
         if msg.mobility is not None:
@@ -645,14 +668,13 @@ class UeRrc:
             self.events.append(
                 f"handover target_pci={mob.target_pci} ncc={ncc} "
                 f"preamble={mob.rach_dedicated}")
+            self._apply_reconfig_extras(msg)       # rrcd/meas/NAS ride along
             done = rd.RrcConnectionReconfigurationComplete(
                 rrc_ti=msg.rrc_ti)
             return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
-        if (msg.meas_config is not None and msg.rrcd is None
-                and not msg.nas_list):
-            # measurement-only reconfiguration while connected
-            self.meas_config = msg.meas_config
-            self.events.append("meas-configured")
+        if self.state == "connected":
+            # reconfiguration while connected (measConfig and/or rrcd/NAS)
+            self._apply_reconfig_extras(msg)
             done = rd.RrcConnectionReconfigurationComplete(
                 rrc_ti=msg.rrc_ti)
             return [("dcch", bits_to_bytes(rd.pack_ul_dcch(done)))]
