@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--static-nv", action="store_true",
+                    help="pin the true noise_var instead of the per-subframe"
+                         " DM-RS-residual estimate (pre-r3 behavior)")
+    ap.add_argument("--snr-db", type=float, default=25.0)
     a = ap.parse_args()
     if a.cpu:
         os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
@@ -43,7 +47,7 @@ def main():
     geom = alloc.geom
     rng = np.random.default_rng(0)
     b = a.batch
-    nv = 10 ** (-2.5)
+    nv = 10 ** (-a.snr_db / 10.0)
 
     # build inputs on CPU
     cpu = jax.devices("cpu")[0] if not a.cpu else jax.devices()[0]
@@ -67,7 +71,8 @@ def main():
     # transpose de-interleave, batch-level de-match, two-program split,
     # Pallas turbo with early stop + compacted retry
     f = make_pusch_batch_decoder(alloc, rnti, sf, cid, n_iter=a.iters,
-                                 noise_var=nv, interpret=a.cpu)
+                                 noise_var=nv if a.static_nv else None,
+                                 interpret=a.cpu)
     # stage the input on device once (same protocol as bench.py: the
     # measured quantity is decode compute, not tunnel transfer; streaming
     # apps overlap transfers via io.prefetch_to_device)

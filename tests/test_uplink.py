@@ -253,3 +253,34 @@ def test_pucch_format2ab():
     cqi, got_ack, _, _ = pucch.pucch_format2ab_decode(g, cid, sf, rnti, a, 1)
     assert got_ack == (0,)
     np.testing.assert_array_equal(cqi, bits)
+
+
+def test_pusch_decoder_estimated_noise_snr_sweep():
+    """VERDICT r2 item 4: the production UL decoder's per-subframe DM-RS
+    noise estimator must hold across operating points WITHOUT retuning —
+    exact decode at three SNRs spanning 20+ dB with noise_var=None."""
+    import jax.numpy as jnp
+    from lteax.phy.channels.pdsch import pdsch_prepare_cbs
+    from lteax.shard.pipeline import make_pusch_batch_decoder
+
+    rng = np.random.default_rng(7)
+    cid, sf, rnti = 214, 4, 0x3D
+    alloc = pusch.PuschAlloc(n_prb=6, rb_start=0, mcs_tbs=504, qm=2)
+    dec = make_pusch_batch_decoder(alloc, rnti, sf, cid, n_iter=4,
+                                   noise_var=None, interpret=True)
+    b = 2
+    for snr_db in (4.0, 12.0, 28.0):
+        nv = 10 ** (-snr_db / 10.0)
+        tbs_bits = rng.integers(0, 2, size=(b, alloc.mcs_tbs)).astype(np.int32)
+        grids = []
+        for i in range(b):
+            cbs = jnp.asarray(pdsch_prepare_cbs(tbs_bits[i], alloc.geom))
+            g = pusch.pusch_encode_cbs(cbs, alloc, rnti, sf, cid)
+            grids.append(pusch.pusch_add_dmrs(np.asarray(g), alloc, cid, sf))
+        x = np.stack(grids)
+        x = x + (rng.standard_normal(x.shape)
+                 + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
+        x_iq = np.stack([x.real, x.imag], -1).astype(np.float32)
+        tb, ok = dec(jnp.asarray(x_iq))
+        assert np.asarray(ok).all(), f"CRC fail at {snr_db} dB"
+        assert np.array_equal(np.asarray(tb), tbs_bits), f"bits at {snr_db} dB"
