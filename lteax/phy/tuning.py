@@ -40,6 +40,10 @@ class DecoderTuning:
     - ``ext_scale``: extrinsic damping (max-log standard 0.75).
     - ``retry_m``: compacted-retry subbatch size (stragglers re-iterated in
       a gathered retry_m-block batch); 0 disables.
+    - ``retry_levels``: full-batch iterations checked for compaction before
+      falling back to the full-batch early-stop loop (2x2 MIMO at 25 dB
+      needs level 2: 4704/4992 blocks fail after iteration 1 but only 144
+      after iteration 2).
 
     Front-end / chest:
 
@@ -49,6 +53,10 @@ class DecoderTuning:
       reported iteration count but net-loses when the retry is compact
       (NEXT.md r2); keep off by default.
     - ``mimo_chest_nv``: static noise prior for the "mmse" Wiener matrix.
+    - ``mimo_detector``: "mmse" (per-RE linear demix, both codewords in one
+      fused turbo batch) or "sic" (decode CW0 -> MXU re-encode -> cancel ->
+      CW1 on a clean MRC channel; falls back to MMSE LLRs per subframe when
+      CW0 fails).
     - ``struct_dematch``: structured (reshape-based) de-match — crashes the
       TPU worker when composed with the Pallas kernel in one program
       (KNOWN_ISSUES.md); default-off until the backend fix lands.
@@ -65,9 +73,11 @@ class DecoderTuning:
     earlystop: bool = True
     ext_scale: float = 0.75
     retry_m: int = 128
+    retry_levels: int = 2
     mimo_chest: str = "ls"
     mimo_denoise: bool = False
     mimo_chest_nv: float = 3e-3
+    mimo_detector: str = "mmse"
     struct_dematch: bool = False
 
     # env var name -> (field, parser).  Kept 1:1 with the historical knobs.
@@ -83,9 +93,11 @@ class DecoderTuning:
         "LTEAX_PALLAS_EARLYSTOP": ("earlystop", lambda s: s == "1"),
         "LTEAX_EXT_SCALE": ("ext_scale", float),
         "LTEAX_RETRY_M": ("retry_m", int),
+        "LTEAX_RETRY_LEVELS": ("retry_levels", int),
         "LTEAX_MIMO_CHEST": ("mimo_chest", str),
         "LTEAX_MIMO_DENOISE": ("mimo_denoise", lambda s: s == "1"),
         "LTEAX_MIMO_CHEST_NV": ("mimo_chest_nv", float),
+        "LTEAX_MIMO_DETECTOR": ("mimo_detector", str),
         "LTEAX_STRUCT_DEMATCH": ("struct_dematch", lambda s: s == "1"),
     }
 

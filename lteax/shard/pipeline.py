@@ -107,7 +107,7 @@ def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret):
             flat, geom.k, n_iter=n_iter, tb=t.tb, win=t.win, acq=t.acq,
             gb=t.gb, early_crc=early_crc, mdtype=t.mdtype,
             ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
-            pinpad=t.pinpad, retry_m=t.retry_m,
+            pinpad=t.pinpad, retry_m=t.retry_m, retry_levels=t.retry_levels,
             return_n_iter=print_iters, interpret=interpret)
         bits, n_it = out if print_iters else (out, None)
         return _crc_stage(bits, geom, print_iters, n_it)
@@ -338,6 +338,129 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
     return stage_front, stage_turbo
 
 
+def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
+                       scheme, n_iter, t: DecoderTuning, interpret):
+    """2x2 TM3 successive-interference-cancellation decoder (VERDICT r2
+    item 2): decode CW0 at MMSE-demix SINR, RE-ENCODE it on the MXU
+    (fec.reencode GF(2) matmul), cancel its contribution from the received
+    REs, then decode CW1 from a clean 1-layer MRC channel (no noise
+    enhancement).  Subframes whose CW0 transport block failed CRC fall back
+    to the plain MMSE LLRs for CW1, so SIC never performs worse than the
+    linear demix at threshold.
+
+    Four chained programs (Pallas stages isolated per the backend
+    constraint): front -> turbo(CW0) -> cancel/demap -> turbo(CW1).
+    Returns fn: (2rx, B, n_samps, 2) f32 IQ -> ((2B, TBS) b-major (sf, cw)
+    rows, (2B,) ok) — same contract as the fused MMSE decoder."""
+    import numpy as np
+    from lteax.phy import mimo, seq
+    from lteax.phy.fec.crc import check_crc
+    from lteax.phy.fec.reencode import turbo_reencode_batch
+    from lteax.phy.channels.pdsch import _global_rm_idx
+    from lteax.phy.mod import modulate
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
+    d_len = geom.k + 4
+    cinits = [int(rnti) * 2 ** 14 + q * 2 ** 13 + int(subframe) * 512
+              + int(n_cell_id) for q in range(2)]
+    sgn = jnp.asarray(np.stack(
+        [seq.scrambling_symbols_np(c, geom.g) for c in cinits]))
+    scr0 = jnp.asarray(seq.gold_sequence_np(cinits[0], geom.g)
+                       .astype(np.int32))          # CW0 scrambling bits
+    rm_idx = jnp.asarray(_global_rm_idx(geom))
+    early_crc = t.early_crc(geom.info.cb_crc)
+
+    def front(sub_iq):                        # (2 rx, n_samps, 2)
+        # same measured structure as the MMSE front (bench/mimo_front_probe*)
+        s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
+        grids = jax.vmap(lambda ss: samples_to_subframe(ss, cfg))(s)
+        est = lambda r, tx: chest.estimate_channel(
+            grids[r], cfg, n_cell_id, subframe, port=tx,
+            denoise=t.mimo_denoise)
+        h = jnp.stack([jnp.stack([est(r, tx).reshape(-1)[re_idx]
+                                  for tx in range(2)]) for r in range(2)])
+        nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
+        y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
+        heff = mimo.heff_tm3(h)               # (2rx, 2layer, M)
+        x_hat, eff = mimo.mmse_demix_2layers(y, heff, nvar)
+        llr0 = demodulate_maxlog(x_hat[0], scheme, eff[0]) * sgn[0]
+        llr1 = demodulate_maxlog(x_hat[1], scheme, eff[1]) * sgn[1]
+        if t.mdtype.startswith("bf16"):
+            llr0, llr1 = llr0.astype(jnp.bfloat16), llr1.astype(jnp.bfloat16)
+        return llr0, llr1, y, heff, nvar
+
+    def stage_front(batch_iq):                # (2rx, B, n_samps, 2)
+        llr0, llr1, y, heff, nvar = jax.vmap(front, in_axes=1)(batch_iq)
+        return pdsch_mod.soft_dematch(llr0, geom), llr1, y, heff, nvar
+
+    def stage_turbo0(d_llr):
+        bsz = d_llr.shape[0]
+        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
+        bits = turbo_decode_batch_pallas(
+            flat, geom.k, n_iter=n_iter, tb=t.tb, win=t.win, acq=t.acq,
+            gb=t.gb, early_crc=early_crc, mdtype=t.mdtype,
+            ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
+            pinpad=t.pinpad, retry_m=t.retry_m, retry_levels=t.retry_levels,
+            interpret=interpret)
+        tb_bits, ok = _crc_stage(bits, geom, False, None)
+        return bits, tb_bits, ok               # bits: raw (B*C, K) for SIC
+
+    def stage_cancel(bits0, ok0, llr1_mmse, y, heff, nvar):
+        bsz = llr1_mmse.shape[0]
+        d0 = turbo_reencode_batch(bits0, geom.k)      # (B*C, 3, D)
+        e = jnp.take(d0.reshape(bsz, -1), rm_idx, axis=-1)   # (B, G)
+        s0 = modulate((e + scr0) % 2, scheme)         # (B, M) CW0 symbols
+        y2 = y - heff[..., 0, :] * s0[:, None, :]
+        x1, eff1 = chest.equalize_mrc(y2, heff[..., 1, :], nvar[:, None])
+        llr1 = demodulate_maxlog(x1, scheme, eff1) * sgn[1]
+        llr1 = llr1.astype(llr1_mmse.dtype)
+        # CW0-failed subframes keep the plain MMSE LLRs (never worse)
+        llr1 = jnp.where(ok0[:, None], llr1, llr1_mmse)
+        return pdsch_mod.soft_dematch(llr1, geom)
+
+    stage_turbo1, _ = _make_turbo_stage(geom, n_iter, t, interpret)
+    return stage_front, stage_turbo0, stage_cancel, stage_turbo1
+
+
+def make_mimo_sic_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
+                                geom, scheme, n_iter: int = 6,
+                                tuning: DecoderTuning | None = None,
+                                interpret: bool = False):
+    """SIC variant of :func:`make_mimo_batch_decoder` (same IO contract)."""
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    f1, f2, f3, f4 = _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe,
+                                        rnti, geom, scheme, n_iter, t,
+                                        interpret)
+
+    def assemble(tb0, ok0, tb1, ok1):
+        bsz = tb0.shape[0]
+        bits = jnp.stack([tb0, tb1], axis=1).reshape(2 * bsz, -1)
+        ok = jnp.stack([ok0, ok1], axis=1).reshape(2 * bsz)
+        return bits, ok
+
+    if interpret:
+        def dec(batch_iq):
+            d0, llr1m, y, heff, nvar = f1(batch_iq)
+            bits0, tb0, ok0 = f2(d0)
+            d1 = f3(bits0, ok0, llr1m, y, heff, nvar)
+            tb1, ok1 = f4(d1)
+            return assemble(tb0, ok0, tb1, ok1)
+        return jax.jit(dec)
+    j1, j2, j3, j4 = map(jax.jit, (f1, f2, f3, f4))
+    j5 = jax.jit(assemble)
+
+    def dec(batch_iq):
+        d0, llr1m, y, heff, nvar = j1(batch_iq)
+        bits0, tb0, ok0 = j2(d0)
+        d1 = j3(bits0, ok0, llr1m, y, heff, nvar)
+        tb1, ok1 = j4(d1)
+        return j5(tb0, ok0, tb1, ok1)
+
+    dec.stages = (j1, j2, j3, j4)   # for bench breakdowns
+    return dec
+
+
 def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                             scheme, n_iter: int = 6,
                             tuning: DecoderTuning | None = None,
@@ -350,9 +473,17 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     scrambling, batch-level de-match, and the two-program front/turbo split
     with ONE fused Pallas batch over both codewords.
 
+    ``tuning.mimo_detector="sic"`` dispatches to the SIC decoder
+    (:func:`make_mimo_sic_batch_decoder`), same IO contract.
+
     (reference capability: beyond ``liblte_phy``'s single-codeword
     ceiling — SURVEY.md §2.2 layer map / precoding row.)"""
     t = tuning if tuning is not None else DecoderTuning.from_env()
+    if t.mimo_detector == "sic":
+        return make_mimo_sic_batch_decoder(cfg, n_cell_id, cfi, prbs,
+                                           subframe, rnti, geom, scheme,
+                                           n_iter=n_iter, tuning=t,
+                                           interpret=interpret)
     f1, f2 = _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                           scheme, n_iter, t, interpret)
     return _two_program(f1, f2, interpret)

@@ -94,3 +94,33 @@ def test_mimo_batch_decoder_cpu():
     for i in range(b):
         for q in range(2):
             assert np.array_equal(got[i, q], tb_bits[q, i])
+
+
+def test_mimo_sic_batch_decoder_cpu():
+    """SIC decoder (decode CW0 -> MXU re-encode -> cancel -> CW1 on MRC):
+    exact bits on the small 2x2 TM3 geometry, same contract as the fused
+    MMSE decoder."""
+    from tests.test_shard_pallas import _make_mimo_samples
+    from lteax.shard.pipeline import make_mimo_sic_batch_decoder
+
+    (cfg, cid, cfi, prbs, sf, rnti, geom, scheme, x_iq, tb_bits) = \
+        _make_mimo_samples(2, seed=5)
+    dec = make_mimo_sic_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom,
+                                      scheme, n_iter=4, interpret=True)
+    tb, ok = dec(x_iq)
+    assert np.asarray(ok).all()
+    got = np.asarray(tb).reshape(2, 2, geom.tbs)
+    for i in range(2):
+        for q in range(2):
+            assert np.array_equal(got[i, q], tb_bits[q, i])
+
+
+def test_turbo_reencode_matches_scan_encoder():
+    from lteax.phy.fec.turbo import turbo_encode_batch
+    from lteax.phy.fec.reencode import turbo_reencode_batch
+    rng = np.random.default_rng(0)
+    for k in (40, 512, 6144):
+        bits = rng.integers(0, 2, size=(2, k)).astype(np.int32)
+        ref = np.asarray(turbo_encode_batch(jnp.asarray(bits), k))
+        got = np.asarray(turbo_reencode_batch(jnp.asarray(bits), k))
+        assert np.array_equal(ref, got), k
