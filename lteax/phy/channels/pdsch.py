@@ -161,6 +161,34 @@ def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _global_rm_inv_planar(geom: PdschGeometry, npad: int) -> np.ndarray:
+    """Inverse de-match map for PLANAR demap output (kernels/demap.py):
+    interleaved codeword position g = s*m + j lives at planar flat position
+    j*npad + s; the zero sentinel points at the appended zeros column."""
+    inv, injective = _global_rm_inv(geom)
+    assert injective, "planar de-match requires an injective rate match"
+    m = geom.qm
+    s, j = inv // m, inv % m
+    out = (j * npad + s).astype(np.int64)
+    out[inv == geom.g] = m * npad                    # zero sentinel
+    return out.astype(np.int32)
+
+
+def soft_dematch_planar(llrs_planar: jnp.ndarray, geom: PdschGeometry,
+                        npad: int) -> jnp.ndarray:
+    """Planar demapped LLRs (..., m, npad) -> d-stream LLRs (..., C, 3, D).
+
+    Same result as ``soft_dematch`` on the interleaved layout — the layout
+    change is absorbed into the host-precomputed gather indices."""
+    lead = llrs_planar.shape[:-2]
+    inv = jnp.asarray(_global_rm_inv_planar(geom, npad))
+    flat = llrs_planar.reshape(*lead, -1)
+    ext = jnp.concatenate(
+        [flat, jnp.zeros((*lead, 1), flat.dtype)], axis=-1)
+    return ext[..., inv].reshape(*lead, geom.info.c, 3, geom.k + 4)
+
+
+@lru_cache(maxsize=None)
 def _global_rm_cycles(geom: PdschGeometry) -> np.ndarray:
     from lteax.phy.fec.ratematch import unmatch_inv_cycles
     return unmatch_inv_cycles(_global_rm_idx(geom),
