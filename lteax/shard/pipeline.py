@@ -229,6 +229,24 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     return _two_program(f1, f2, interpret)
 
 
+def _ul_rm_inv_planar(geom, qm: int, m_sc: int, npad: int):
+    """UL de-match gather indices reading DIRECTLY from the planar demap
+    output: composes (planar layout) ∘ (36.212 §5.2.2.8 data-only channel
+    de-interleave, a (12, m_sc, qm)->(m_sc, 12, qm) transpose) ∘ (rate
+    de-match inverse) into one host-precomputed index array."""
+    import numpy as np
+    from lteax.phy.channels.pdsch import _global_rm_inv
+    inv, injective = _global_rm_inv(geom)
+    assert injective
+    p = inv.astype(np.int64)
+    k = p // (12 * qm)
+    sym = (p % (12 * qm)) // qm
+    j = p % qm
+    out = (j * npad + sym * m_sc + k).astype(np.int64)
+    out[inv == geom.g] = qm * npad                   # zero sentinel
+    return out.astype(np.int32)
+
+
 def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
                   t: DecoderTuning, interpret):
     """Build the UL production (stage_front, stage_turbo) pair.
@@ -250,11 +268,23 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
     w = np.clip(np.asarray(
         [(s - pu.DMRS_SYMS[0]) / (pu.DMRS_SYMS[1] - pu.DMRS_SYMS[0])
          for s in data_syms], dtype=np.float32), 0.0, 1.0)[:, None]
+    c_init = int(rnti) * 2 ** 14 + int(subframe) * 512 + int(n_cell_id)
     sgn = jnp.asarray(seq.scrambling_symbols_np(
-        int(rnti) * 2 ** 14 + int(subframe) * 512 + int(n_cell_id),
-        geom.g))   # python-int c_init: avoids eager axon dispatch
+        c_init, geom.g))   # python-int c_init: avoids eager axon dispatch
     r_mux = geom.g // (12 * alloc.qm)
     assert geom.g == 12 * r_mux * alloc.qm, "data-only PUSCH interleaver"
+    from lteax.phy.channels.pdsch import _global_rm_inv
+    use_kernel = (t.pallas_demap and alloc.scheme in ("qpsk", "16qam",
+                                                      "64qam")
+                  and _global_rm_inv(geom)[1])
+    if use_kernel:
+        from lteax.kernels.demap import (demap_descr_planar_pallas,
+                                         planar_sgn_np)
+        qm = alloc.qm
+        npad = -(-(12 * m_sc) // 128) * 128
+        sgnp = jnp.asarray(planar_sgn_np(c_init, geom.g, qm, npad))
+        ul_inv = jnp.asarray(_ul_rm_inv_planar(geom, qm, m_sc, npad))
+        ldt = jnp.bfloat16 if t.mdtype.startswith("bf16") else jnp.float32
 
     def front(g_iq):                         # (14, m_sc, 2) f32
         grid = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
@@ -280,6 +310,9 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
         xt = pu._ul_dft(xf, inverse=True)
         eff = jnp.mean(nv / jnp.maximum(p, 1e-12), axis=-1,
                        keepdims=True) * jnp.ones_like(p)
+        if use_kernel:
+            return (jnp.real(xt).reshape(-1), jnp.imag(xt).reshape(-1),
+                    (1.0 / eff).reshape(-1))
         llr = demodulate_maxlog(xt.reshape(-1), alloc.scheme, eff.reshape(-1))
         llr = llr * sgn
         if t.mdtype.startswith("bf16"):
@@ -288,9 +321,23 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
         # rectangular transpose: (C_mux=12, R_mux, Qm) -> row-major
         return llr.reshape(12, r_mux, alloc.qm).transpose(1, 0, 2).reshape(-1)
 
-    def stage_front(batch_iq):
-        llr = jax.vmap(front)(batch_iq)                # (B, G)
-        return pdsch_mod.soft_dematch(llr, geom)       # (B, C, 3, D)
+    if use_kernel:
+        def stage_front(batch_iq):
+            xr, xi, invnv = jax.vmap(front)(batch_iq)  # (B, 12*m_sc)
+            llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp,
+                                            alloc.scheme, out_dtype=ldt,
+                                            interpret=interpret)
+            lead = llr.shape[:-2]
+            flat = llr.reshape(*lead, -1)
+            ext = jnp.concatenate(
+                [flat, jnp.zeros((*lead, 1), flat.dtype)], axis=-1)
+            # one gather: planar demap -> channel de-interleave -> de-match
+            return ext[..., ul_inv].reshape(*lead, geom.info.c, 3,
+                                            geom.k + 4)
+    else:
+        def stage_front(batch_iq):
+            llr = jax.vmap(front)(batch_iq)            # (B, G)
+            return pdsch_mod.soft_dematch(llr, geom)   # (B, C, 3, D)
 
     stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
     return stage_front, stage_turbo
@@ -327,13 +374,24 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
     """Build the 2x2 TM3 production (stage_front, stage_turbo) pair."""
     import numpy as np
     from lteax.phy import mimo, seq
+    from lteax.phy.channels.pdsch import _global_rm_inv
 
     re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
+    cinits = [int(rnti) * 2 ** 14 + q * 2 ** 13 + int(subframe) * 512
+              + int(n_cell_id) for q in range(2)]
     sgn = jnp.asarray(np.stack(
-        [seq.scrambling_symbols_np(
-            int(rnti) * 2 ** 14 + q * 2 ** 13 + int(subframe) * 512
-            + int(n_cell_id), geom.g)
-         for q in range(2)]))   # python-int c_init: avoids eager axon dispatch
+        [seq.scrambling_symbols_np(c, geom.g)
+         for c in cinits]))   # python-int c_init: avoids eager axon dispatch
+    use_kernel = (t.pallas_demap and scheme in ("qpsk", "16qam", "64qam")
+                  and _global_rm_inv(geom)[1])
+    if use_kernel:
+        from lteax.kernels.demap import (demap_descr_planar_pallas,
+                                         planar_sgn_np)
+        qm = geom.qm
+        npad = -(-(geom.g // qm) // 128) * 128
+        sgnp = jnp.asarray(np.stack(
+            [planar_sgn_np(c, geom.g, qm, npad) for c in cinits]))
+        ldt = jnp.bfloat16 if t.mdtype.startswith("bf16") else jnp.float32
 
     def front(sub_iq):                       # (2 rx, n_samps, 2)
         # NOTE front structure chosen by measurement (bench/mimo_front_probe*):
@@ -361,6 +419,8 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
         y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
         x_hat, eff = mimo.mmse_demix_2layers(y, mimo.heff_tm3(h), nvar)
+        if use_kernel:
+            return jnp.real(x_hat), jnp.imag(x_hat), 1.0 / eff   # (2, M) each
         outs = []
         for q in range(2):
             llr = demodulate_maxlog(x_hat[q], scheme, eff[q])
@@ -370,9 +430,20 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
             outs.append(llr)
         return jnp.stack(outs)               # (2 cw, G)
 
-    def stage_front(batch_iq):               # (2rx, B, n_samps, 2)
-        llr = jax.vmap(front, in_axes=1)(batch_iq)       # (B, 2, G)
-        return pdsch_mod.soft_dematch(llr.reshape(-1, geom.g), geom)
+    if use_kernel:
+        def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
+            xr, xi, invnv = jax.vmap(front, in_axes=1)(batch_iq)  # (B,2,M)
+            llr = jnp.stack(
+                [demap_descr_planar_pallas(xr[:, q], xi[:, q], invnv[:, q],
+                                           sgnp[q], scheme, out_dtype=ldt,
+                                           interpret=interpret)
+                 for q in range(2)], axis=1)             # (B, 2, m, npad)
+            return pdsch_mod.soft_dematch_planar(
+                llr.reshape(-1, geom.qm, npad), geom, npad)
+    else:
+        def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
+            llr = jax.vmap(front, in_axes=1)(batch_iq)   # (B, 2, G)
+            return pdsch_mod.soft_dematch(llr.reshape(-1, geom.g), geom)
 
     stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
     return stage_front, stage_turbo
