@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 
 def sweep(n_rb: int = 25, mcs: int = 10, n_blocks: int = 20,
-          esn0_points=None, n_iter: int = 6, seed: int = 0):
+          esn0_points=None, n_iter: int = 6, seed: int = 0,
+          decoder: str = "device"):
+    """``decoder="device"`` uses the XLA-scan reference turbo;
+    ``decoder="pallas"`` uses the PRODUCTION turbo stage (Pallas kernel
+    with the shipped DecoderTuning: bf16 trellis, pinpad, early stop,
+    compacted retry) — the curve the BLER regression gate pins."""
     from lteax.phy.tables.tbs import get_tbs_for_mcs
     from lteax.phy.channels import pdsch as pdsch_mod
     from lteax.phy.mod import modulate, demodulate_maxlog, BITS_PER_SYM
@@ -39,8 +44,25 @@ def sweep(n_rb: int = 25, mcs: int = 10, n_blocks: int = 20,
 
     enc = jax.jit(jax.vmap(lambda cb: pdsch_mod.pdsch_encode_cbs(
         cb, geom, rnti, sf, cid, scheme)))
-    dec = jax.jit(jax.vmap(lambda llr: pdsch_mod.pdsch_decode_device(
-        llr, geom, rnti, sf, cid, n_iter=n_iter)))
+    if decoder == "pallas":
+        from lteax.phy import seq
+        from lteax.phy.tuning import DecoderTuning
+        from lteax.shard.pipeline import _make_turbo_stage
+        t = DecoderTuning()               # shipped profile, NOT from_env:
+        interp = jax.default_backend() == "cpu"   # the gate pins defaults
+        sgn = jnp.asarray(seq.scrambling_symbols_np(
+            rnti * 2 ** 14 + sf * 512 + cid, geom.g))
+        turbo = _make_turbo_stage(geom, n_iter, t, interp)[0]
+
+        def decode_batch(llr_b):          # (B, G) f32 channel LLRs
+            llr = llr_b * sgn
+            if t.mdtype.startswith("bf16"):
+                llr = llr.astype(jnp.bfloat16)
+            return turbo(pdsch_mod.soft_dematch(llr, geom))
+        dec_pl = jax.jit(decode_batch)
+    else:
+        dec = jax.jit(jax.vmap(lambda llr: pdsch_mod.pdsch_decode_device(
+            llr, geom, rnti, sf, cid, n_iter=n_iter)))
 
     tb_bits = rng.integers(0, 2, size=(n_blocks, tbs)).astype(np.int32)
     cbs = np.stack([pdsch_mod.pdsch_prepare_cbs(tb_bits[i], geom)
@@ -54,7 +76,10 @@ def sweep(n_rb: int = 25, mcs: int = 10, n_blocks: int = 20,
                  + 1j * rng.standard_normal(syms.shape)) * np.sqrt(nv / 2)
         rx = (syms + noise).astype(np.complex64)
         llr = demodulate_maxlog(jnp.asarray(rx), scheme, nv)
-        bits, oks, _ = dec(llr)
+        if decoder == "pallas":
+            bits, oks = dec_pl(llr.reshape(n_blocks, -1))
+        else:
+            bits, oks, _ = dec(llr)
         bits, oks = np.asarray(bits), np.asarray(oks)
         ber = float(np.mean(bits != tb_bits))
         bler = float(1.0 - np.mean(oks))

@@ -146,6 +146,17 @@ class EnbSim:
         self.sched.add_ue(tc)
         return tc
 
+    def admit_handover_ue(self, rnti: int, cqi_mcs: int = 9) -> _EnbUe:
+        """Target-cell side of an inter-eNB handover: create the eNB UE
+        context for a C-RNTI whose RRC procedure arrived via X2
+        (``EnbRrc.start_handover(target=...)``), keyed from the transferred
+        KeNB* (PDCP COUNTs restart per 36.331 §5.3.5.4)."""
+        p = self.rrc.proc(rnti)
+        assert p is not None and p.k_enb, "no transferred RRC context"
+        ue = self.add_ue(rnti, p.k_enb, cqi_mcs=cqi_mcs)
+        ue.sec_on = True
+        return ue
+
     def _activate_security(self, rnti: int) -> None:
         """Derive AS keys from the RRC procedure's K_eNB once available;
         SRB1 upgrades in place, the DRB entity is created keyed."""
@@ -428,6 +439,30 @@ class UeSim:
         # answer IPv4 ICMP echo requests arriving on the DRB (the simulated
         # UE's IP stack — lets a real host `ping` the UE through the GW TUN)
         self.auto_icmp = True
+        # RRC messages held back by a handover command, to be sent on the
+        # target cell (see handover_retune)
+        self.ho_pending: list | None = None
+
+    def handover_retune(self, gc_target: GenConfig) -> "UeSim":
+        """36.331 §5.3.5.4 UE actions after a mobilityControlInfo: retune
+        to the target cell, take the new C-RNTI, re-key SRB/DRB from the
+        chained KeNB* (PDCP COUNTs restart), and queue the held-back
+        ReconfigurationComplete on the TARGET cell's SRB1.  Returns the
+        UE bound to the target cell (same UeRrc state machine)."""
+        assert self.rrc_ue is not None and self.rrc_ue.ho_target is not None
+        assert self.ho_pending is not None, "no held-back HO complete"
+        ue = UeSim(gc_target, self.rrc_ue.c_rnti, rrc_ue=self.rrc_ue,
+                   standing_grant=self.granted, cqi_period=self.cqi_period)
+        ke, ki, ku = generate_as_keys(self.rrc_ue.k_enb)
+        ue.srb_pdcp.set_keys(ke, ki)
+        ue.drb_pdcp = PdcpEntity(srb=False, rb_id=3, direction_tx=0,
+                                 k_enc=ku)
+        ue.sec_on = True
+        for chan, raw in self.ho_pending:
+            assert chan == "dcch"
+            ue.srb_tx.submit(ue.srb_pdcp.encode(raw))
+        self.ho_pending = None
+        return ue
 
     # -- RRC attach mode -----------------------------------------------------
     def start_attach(self, cause: str = "mo-Signalling") -> None:
@@ -615,7 +650,16 @@ class UeSim:
                     if sdu is None:
                         continue
                     if self.rrc_ue is not None:
-                        self._rrc_reply(self.rrc_ue.on_dl_dcch(sdu))
+                        before = self.rrc_ue.ho_target
+                        msgs = self.rrc_ue.on_dl_dcch(sdu)
+                        if (self.rrc_ue.ho_target is not None
+                                and self.rrc_ue.ho_target != before):
+                            # handover command: the ReconfigurationComplete
+                            # must go out on the TARGET cell's SRB1 after
+                            # the retune (handover_retune), not here
+                            self.ho_pending = msgs
+                        else:
+                            self._rrc_reply(msgs)
                     else:
                         self.rrc_sdus.append(sdu)
                 status = self.srb_rx.make_status() or status

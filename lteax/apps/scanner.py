@@ -136,9 +136,105 @@ def scan_channels(chans: list[Channel], cfg: PhyConfig,
     return reports
 
 
+def _parse_channels(specs) -> list[Channel]:
+    chans = []
+    for spec in specs:
+        label, rest = spec.split("=", 1)
+        parts = rest.split(":")
+        chans.append(Channel(
+            label=label, path=parts[0],
+            fmt=parts[1] if len(parts) > 1 else "fc32",
+            rate_hz=float(parts[2]) if len(parts) > 2 else None))
+    return chans
+
+
+def run_multihost_worker(a, chans, cfg) -> int:
+    """One process of a config-#5 multi-process scan (SURVEY.md §7 step 8).
+
+    ``jax.distributed`` joins the processes into one runtime; the CHANNEL
+    axis is partitioned across processes (channel ci belongs to process
+    ci % n).  Each process scans its partition with an idempotent
+    per-worker checkpoint, then all processes meet in one psum that
+    aggregates the global cells-found count over the ``host`` mesh axis —
+    the DCN-collective path of the pod scanner.
+
+    Elastic recovery model: SPMD jobs restart whole (a dead process leaves
+    peers blocked at the final collective), but work units are
+    checkpointed, so a relaunch re-scans only unfinished channels
+    (SURVEY.md §5)."""
+    import os
+    import jax
+
+    os.environ["JAX_PLATFORMS"] = "cpu"     # local-process emulation of a
+    jax.config.update("jax_platforms", "cpu")   # pod host (SURVEY.md §4)
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{a.port}",
+        num_processes=a.multihost, process_id=a.worker_idx)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devs = np.asarray(jax.devices()).reshape(a.multihost, -1)
+    mesh = Mesh(devs, ("host", "dev"))
+
+    def agg(x):
+        return jax.lax.psum(x, "host")
+
+    fn = jax.jit(shard_map(agg, mesh=mesh, in_specs=(P("host"),),
+                           out_specs=P()))
+    from jax.experimental import multihost_utils
+
+    def psum_scalar(v: int) -> int:
+        garr = multihost_utils.host_local_array_to_global_array(
+            np.asarray([v], np.int32), mesh, P("host"))
+        return int(np.asarray(
+            multihost_utils.global_array_to_host_local_array(
+                fn(garr), mesh, P()))[0])
+
+    # establish the collective (Gloo) context while all processes are
+    # still in lock-step — per-worker scan durations can exceed its
+    # connect timeout, and connections persist once made
+    psum_scalar(0)
+
+    mine = [ch for ci, ch in enumerate(chans)
+            if ci % a.multihost == a.worker_idx]
+    ckpt_path = (f"{a.checkpoint}.w{a.worker_idx}" if a.checkpoint else None)
+    reports = scan_channels(mine, cfg, checkpoint_path=ckpt_path)
+    # count DECODED cells (MIB present) — raw PSS peaks fire on noise
+    total = psum_scalar(
+        sum(1 for d in reports if d.get("mib") is not None))
+    for d in reports:
+        d["worker"] = a.worker_idx
+        print(json.dumps(d), flush=True)
+    print(json.dumps({"multihost_total_cells": total,
+                      "worker": a.worker_idx}), flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+def run_multihost_coordinator(a, argv) -> int:
+    """Spawn the N worker processes; a worker death means the job must be
+    relaunched (peers block at the final collective) — the checkpoints make
+    the relaunch cheap."""
+    import subprocess
+    import sys as _sys
+    procs = []
+    for i in range(a.multihost):
+        procs.append(subprocess.Popen(
+            [_sys.executable, "-m", "lteax.apps.scanner", *argv,
+             "--worker-idx", str(i)]))
+    rcs = [p.wait() for p in procs]
+    if any(rc != 0 for rc in rcs):
+        print(json.dumps({"multihost_error": f"worker rcs {rcs}; relaunch "
+                          "to resume from checkpoints"}), flush=True)
+        return 1
+    return 0
+
+
 def main(argv=None):
-    from lteax.utils.platform import apply_platform_env
-    apply_platform_env()
+    import sys as _sys
+    argv = list(argv) if argv is not None else _sys.argv[1:]
     p = argparse.ArgumentParser(
         description="multi-carrier LTE cell scanner over IQ captures")
     p.add_argument("captures", nargs="+",
@@ -152,18 +248,27 @@ def main(argv=None):
                    help="JSON-lines event log path ('-' = stdout)")
     p.add_argument("--debug-level", default="info",
                    choices=("error", "warn", "info", "debug"))
+    p.add_argument("--multihost", type=int, default=0, metavar="N",
+                   help="run as an N-process jax.distributed scan "
+                        "(channel axis across processes)")
+    p.add_argument("--port", type=int, default=36911,
+                   help="multihost coordinator port")
+    p.add_argument("--worker-idx", type=int, default=None,
+                   help=argparse.SUPPRESS)   # internal: worker process id
     a = p.parse_args(argv)
+    if a.multihost and a.worker_idx is None:
+        raise SystemExit(run_multihost_coordinator(a, argv))
+    if a.multihost:
+        cfg = PhyConfig(n_rb_dl=a.n_rb)
+        chans = _parse_channels(a.captures)
+        raise SystemExit(run_multihost_worker(a, chans, cfg))
+    from lteax.utils.platform import apply_platform_env
+    apply_platform_env()
     if a.eventlog:
         EVENTS.open(a.eventlog)
         EVENTS.set_level(a.debug_level)
     cfg = PhyConfig(n_rb_dl=a.n_rb)
-    chans = []
-    for spec in a.captures:
-        label, rest = spec.split("=", 1)
-        parts = rest.split(":")
-        chans.append(Channel(label=label, path=parts[0],
-                             fmt=parts[1] if len(parts) > 1 else "fc32",
-                             rate_hz=float(parts[2]) if len(parts) > 2 else None))
+    chans = _parse_channels(a.captures)
     for rep in scan_channels(chans, cfg, checkpoint_path=a.checkpoint,
                              prescan=a.prescan):
         print(json.dumps(rep))

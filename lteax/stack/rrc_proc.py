@@ -111,6 +111,8 @@ class EnbRrc:
         # MeasurementReport naming one of these stronger than serving
         # triggers start_handover)
         self.neighbors: dict[int, int] = {}
+        # inter-eNB neighbours: target PCI -> EnbRrc (X2 context transfer)
+        self.neighbor_enb: dict[int, "EnbRrc"] = {}
 
     def proc(self, rnti: int) -> _EnbUeProc | None:
         return self._procs.get(rnti)
@@ -203,7 +205,9 @@ class EnbRrc:
                 if (n.phys_cell_id in self.neighbors
                         and n.rsrp is not None
                         and n.rsrp > msg.serv_rsrp):
-                    return self.start_handover(rnti, n.phys_cell_id)
+                    return self.start_handover(
+                        rnti, n.phys_cell_id,
+                        target=self.neighbor_enb.get(n.phys_cell_id))
             return []
         if isinstance(msg, rd.UlInformationTransfer):
             return self._on_nas(p, msg.nas)
@@ -412,26 +416,41 @@ class EnbRrc:
     def start_handover(self, rnti: int, target_pci: int,
                        new_rnti: int | None = None,
                        target_earfcn: int | None = None,
-                       preamble: int = 5) -> list[tuple[str, bytes]]:
+                       preamble: int = 5,
+                       target: "EnbRrc | None" = None
+                       ) -> list[tuple[str, bytes]]:
         """Issue the intra-LTE handover command: a reconfiguration with
         mobilityControlInfo (target PCI/C-RNTI, dedicated RACH preamble)
         and securityConfigHO; the eNB-side context moves to the new C-RNTI
-        with KeNB* keying (33.401 A.5, horizontal NCC=0)."""
+        with KeNB* keying (33.401 A.5, horizontal NCC=0).
+
+        With ``target`` (another EnbRrc — the X2 HandoverRequest/ACK leg),
+        the UE context TRANSFERS to the target eNB, which allocates the new
+        C-RNTI and will see the ReconfigurationComplete on its own cell;
+        without it the move is intra-eNB (same RRC instance)."""
         from lteax.stack import rrc_meas as rmx
         p = self._procs[rnti]
+        dest = target if target is not None else self
+        if target is not None:
+            target_pci = target.pci
+            tearf = target.earfcn
+        else:
+            tearf = self.neighbors.get(
+                target_pci, self.earfcn if target_earfcn is None
+                else target_earfcn)
+            if target_earfcn is not None:
+                tearf = target_earfcn
         if new_rnti is None:
-            new_rnti = self._alloc_rnti()
-        tearf = self.neighbors.get(
-            target_pci, self.earfcn if target_earfcn is None
-            else target_earfcn)
-        if target_earfcn is not None:
-            tearf = target_earfcn
+            new_rnti = dest._alloc_rnti()
         p.resume_state = p.state
         p.state = "wait-ho-complete"
         p.k_enb = security.generate_k_enb_star(p.k_enb, target_pci, tearf)
         del self._procs[rnti]
         p.rnti = new_rnti
-        self._procs[new_rnti] = p
+        dest._procs[new_rnti] = p
+        if target is not None:
+            target.events.append(
+                f"ho-admit new_rnti={new_rnti:#x} from_pci={self.pci}")
         mob = rmx.MobilityControlInfo(
             target_pci=target_pci, t304=3, new_ue_identity=new_rnti,
             dl_carrier_freq=tearf, rach_dedicated=(preamble, 0))

@@ -1,17 +1,53 @@
-"""Config #2 gate: AWGN BLER behaves like a turbo waterfall — fails far
-below threshold, clean above it (bench/snr_sweep.py harness)."""
+"""Config #2 gate: AWGN BLER waterfall POSITION of the PRODUCTION decoder
+(Pallas turbo, shipped DecoderTuning: bf16 trellis, pinpad, early stop,
+compacted retry) is pinned against the stored curve (docs/bler_awgn.csv)
+with ±0.5 dB tolerance — a kernel-numerics regression that shifts the
+threshold fails CI (VERDICT r2 item 5).
+
+Stored production-path measurements (24 blocks, 2026-08-21):
+  QPSK  mcs4 n_rb=6  : BLER 0.83 @ -2.5 dB, 0.0 from -1.5 dB
+  16QAM mcs10 n_rb=25: BLER 1.00 @ +2.5 dB, 0.0 from +3.5 dB
+The gate asserts BLER >= 0.5 at threshold-1 dB and BLER == 0 at
+threshold+0.5 dB for both constellations."""
 
 import pytest
 
 from bench.snr_sweep import sweep
 
 
+def test_bler_gate_qpsk_production():
+    tbs, scheme, res = sweep(n_rb=6, mcs=4, n_blocks=16, n_iter=6,
+                             esn0_points=[-2.5, -1.0], seed=2,
+                             decoder="pallas")
+    assert scheme == "qpsk"
+    below, above = res
+    assert below[2] >= 0.5, \
+        f"BLER at -2.5 dB should be >=0.5 (stored 0.83), got {below[2]}"
+    assert above[2] == 0.0, \
+        f"BLER at -1.0 dB should be 0 (stored 0 from -1.5), got {above[2]}"
+    assert above[1] == 0.0                       # BER exactly zero
+
+
+def test_bler_gate_16qam_production():
+    tbs, scheme, res = sweep(n_rb=25, mcs=10, n_blocks=16, n_iter=6,
+                             esn0_points=[2.5, 4.0], seed=2,
+                             decoder="pallas")
+    assert scheme == "16qam"
+    below, above = res
+    assert below[2] >= 0.5, \
+        f"BLER at 2.5 dB should be >=0.5 (stored 1.0), got {below[2]}"
+    assert above[2] == 0.0, \
+        f"BLER at 4.0 dB should be 0 (stored 0 from 3.5), got {above[2]}"
+    assert above[1] == 0.0
+
+
 @pytest.mark.slow
-def test_bler_waterfall_position():
+def test_bler_waterfall_position_device_decoder():
+    """The XLA-scan reference decoder keeps its own (coarser) smoke gate."""
     tbs, scheme, res = sweep(n_rb=6, mcs=5, n_blocks=6, n_iter=6,
                              esn0_points=[-4.0, 3.0], seed=1)
     assert scheme == "qpsk"
     low, high = res[0], res[1]
     assert low[2] == 1.0, f"BLER at -4 dB should be 1.0, got {low[2]}"
     assert high[2] == 0.0, f"BLER at +3 dB should be 0.0, got {high[2]}"
-    assert high[1] == 0.0  # BER exactly zero above threshold
+    assert high[1] == 0.0
