@@ -1,0 +1,206 @@
+"""Backend-workaround expiry canaries (VERDICT r2 weak #8).
+
+Each load-bearing workaround in KNOWN_ISSUES.md exists because of a
+measured backend bug.  This script re-probes each trigger on the CURRENT
+backend and prints one JSON line per canary with status:
+
+  "still-broken"  — the workaround is still required (expected today)
+  "EXPIRED"       — the backend fixed it: re-enable the faster variant
+                    named in ``then`` and delete the workaround
+  "error"         — probe itself failed; investigate
+
+Run on the real chip:  python scripts/backend_canaries.py
+Crash-prone probes (worker-killing repros) run in subprocesses and are
+included only with --include-crashers.  --slow adds the compile-time probe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def emit(name, status, then, **extra):
+    print(json.dumps({"canary": name, "status": status, "then": then,
+                      **extra}), flush=True)
+
+
+def probe_solve_precision():
+    """KNOWN_ISSUES: jnp.linalg.solve runs inner matmuls at bf16 precision
+    (Wiener chest decoded 0/384).  Workaround: host-precomputed matrix."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    n = 200
+    a = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+         ).astype(np.complex64)
+    a = a @ a.conj().T + 5.0 * np.eye(n, dtype=np.complex64)
+    b = (rng.standard_normal((n, 1)) + 1j * rng.standard_normal((n, 1))
+         ).astype(np.complex64)
+    ref = np.linalg.solve(a, b)
+
+    # complex forms INSIDE jit from f32 pairs (complex transfers and eager
+    # dispatch are themselves broken on this backend — separate canaries)
+    def f(ar, ai, br, bi):
+        ac = (ar + 1j * ai).astype(jnp.complex64)
+        bc = (br + 1j * bi).astype(jnp.complex64)
+        s = jnp.linalg.solve(ac, bc)
+        return jnp.real(s), jnp.imag(s)
+    sr, si = jax.jit(f)(a.real.copy(), a.imag.copy(),
+                        b.real.copy(), b.imag.copy())
+    got = np.asarray(sr) + 1j * np.asarray(si)
+    rel = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
+    status = "EXPIRED" if rel < 1e-3 else "still-broken"
+    return status, {"max_rel_err": rel}
+
+
+def probe_fft_lowering():
+    """KNOWN_ISSUES: FFTs above 4096 points fail to lower (UNIMPLEMENTED).
+    Workaround: overlap-save + factored matmul DFT (phy/dft.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    x = np.random.default_rng(0).standard_normal((2, 8192)).astype(np.float32)
+    try:
+        y = jax.jit(lambda v: jnp.abs(jnp.fft.fft(
+            v.astype(jnp.complex64))))(x)
+        np.asarray(y)
+        return "EXPIRED", {"n_fft": 8192}
+    except Exception as e:
+        return "still-broken", {"error": f"{type(e).__name__}"}
+
+
+def probe_complex_transfer():
+    """KNOWN_ISSUES: the backend rejects complex transfers — device
+    boundary is float32 IQ pairs (io.iq.to_iq_f32)."""
+    import numpy as np
+    import jax
+    x = (np.arange(8) + 1j * np.arange(8)).astype(np.complex64)
+    try:
+        d = jax.device_put(x)
+        np.asarray(d)
+        return "EXPIRED", {}
+    except Exception as e:
+        return "still-broken", {"error": f"{type(e).__name__}"}
+
+
+def probe_eager_dispatch():
+    """KNOWN_ISSUES: eager (non-jit) dispatch is rejected intermittently
+    (FAILED_PRECONDITION at decoder construction) — factories compute
+    c_init in python ints.  Intermittent: one clean pass is weak evidence."""
+    import numpy as np
+    import jax.numpy as jnp
+    try:
+        for i in range(20):
+            v = jnp.asarray(np.float32(i)) * 2.0 + 1.0
+            float(v)
+        return "maybe-expired (intermittent bug; 20/20 eager ops ok)", {}
+    except Exception as e:
+        return "still-broken", {"error": f"{type(e).__name__}"}
+
+
+def probe_struct_dematch_crash():
+    """KNOWN_ISSUES: structured de-match + Pallas TURBO kernel in one
+    program kills the worker.  Runs the minimal repro in a SUBPROCESS."""
+    code = r"""
+import sys; sys.path.insert(0, %r)
+import numpy as np, jax, jax.numpy as jnp, os
+os.environ["LTEAX_STRUCT_DEMATCH"] = "1"
+from lteax.phy.channels import pdsch as pd
+from lteax.phy.tables.tbs import get_tbs_for_mcs
+from lteax.phy.config import PhyConfig
+from lteax.phy.grid import pdsch_flat_idx
+from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+cfg = PhyConfig(n_rb_dl=100)
+tbs, scheme = get_tbs_for_mcs(28, 100)
+re_idx = pdsch_flat_idx(cfg, 214, 1, tuple(range(100)), 1)
+geom = pd.pdsch_geometry(tbs, len(re_idx), 6, 0)
+x = jnp.asarray(np.random.default_rng(0).standard_normal(
+    (4, geom.g)).astype(np.float32))
+def f(llr):
+    d = pd.soft_dematch(llr, geom)
+    flat = d.reshape(-1, 3, geom.k + 4)
+    return turbo_decode_batch_pallas(flat, geom.k, n_iter=1, retry_m=0)
+out = jax.jit(f)(x)
+np.asarray(out)
+print("SURVIVED")
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900)
+    if r.returncode == 0 and "SURVIVED" in r.stdout:
+        return "EXPIRED", {}
+    return "still-broken", {"rc": r.returncode,
+                            "tail": (r.stderr or "")[-200:]}
+
+
+def probe_b512_compile(timeout_s=240):
+    """KNOWN_ISSUES: B~512 shapes hit pathological compile times.
+    Probe: compile the front at B=512 with a deadline (subprocess)."""
+    code = r"""
+import sys; sys.path.insert(0, %r)
+import numpy as np, jax, jax.numpy as jnp, time
+from lteax.phy.config import PhyConfig
+from lteax.phy.ofdm import samples_to_subframe
+cfg = PhyConfig(n_rb_dl=100)
+x = jnp.zeros((512, cfg.n_samps_subframe, 2), jnp.float32)
+def f(s):
+    c = (s[...,0] + 1j*s[...,1]).astype(jnp.complex64)
+    g = jax.vmap(lambda v: samples_to_subframe(v, cfg))(c)
+    return jnp.sum(jnp.abs(g))
+t0 = time.time()
+np.asarray(jax.jit(f)(x))
+print("COMPILED", round(time.time()-t0, 1))
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return "still-broken", {"timeout_s": timeout_s}
+    if r.returncode == 0 and "COMPILED" in r.stdout:
+        secs = float(r.stdout.split()[-1])
+        status = "EXPIRED" if secs < 120 else "still-broken"
+        return status, {"compile_s": secs}
+    return "error", {"rc": r.returncode, "tail": (r.stderr or "")[-200:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--include-crashers", action="store_true",
+                    help="run worker-killing repros (in subprocesses)")
+    ap.add_argument("--slow", action="store_true",
+                    help="include the B=512 compile-time probe")
+    a = ap.parse_args()
+    probes = [
+        ("linalg-solve-bf16", probe_solve_precision,
+         "drop chest._wiener_matrix host precompute; allow traced noise_var"),
+        ("fft-above-4096", probe_fft_lowering,
+         "replace factored matmul DFT fallback in sync.pss_correlate"),
+        ("complex-transfer", probe_complex_transfer,
+         "drop io.iq f32-pair device boundary"),
+        ("eager-dispatch", probe_eager_dispatch,
+         "allow jnp _c_init in decoder factories"),
+    ]
+    if a.include_crashers:
+        probes.append(("struct-dematch+turbo-kernel", probe_struct_dematch_crash,
+                       "flip DecoderTuning.struct_dematch default ON (then re-A/B)"))
+    if a.slow:
+        probes.append(("b512-compile", probe_b512_compile,
+                       "retune bench batch size above 384"))
+    for name, fn, then in probes:
+        try:
+            status, extra = fn()
+        except Exception as e:
+            status, extra = "error", {"error": f"{type(e).__name__}: {e}"[:200]}
+        emit(name, status, then, **extra)
+
+
+if __name__ == "__main__":
+    main()
