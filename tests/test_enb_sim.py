@@ -4,6 +4,7 @@ import numpy as np
 
 from lteax.apps.enb_sim import EnbSim, UeSim
 from lteax.apps.file_gen import GenConfig
+import pytest
 
 K1 = bytes(range(32))
 K2 = bytes(range(1, 33))
@@ -22,6 +23,7 @@ def _run(enb, ues, n_frames=2, drop=None):
                     enb.handle_status(rnti, status)
 
 
+@pytest.mark.heavy
 def test_two_ue_user_plane():
     gc = GenConfig(n_rb_dl=6, n_cell_id=77)
     enb = EnbSim(gc)
@@ -42,6 +44,7 @@ def test_two_ue_user_plane():
     assert enb.ues[0x100].srb_tx.all_acked
 
 
+@pytest.mark.heavy
 def test_srb_survives_lost_subframe():
     """Drop the subframe carrying the first SRB transmission: RLC AM
     status/retransmission recovers it."""
@@ -123,6 +126,7 @@ def test_ul_with_phich_feedback():
     assert ue.read_phich(dl2, 4, n_seq=0) is False
 
 
+@pytest.mark.heavy
 def test_rrc_attach_over_tti_loop():
     """A UE attaches through the live TTI scheduler: PRACH -> CCCH
     connection setup -> SRB1 RRC/NAS exchange (AM + PDCP, pre-security then

@@ -82,6 +82,7 @@ def _tun_available():
 
 @pytest.mark.skipif(not _tun_available(),
                     reason="needs /dev/net/tun + raw-socket privileges")
+@pytest.mark.heavy
 def test_kernel_ping_through_phy(tmp_path):
     """Kernel ICMP -> TUN -> DRB DL over the OFDM TTI loop -> UE echo ->
     SR/grant -> PUSCH UL -> TUN -> kernel."""

@@ -20,6 +20,7 @@ from lteax.stack import security
 from lteax.stack.rrc_dedicated import MeasResultEutra
 from lteax.stack.rrc_proc import EnbRrc, UeRrc
 from lteax.stack.users import Hss, UserManager
+import pytest
 
 
 def _run_ttis(enb, ue, rnti, sfn_range, stop=None):
@@ -37,6 +38,7 @@ def _run_ttis(enb, ue, rnti, sfn_range, stop=None):
     return stop() if stop is not None else True
 
 
+@pytest.mark.heavy
 def test_two_cell_handover_over_tti_loop():
     imsi = (0, 0, 1, 0, 1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0)
     k = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")

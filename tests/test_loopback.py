@@ -24,6 +24,7 @@ def test_loopback_clean():
     assert r.sib_crc_fails == 0
 
 
+@pytest.mark.heavy
 def test_loopback_offset_cfo_noise():
     rng = np.random.default_rng(3)
     gc = GenConfig(n_rb_dl=6, n_cell_id=101, n_frames=6)
@@ -47,6 +48,7 @@ def test_loopback_offset_cfo_noise():
     assert abs(r.cfo_hz - 200.0) < 60.0
 
 
+@pytest.mark.heavy
 def test_loopback_iq_file_roundtrip(tmp_path):
     gc = GenConfig(n_rb_dl=6, n_cell_id=7, n_frames=2)
     x = generate(gc)
@@ -59,6 +61,7 @@ def test_loopback_iq_file_roundtrip(tmp_path):
         assert r.mib is not None, fmt
 
 
+@pytest.mark.heavy
 def test_loopback_2port_sfbc():
     """Config #3 capability: 2-port TX diversity gen -> SFBC scan."""
     gc = GenConfig(n_rb_dl=6, n_cell_id=33, n_ant=2, n_frames=4, tac=0x77)
@@ -92,6 +95,7 @@ def test_loopback_5mhz():
     assert r.snr_db > 30  # noiseless loopback
 
 
+@pytest.mark.heavy
 def test_loopback_extended_cp():
     gc = GenConfig(n_rb_dl=6, n_cell_id=77, n_frames=4, tac=0xECB,
                    extended_cp=True)
@@ -115,6 +119,7 @@ def test_loopback_4port_fstd():
     assert r.sib2 is not None
 
 
+@pytest.mark.heavy
 def test_loopback_dci_1c():
     """SI carried with compact DCI format 1C (real networks often do)."""
     gc = GenConfig(n_rb_dl=6, n_cell_id=99, n_frames=4, tac=0x1C1C,
@@ -140,6 +145,7 @@ def test_loopback_10mhz_epa_fading():
     assert r.evm_pct > 0
 
 
+@pytest.mark.heavy
 def test_loopback_paging():
     """Paging records over PDSCH @ P-RNTI (DCI 1C, subframe 9)."""
     gc = GenConfig(n_rb_dl=6, n_cell_id=200, n_frames=4,
@@ -150,6 +156,7 @@ def test_loopback_paging():
     assert r.sib1 is not None
 
 
+@pytest.mark.heavy
 def test_loopback_extra_sibs():
     """gen carries SIB3/SIB5/SIB9 alongside SIB2 in the SI window; scan
     decodes and reports them (multi-SIB SystemInformation end-to-end)."""
@@ -173,6 +180,7 @@ def test_loopback_extra_sibs():
     r.to_json()   # bytes fields must serialize
 
 
+@pytest.mark.heavy
 def test_loopback_multi_si_windows():
     """Three SI messages with distinct periodicities: SI1 (SIB2+SIB3) at
     the legacy sf5 slots, SI2 (SIB5) and SI3 (SIB9) in their own 36.331
@@ -194,6 +202,7 @@ def test_loopback_multi_si_windows():
     assert r.sibs["sib9"] == s9, sorted(r.sibs)
 
 
+@pytest.mark.heavy
 def test_loopback_rel9_ext_sibs():
     """SIB12 (CMAS) + SIB13 (MBSFN) carried as Rel-9 extension alternatives
     through the full gen->scan PHY loopback."""

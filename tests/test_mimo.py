@@ -54,6 +54,7 @@ def test_precode_demix_noiseless(mode, cb):
     ("tm4", 1, ("16qam", "16qam")),
     ("tm4", 2, ("qpsk", "qpsk")),
 ])
+@pytest.mark.heavy
 def test_two_codeword_pdsch_over_2x2(mode, cb, schemes):
     """Full 2-codeword chain: encode (per-codeword scrambling) -> layer map
     -> precode -> random 2x2 channel + AWGN -> MMSE demix -> per-layer
@@ -140,6 +141,7 @@ def test_dci_2_2a_roundtrip_and_blind_decode():
     assert found and found[0][0] == d
 
 
+@pytest.mark.heavy
 def test_tm3_full_subframe_ofdm_chest():
     """OFDM-level 2x2 TM3 integration: per-port grids with CRS, IFFT to
     samples, per-(rx,tx) flat channel + AWGN, FFT back, CRS channel

@@ -14,6 +14,7 @@ from lteax.phy.channels import pusch
 from lteax.phy.channels.pdsch import pdsch_prepare_cbs
 from lteax.shard.pipeline import (make_pusch_batch_decoder,
                                   make_mimo_batch_decoder)
+import pytest
 
 
 def test_pusch_batch_decoder_cpu():
@@ -41,6 +42,7 @@ def test_pusch_batch_decoder_cpu():
     assert np.array_equal(np.asarray(tb), tbs_bits)
 
 
+@pytest.mark.heavy
 def test_mimo_batch_decoder_cpu():
     from lteax.phy.config import PhyConfig
     from lteax.phy import seq, mimo

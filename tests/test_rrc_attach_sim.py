@@ -3,8 +3,10 @@
 dedicated RACH + re-keyed complete on the target cell)."""
 
 from lteax.apps.rrc_attach_sim import run
+import pytest
 
 
+@pytest.mark.heavy
 def test_rrc_attach_over_phy():
     res = run(verbose=False)
     assert res == {"rach": True, "as_security": True, "attach": True,

@@ -8,6 +8,7 @@ from lteax.apps.scanner import Channel, scan_channels
 from lteax.kernels.polyphase import resample_poly
 from lteax.io.iq import write_iq
 from lteax.phy.config import PhyConfig
+import pytest
 
 
 def test_resampler_tone():
@@ -24,6 +25,7 @@ def test_resampler_tone():
     assert np.abs(seg).std() < 1e-3
 
 
+@pytest.mark.heavy
 def test_scanner_two_channels_with_resampled_capture(tmp_path):
     cfg = PhyConfig(n_rb_dl=6)
     # channel A: native-rate capture
@@ -52,6 +54,7 @@ def test_scanner_two_channels_with_resampled_capture(tmp_path):
     assert reports[2]["mib"] is None
 
 
+@pytest.mark.heavy
 def test_scanner_checkpoint_resume(tmp_path):
     """Finished channels are skipped on restart (idempotent work units)."""
     cfg = PhyConfig(n_rb_dl=6)

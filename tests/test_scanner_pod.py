@@ -57,6 +57,7 @@ def pod_setup(tmp_path_factory):
     return cfg, chans, live, tmp
 
 
+@pytest.mark.heavy
 def test_pod_scan_with_prescan_and_resume(pod_setup):
     cfg, chans, live, tmp = pod_setup
     ckpt = tmp / "pod.ckpt"

@@ -16,8 +16,10 @@ from lteax.shard.pipeline import (
     make_mimo_batch_decoder, make_sharded_mimo_decoder)
 
 from tests.test_shard import _make_pdsch_samples
+import pytest
 
 
+@pytest.mark.heavy
 def test_sharded_pallas_dl_matches_single_device():
     (cfg, cid, ctrl, prbs, sf, rnti, geom, scheme, x, tb_ref) = \
         _make_pdsch_samples(8, seed=11)
@@ -58,6 +60,7 @@ def _make_pusch_grids(b: int, seed: int):
     return alloc, rnti, sf, cid, jnp.asarray(x_iq), tbs_bits
 
 
+@pytest.mark.heavy
 def test_sharded_pallas_ul_matches_single_device():
     alloc, rnti, sf, cid, x_iq, tbs_bits = _make_pusch_grids(8, seed=3)
     dec1 = make_pusch_batch_decoder(alloc, rnti, sf, cid, n_iter=4,
@@ -121,6 +124,7 @@ def _make_mimo_samples(b: int, seed: int):
             jnp.asarray(x_iq), tb_bits)
 
 
+@pytest.mark.heavy
 def test_sharded_pallas_mimo_matches_single_device():
     (cfg, cid, cfi, prbs, sf, rnti, geom, scheme, x_iq, tb_bits) = \
         _make_mimo_samples(4, seed=1)

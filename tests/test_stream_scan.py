@@ -1,5 +1,6 @@
 """Streaming scanner service: windowed scan, checkpoint resume, ctrl verbs."""
 
+import pytest
 import json
 import socket
 
@@ -18,6 +19,7 @@ def _capture(tmp_path, n_frames=5, cell_id=99):
     return path
 
 
+@pytest.mark.heavy
 def test_stream_scan_windows_and_resume(tmp_path):
     path = _capture(tmp_path)
     cfg = PhyConfig(n_rb_dl=6)

@@ -32,6 +32,7 @@ def test_struct_dematch_backend_retest():
         "keep LTEAX_STRUCT_DEMATCH default off")
 
 
+@pytest.mark.heavy
 def test_struct_dematch_cpu_correctness():
     """The ladder's levels 0/1 decode bit-exactly on CPU (fast sanity that
     the repro itself is valid; the crash is a TPU-backend property)."""

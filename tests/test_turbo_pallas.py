@@ -146,6 +146,7 @@ def test_fused_decode_bf16():
     np.testing.assert_array_equal(got, bits)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("mdtype", ["f32", "bf16"])
 def test_pinpad_matches_masked(mdtype):
     """Pinned padding (u=+PIN on dead positions, maskless kernel) must make
