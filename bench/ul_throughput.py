@@ -66,6 +66,10 @@ def main():
     x = x + (rng.standard_normal(x.shape)
              + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
     x_iq = np.stack([x.real, x.imag], -1).astype(np.float32)
+    iq_fmt = os.environ.get("LTEAX_BENCH_IQ", "bf16")
+    if iq_fmt == "bf16":
+        import ml_dtypes
+        x_iq = x_iq.astype(ml_dtypes.bfloat16)
 
     # production batched decoder (shard/pipeline.py): hoisted scrambling,
     # transpose de-interleave, batch-level de-match, two-program split,

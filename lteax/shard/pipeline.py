@@ -286,8 +286,10 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
         ul_inv = jnp.asarray(_ul_rm_inv_planar(geom, qm, m_sc, npad))
         ldt = jnp.bfloat16 if t.mdtype.startswith("bf16") else jnp.float32
 
-    def front(g_iq):                         # (14, m_sc, 2) f32
-        grid = (g_iq[..., 0] + 1j * g_iq[..., 1]).astype(jnp.complex64)
+    def front(g_iq):                         # (14, m_sc, 2) f32|bf16
+        grid = (g_iq[..., 0].astype(jnp.float32)
+                + 1j * g_iq[..., 1].astype(jnp.float32)
+                ).astype(jnp.complex64)
         ls0 = grid[pu.DMRS_SYMS[0]] * ref0   # raw LS at the two pilots
         ls1 = grid[pu.DMRS_SYMS[1]] * ref1
         if noise_var is None:
@@ -400,7 +402,9 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         # "cleaner" batched-chest + structured-extract + joint-demap combos
         # measured 81-82 ms (backend fusion interaction — each change alone
         # is neutral).
-        s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
+        s = (sub_iq[..., 0].astype(jnp.float32)
+             + 1j * sub_iq[..., 1].astype(jnp.float32)
+             ).astype(jnp.complex64)
         grids = jax.vmap(lambda ss: samples_to_subframe(ss, cfg))(s)
         if t.mimo_chest == "mmse":
             # STATIC noise prior -> host-precomputed Wiener matrix (the
@@ -484,7 +488,9 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
 
     def front(sub_iq):                        # (2 rx, n_samps, 2)
         # same measured structure as the MMSE front (bench/mimo_front_probe*)
-        s = (sub_iq[..., 0] + 1j * sub_iq[..., 1]).astype(jnp.complex64)
+        s = (sub_iq[..., 0].astype(jnp.float32)
+             + 1j * sub_iq[..., 1].astype(jnp.float32)
+             ).astype(jnp.complex64)
         grids = jax.vmap(lambda ss: samples_to_subframe(ss, cfg))(s)
         est = lambda r, tx: chest.estimate_channel(
             grids[r], cfg, n_cell_id, subframe, port=tx,
