@@ -88,3 +88,19 @@ def test_scanner_prescan_skips_dead_channels(tmp_path):
                             prescan=True)
     assert reports[0]["n_cell_id"] == 44 and reports[0]["sib1"]["tac"] == 0x44
     assert reports[1]["mib"] is None and not reports[1]["prescan"]["detected"]
+
+
+def test_resample_poly_pallas_matches_xla():
+    """The Pallas polyphase kernel (SURVEY §7 step 6d) is element-identical
+    to the XLA conv formulation across rational ratios, including the
+    192/125 hackrf case and pure up/down sampling."""
+    from lteax.kernels.polyphase import resample_poly_pallas
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(50000)
+         + 1j * rng.standard_normal(50000)).astype(np.complex64)
+    for p, q in ((192, 125), (2, 3), (25, 24), (1, 10), (2, 1)):
+        ref = np.asarray(resample_poly(jnp.asarray(x), p, q))
+        got = np.asarray(resample_poly_pallas(jnp.asarray(x), p, q,
+                                              interpret=True))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5)
