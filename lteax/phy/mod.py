@@ -57,6 +57,31 @@ def _bit_masks(scheme: str) -> np.ndarray:
     return np.stack([((v >> (m - 1 - i)) & 1) for i in range(m)]).astype(np.bool_)
 
 
+def modulate_arith(bits: jnp.ndarray, scheme: str) -> jnp.ndarray:
+    """bits (..., N*m) -> symbols (..., N) complex64, PURE-ELEMENTWISE.
+
+    Same mapping as :func:`modulate`, but the 36.211 §7.1 Gray formulas are
+    evaluated arithmetically instead of via a constellation-table gather —
+    on TPU the (N,) int gather from the 64-entry table measured ~40 ms per
+    2.5M symbols in the MIMO SIC re-modulation; this form is VPU-only."""
+    m = BITS_PER_SYM[scheme]
+    g = bits.reshape(*bits.shape[:-1], -1, m).astype(jnp.float32)
+    s = 1.0 - 2.0 * g                                 # (+1 for bit 0)
+    if scheme == "bpsk":
+        v = s[..., 0] / np.sqrt(2)
+        return (v + 1j * v).astype(jnp.complex64)
+    if scheme == "qpsk":
+        return ((s[..., 0] + 1j * s[..., 1]) / np.sqrt(2)
+                ).astype(jnp.complex64)
+    if scheme == "16qam":
+        i_ = s[..., 0] * (2.0 - s[..., 2]) / np.sqrt(10)
+        q_ = s[..., 1] * (2.0 - s[..., 3]) / np.sqrt(10)
+        return (i_ + 1j * q_).astype(jnp.complex64)
+    i_ = s[..., 0] * (4.0 - s[..., 2] * (2.0 - s[..., 4])) / np.sqrt(42)
+    q_ = s[..., 1] * (4.0 - s[..., 3] * (2.0 - s[..., 5])) / np.sqrt(42)
+    return (i_ + 1j * q_).astype(jnp.complex64)
+
+
 def modulate(bits: jnp.ndarray, scheme: str) -> jnp.ndarray:
     """bits (..., N*m) -> symbols (..., N) complex64."""
     m = BITS_PER_SYM[scheme]

@@ -472,7 +472,7 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     from lteax.phy.fec.crc import check_crc
     from lteax.phy.fec.reencode import turbo_reencode_batch
     from lteax.phy.channels.pdsch import _global_rm_idx
-    from lteax.phy.mod import modulate
+    from lteax.phy.mod import modulate_arith
     from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
     re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
@@ -527,7 +527,7 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
         bsz = llr1_mmse.shape[0]
         d0 = turbo_reencode_batch(bits0, geom.k)      # (B*C, 3, D)
         e = jnp.take(d0.reshape(bsz, -1), rm_idx, axis=-1)   # (B, G)
-        s0 = modulate((e + scr0) % 2, scheme)         # (B, M) CW0 symbols
+        s0 = modulate_arith((e + scr0) % 2, scheme)   # (B, M) CW0 symbols
         y2 = y - heff[..., 0, :] * s0[:, None, :]
         x1, eff1 = chest.equalize_mrc(y2, heff[..., 1, :], nvar[:, None])
         llr1 = demodulate_maxlog(x1, scheme, eff1) * sgn[1]
