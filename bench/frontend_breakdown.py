@@ -134,6 +134,42 @@ def main():
         d = soft_dematch(llr, geom)
         return jnp.sum(d.astype(jnp.float32), axis=(-3, -2, -1))
 
+    # ---- PRODUCTION (Pallas demap) front stages ----
+    from lteax.kernels.demap import demap_descr_planar_pallas, planar_sgn_np
+    from lteax.phy.channels.pdsch import soft_dematch_planar
+    qm = geom.qm
+    npad = -(-(geom.g // qm) // 128) * 128
+    sgnp = jnp.asarray(planar_sgn_np(
+        int(rnti) * 2 ** 14 + int(sf) * 512 + int(cid), geom.g, qm, npad))
+
+    def _eq_xr(s_iq):
+        def one(samples):
+            grid = samples_to_subframe(samples, cfg)
+            h = chest.estimate_channel(grid, cfg, cid, sf, port=0)
+            nv = chest.estimate_noise_var(grid, cfg, cid, sf)
+            hf = h.reshape(-1)
+            p = jnp.abs(hf) ** 2
+            x = grid.reshape(-1) * jnp.conj(hf) / (p + nv)
+            x = x / jnp.maximum(p / (p + nv), 1e-12)
+            return (extract(jnp.real(x)), extract(jnp.imag(x)),
+                    extract(p / nv))
+        return jax.vmap(one)(to_cplx(s_iq))
+
+    def pk_eq(s_iq):
+        xr, xi, invnv = _eq_xr(s_iq)
+        return jnp.sum(xr + xi + invnv, axis=-1)
+
+    def pk_demap(s_iq):
+        xr, xi, invnv = _eq_xr(s_iq)
+        llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp, scheme)
+        return jnp.sum(llr.astype(jnp.float32), axis=(-2, -1))
+
+    def pk_full(s_iq):
+        xr, xi, invnv = _eq_xr(s_iq)
+        llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp, scheme)
+        d = soft_dematch_planar(llr, geom, npad)
+        return jnp.sum(d.astype(jnp.float32), axis=(-3, -2, -1))
+
     stages = [
         ("input read (sum f32 pairs)", p0_read),
         ("+ complex conversion", p1_cplx),
@@ -141,7 +177,10 @@ def main():
         ("+ CRS chest + noisevar", _front_to("chest")),
         ("+ MMSE equalize", _front_to("eq")),
         ("+ extract + 64QAM demap + descramble", _front_to("demap")),
-        ("+ bf16 + rate de-match (full front)", p6_full),
+        ("+ bf16 + rate de-match (XLA full front)", p6_full),
+        ("[prod] eq + extract xr/xi/invnv", pk_eq),
+        ("[prod] + Pallas fused demap", pk_demap),
+        ("[prod] + planar de-match (full front)", pk_full),
     ]
 
     prev = None

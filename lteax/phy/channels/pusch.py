@@ -264,23 +264,32 @@ def chest_denoise(h_ls: jnp.ndarray) -> jnp.ndarray:
 
 
 def pusch_decode(grid: jnp.ndarray, alloc: PuschAlloc, rnti, subframe,
-                 n_cell_id, noise_var: float = 1e-3, n_dmrs: int = 0,
+                 n_cell_id, noise_var: float | None = None, n_dmrs: int = 0,
                  n_iter: int = 6, denoise: bool = True):
     """(14, m_sc) received SC-FDMA grid -> (tb_bits, tb_ok, cb_oks).
 
     LS channel estimate per slot from DM-RS (delay-domain denoised),
     linear time interpolation, MMSE equalization, IDFT de-precoding,
-    max-log demap, de-interleave, de-match, turbo decode."""
+    max-log demap, de-interleave, de-match, turbo decode.
+
+    ``noise_var=None`` (default) estimates the noise per subframe from the
+    DM-RS residual (the two pilot symbols' raw LS difference is noise-only
+    under a subframe-static channel) — same estimator as the production
+    batch decoder; a float pins a static prior."""
     geom = alloc.geom
     m_sc = alloc.m_sc
     # channel estimates at DM-RS symbols
-    h_slots = []
+    h_slots, ls_raw = [], []
     for slot_i, sym in enumerate(DMRS_SYMS):
         ns = 2 * subframe + slot_i
         ref = jnp.asarray(dmrs_pusch(n_cell_id, ns, m_sc, n_dmrs=n_dmrs))
         h = grid[sym] * jnp.conj(ref)
+        ls_raw.append(h)
         h_slots.append(chest_denoise(h) if denoise else h)
     h0, h1 = h_slots
+    if noise_var is None:
+        noise_var = jnp.maximum(
+            jnp.mean(jnp.abs(ls_raw[0] - ls_raw[1]) ** 2) / 2.0, 1e-6)
     data_syms = [s for s in range(14) if s not in DMRS_SYMS]
     w = jnp.asarray([(s - DMRS_SYMS[0]) / (DMRS_SYMS[1] - DMRS_SYMS[0])
                      for s in data_syms], dtype=jnp.float32)

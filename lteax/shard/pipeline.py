@@ -163,12 +163,31 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         return grid, h, nv
 
     if use_kernel:
-        from lteax.kernels.demap import (demap_descr_planar_pallas,
-                                         planar_sgn_np)
+        import numpy as np
+        from lteax.kernels.demap import demap_descr_planar_pallas
+        from lteax.phy import seq
         qm = geom.qm
-        n_sym_cw = geom.g // qm
-        npad = -(-n_sym_cw // 128) * 128
-        sgnp = jnp.asarray(planar_sgn_np(c_init, geom.g, qm, npad))
+        # demap the FULL grid (29% extra free VPU work) and fold the RE
+        # extraction into the de-match gather: planar column s' = re_idx[s]
+        # — saves the three extracted (B, n_re) f32 materializations
+        # (~2.4 ms/batch(384))
+        n_grid = cfg.n_sym_subframe * cfg.n_sc
+        npad_g = -(-n_grid // 128) * 128
+        sgn_np = seq.scrambling_symbols_np(c_init, geom.g)
+        sgnp_g = np.ones((qm, npad_g), dtype=np.float32)
+        sgnp_g[:, np.asarray(re_idx)] = sgn_np.reshape(-1, qm).T
+        sgnp_g = jnp.asarray(sgnp_g)
+        # remap: interleaved g at (s, j) -> plane j, grid column re_idx[s]
+        inv_g, _ = _global_rm_inv(geom)
+        g_idx = inv_g.astype(np.int64)
+        s_sym = g_idx // qm
+        j_bit = g_idx % qm
+        re_np = np.asarray(re_idx, dtype=np.int64)
+        grid_inv = (j_bit * npad_g + re_np[np.minimum(
+            s_sym, len(re_np) - 1)]).astype(np.int64)
+        grid_inv[inv_g == geom.g] = qm * npad_g       # zero sentinel
+        grid_inv = jnp.asarray(grid_inv.astype(np.int32))
+        d_len_ = geom.k + 4
 
         def front(samples_iq):
             grid, h, nv = eq_front(samples_iq)
@@ -176,16 +195,18 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
             p = jnp.abs(hf) ** 2
             x = grid.reshape(-1) * jnp.conj(hf) / (p + nv)
             x = x / jnp.maximum(p / (p + nv), 1e-12)
-            inv_nv = p / nv                       # 1/eff_noise per RE
-            return (extract(jnp.real(x)), extract(jnp.imag(x)),
-                    extract(inv_nv))
+            return jnp.real(x), jnp.imag(x), p / nv   # full grid, no extract
 
         def stage_front(samples_iq):
             xr, xi, invnv = jax.vmap(front)(samples_iq)
-            llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp, scheme,
+            llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp_g, scheme,
                                             out_dtype=ldt,
                                             interpret=interpret)
-            return pdsch_mod.soft_dematch_planar(llr, geom, npad)
+            flat = llr.reshape(llr.shape[0], -1)
+            ext = jnp.concatenate(
+                [flat, jnp.zeros((flat.shape[0], 1), flat.dtype)], axis=-1)
+            return ext[..., grid_inv].reshape(
+                flat.shape[0], geom.info.c, 3, d_len_)
 
         stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
         return stage_front, stage_turbo
