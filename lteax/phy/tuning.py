@@ -39,7 +39,11 @@ class DecoderTuning:
     - ``earlystop``: CRC-based half-iteration early termination.
     - ``ext_scale``: extrinsic damping (max-log standard 0.75).
     - ``retry_m``: compacted-retry subbatch size (stragglers re-iterated in
-      a gathered retry_m-block batch); 0 disables.
+      a gathered retry_m-block batch); 0 disables.  Per-pipeline overrides
+      ``retry_m_dl``/``retry_m_mimo`` (None = inherit): the optimum tracks
+      the failure profile at the operating point — r3 sweep at 25 dB:
+      DL 64 (1041) > 128 (1027) > 256 (1017); MIMO 192 (613) > 128 >> 64;
+      UL 128 (947) > 64 (935).
     - ``retry_levels``: full-batch iterations checked for compaction before
       falling back to the full-batch early-stop loop (2x2 MIMO at 25 dB
       needs level 2: 4704/4992 blocks fail after iteration 1 but only 144
@@ -77,6 +81,8 @@ class DecoderTuning:
     earlystop: bool = True
     ext_scale: float = 0.75
     retry_m: int = 128
+    retry_m_dl: int | None = 64
+    retry_m_mimo: int | None = 192
     retry_levels: int = 2
     mimo_chest: str = "ls"
     mimo_denoise: bool = False
@@ -98,6 +104,8 @@ class DecoderTuning:
         "LTEAX_PALLAS_EARLYSTOP": ("earlystop", lambda s: s == "1"),
         "LTEAX_EXT_SCALE": ("ext_scale", float),
         "LTEAX_RETRY_M": ("retry_m", int),
+        "LTEAX_RETRY_M_DL": ("retry_m_dl", int),
+        "LTEAX_RETRY_M_MIMO": ("retry_m_mimo", int),
         "LTEAX_RETRY_LEVELS": ("retry_levels", int),
         "LTEAX_MIMO_CHEST": ("mimo_chest", str),
         "LTEAX_MIMO_DENOISE": ("mimo_denoise", lambda s: s == "1"),
@@ -137,6 +145,11 @@ class DecoderTuning:
 
     def to_dict(self) -> dict:
         return {f.name: getattr(self, f.name) for f in fields(self)}
+
+    def for_pipeline(self, kind: str) -> "DecoderTuning":
+        """Resolve the per-pipeline retry_m ("dl" / "ul" / "mimo")."""
+        ov = {"dl": self.retry_m_dl, "mimo": self.retry_m_mimo}.get(kind)
+        return self if ov is None else replace(self, retry_m=ov)
 
     def early_crc(self, cb_crc: bool) -> str | None:
         """CRC flavor for the kernel's early stop (None when disabled)."""

@@ -135,6 +135,8 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
     from lteax.phy import seq
     from lteax.phy.channels.pdsch import _global_rm_inv
 
+    t = t.for_pipeline("dl")
+
     re_idx = pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe)
     extract, _, _ = make_flat_extractor(re_idx, cfg.n_sym_subframe, cfg.n_sc)
 
@@ -397,6 +399,8 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
     """Build the 2x2 TM3 production (stage_front, stage_turbo) pair."""
     import numpy as np
     from lteax.phy import mimo, seq
+
+    t = t.for_pipeline("mimo")
     from lteax.phy.channels.pdsch import _global_rm_inv
 
     re_idx = jnp.asarray(pdsch_flat_idx(cfg, n_cell_id, cfi, prbs, subframe))
@@ -489,6 +493,7 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     Returns fn: (2rx, B, n_samps, 2) f32 IQ -> ((2B, TBS) b-major (sf, cw)
     rows, (2B,) ok) — same contract as the fused MMSE decoder."""
     import numpy as np
+    t = t.for_pipeline("mimo")
     from lteax.phy import mimo, seq
     from lteax.phy.fec.crc import check_crc
     from lteax.phy.fec.reencode import turbo_reencode_batch
