@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--mcs", type=int, default=28)
+    ap.add_argument("--tm", type=int, default=3, choices=(3, 4))
+    ap.add_argument("--cb-index", type=int, default=0)
+    ap.add_argument("--snr-db", type=float, default=25.0)
+    ap.add_argument("--cmat", default="bench",
+                    help="'bench' (near-orthogonal) or 'corr' (correlated "
+                         "asymmetric columns - the SIC regime) or 8 "
+                         "comma-separated re,im pairs row-major")
     a = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -61,7 +68,9 @@ def main():
                 jnp.asarray(np.stack([pdsch_mod.pdsch_prepare_cbs(
                     tb_bits[q, i], geom) for i in range(b_uniq)])))
              for q in range(2)]
-        p0, p1 = mimo.precode_tm3(mimo.layer_map_2cw(d[0], d[1]))
+        lm = mimo.layer_map_2cw(d[0], d[1])
+        p0, p1 = (mimo.precode_tm3(lm) if a.tm == 3
+                  else mimo.precode_tm4(lm, a.cb_index))
         # per-port grids with both ports' CRS
         ports = np.zeros((2, b_uniq, cfg.n_sym_subframe * cfg.n_sc),
                          np.complex64)
@@ -77,10 +86,19 @@ def main():
         tx = np.stack([np.asarray(subframe_to_samples(jnp.asarray(
             ports[p].reshape(b_uniq, cfg.n_sym_subframe, cfg.n_sc)), cfg))
             for p in range(2)])                      # (2tx, b, n_samps)
-    # well-conditioned fixed 2x2 channel + AWGN at 25 dB
-    cmat = np.array([[1.0 + 0.1j, 0.3 - 0.25j],
-                     [0.2 + 0.3j, -0.95 + 0.1j]], np.complex64)
-    nv = 10 ** (-2.5)
+    if a.cmat == "bench":     # well-conditioned fixed 2x2 channel
+        cmat = np.array([[1.0 + 0.1j, 0.3 - 0.25j],
+                         [0.2 + 0.3j, -0.95 + 0.1j]], np.complex64)
+    elif a.cmat == "corr":    # correlated, asymmetric column powers:
+        # col0 strong, col1 = 0.74-correlated weak - linear MMSE pays the
+        # correlation penalty on BOTH layers, SIC only on the first
+        cmat = np.array([[1.0, 0.334],
+                         [0.6, 0.608]], np.complex64)
+    else:
+        v = [float(t) for t in a.cmat.split(",")]
+        cmat = (np.array(v[0::2]) + 1j * np.array(v[1::2])
+                ).reshape(2, 2).astype(np.complex64)
+    nv = 10 ** (-a.snr_db / 10.0)
     rx = np.einsum("rt,tbn->rbn", cmat, tx)
     rx = rx + (rng.standard_normal(rx.shape)
                + 1j * rng.standard_normal(rx.shape)) * np.sqrt(nv / 2)
@@ -96,7 +114,7 @@ def main():
     # slows the pipeline, so it is not on by default)
     from lteax.shard.pipeline import make_mimo_batch_decoder
     f = make_mimo_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom, scheme,
-                                n_iter=a.iters)
+                                n_iter=a.iters, tm=a.tm, cb_index=a.cb_index)
     xd = jax.device_put(jnp.asarray(x_iq))
     t0 = time.time()
     out = f(xd)
@@ -130,7 +148,7 @@ def main():
     t = min(t, t_sus)
     mbps = 2 * b * tbs / t / 1e6
     print(json.dumps({
-        "metric": "decoded 2x2 TM3 dual-codeword DL-SCH, 20 MHz MCS"
+        "metric": f"decoded 2x2 TM{a.tm} dual-codeword DL-SCH, 20 MHz MCS"
                   f"{a.mcs}",
         "value": round(mbps, 2), "unit": "Mbit/s/chip",
         "crc_ok": n_ok, "batch": b}))

@@ -395,7 +395,8 @@ def make_pusch_batch_decoder(alloc, rnti: int, subframe: int, n_cell_id: int,
 
 
 def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
-                 n_iter, t: DecoderTuning, interpret):
+                 n_iter, t: DecoderTuning, interpret, tm: int = 3,
+                 cb_index: int = 0):
     """Build the 2x2 TM3 production (stage_front, stage_turbo) pair."""
     import numpy as np
     from lteax.phy import mimo, seq
@@ -447,7 +448,9 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
                                   for tx in range(2)]) for r in range(2)])
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
         y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
-        x_hat, eff = mimo.mmse_demix_2layers(y, mimo.heff_tm3(h), nvar)
+        heff = (mimo.heff_tm3(h) if tm == 3
+                else mimo.heff_tm4(h, cb_index))
+        x_hat, eff = mimo.mmse_demix_2layers(y, heff, nvar)
         if use_kernel:
             return jnp.real(x_hat), jnp.imag(x_hat), 1.0 / eff   # (2, M) each
         outs = []
@@ -479,7 +482,8 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
 
 
 def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
-                       scheme, n_iter, t: DecoderTuning, interpret):
+                       scheme, n_iter, t: DecoderTuning, interpret,
+                       tm: int = 3, cb_index: int = 0):
     """2x2 TM3 successive-interference-cancellation decoder (VERDICT r2
     item 2): decode CW0 at MMSE-demix SINR, RE-ENCODE it on the MXU
     (fec.reencode GF(2) matmul), cancel its contribution from the received
@@ -525,7 +529,8 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                                   for tx in range(2)]) for r in range(2)])
         nvar = chest.estimate_noise_var(grids[0], cfg, n_cell_id, subframe)
         y = jnp.stack([grids[r].reshape(-1)[re_idx] for r in range(2)])
-        heff = mimo.heff_tm3(h)               # (2rx, 2layer, M)
+        heff = (mimo.heff_tm3(h) if tm == 3
+                else mimo.heff_tm4(h, cb_index))   # (2rx, 2layer, M)
         x_hat, eff = mimo.mmse_demix_2layers(y, heff, nvar)
         llr0 = demodulate_maxlog(x_hat[0], scheme, eff[0]) * sgn[0]
         llr1 = demodulate_maxlog(x_hat[1], scheme, eff[1]) * sgn[1]
@@ -569,12 +574,13 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
 def make_mimo_sic_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
                                 geom, scheme, n_iter: int = 6,
                                 tuning: DecoderTuning | None = None,
+                                tm: int = 3, cb_index: int = 0,
                                 interpret: bool = False):
     """SIC variant of :func:`make_mimo_batch_decoder` (same IO contract)."""
     t = tuning if tuning is not None else DecoderTuning.from_env()
     f1, f2, f3, f4 = _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe,
                                         rnti, geom, scheme, n_iter, t,
-                                        interpret)
+                                        interpret, tm=tm, cb_index=cb_index)
 
     def assemble(tb0, ok0, tb1, ok1):
         bsz = tb0.shape[0]
@@ -607,6 +613,7 @@ def make_mimo_sic_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti,
 def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                             scheme, n_iter: int = 6,
                             tuning: DecoderTuning | None = None,
+                            tm: int = 3, cb_index: int = 0,
                             interpret: bool = False):
     """Batched 2x2 TM3 dual-codeword production decoder (DL levers applied).
 
@@ -625,10 +632,12 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
     if t.mimo_detector == "sic":
         return make_mimo_sic_batch_decoder(cfg, n_cell_id, cfi, prbs,
                                            subframe, rnti, geom, scheme,
-                                           n_iter=n_iter, tuning=t,
+                                           n_iter=n_iter, tuning=t, tm=tm,
+                                           cb_index=cb_index,
                                            interpret=interpret)
     f1, f2 = _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
-                          scheme, n_iter, t, interpret)
+                          scheme, n_iter, t, interpret, tm=tm,
+                          cb_index=cb_index)
     return _two_program(f1, f2, interpret)
 
 
