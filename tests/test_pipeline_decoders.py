@@ -197,3 +197,48 @@ def test_mimo_sic_beats_mmse_on_tm4_correlated_channel():
     for i in range(b):
         for q in range(2):
             assert np.array_equal(got[i, q], tb_bits[q, i])
+
+
+def test_pallas_front_decodes_rv2():
+    """The kernel-front production decoder handles non-zero redundancy
+    versions (the planar de-match indices are geometry-derived): a single
+    rv=2 transmission decodes exactly."""
+    from lteax.phy.config import PhyConfig
+    from lteax.phy import seq
+    from lteax.phy.grid import crs_flat_idx, crs_symbols, pdsch_flat_idx
+    from lteax.phy.ofdm import subframe_to_samples
+    from lteax.phy.channels import pdsch as pdsch_mod
+    from lteax.phy.tables.tbs import get_tbs_for_mcs
+    from lteax.shard.pipeline import make_batch_decoder_pallas
+    from lteax.io.iq import to_iq_f32
+
+    rng = np.random.default_rng(8)
+    cfg = PhyConfig(n_rb_dl=6)
+    cid, sf, rnti, mcs, ctrl = 150, 1, 0x1234, 9, 3
+    prbs = tuple(range(6))
+    tbs, scheme = get_tbs_for_mcs(mcs, 6)
+    re_idx = pdsch_flat_idx(cfg, cid, ctrl, prbs, sf)
+    geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 2, rv=2)
+    b = 2
+    tb_ref = rng.integers(0, 2, size=(b, tbs)).astype(np.int32)
+    sams = []
+    for i in range(b):
+        grid = np.zeros(cfg.n_sym_subframe * cfg.n_sc, dtype=np.complex64)
+        vals = []
+        for sym in crs_symbols(0, cfg):
+            slot = sym // cfg.n_sym_slot
+            vals.append(seq.crs_values(cid, 2 * sf + slot,
+                                       sym % cfg.n_sym_slot, cfg.n_rb_dl))
+        grid[crs_flat_idx(cfg, cid, 0)] = np.concatenate(vals)
+        grid[re_idx] = np.asarray(pdsch_mod.pdsch_encode(
+            tb_ref[i], geom, rnti, sf, cid, scheme))
+        sams.append(np.asarray(subframe_to_samples(
+            jnp.asarray(grid.reshape(cfg.n_sym_subframe, cfg.n_sc)), cfg)))
+    x = np.stack(sams)
+    x = x + (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape)
+             ).astype(np.complex64) * np.sqrt(10 ** (-1.5) / 2)
+    dec = make_batch_decoder_pallas(cfg, cid, ctrl, prbs, sf, rnti, geom,
+                                    scheme, n_iter=4, interpret=True)
+    bits, ok = dec(jnp.asarray(to_iq_f32(x)))
+    assert bool(jnp.all(ok))
+    np.testing.assert_array_equal(np.asarray(bits), tb_ref)
