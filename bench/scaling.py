@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--mcs", type=int, default=28)
     ap.add_argument("--xla-turbo", action="store_true",
                     help="bench the XLA-scan reference decoder instead")
+    ap.add_argument("--acquire", action="store_true",
+                    help="bench the composed halo-PSS + decode pipeline")
     ap.add_argument("--per-dev", type=int, default=4)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true",
@@ -49,7 +51,8 @@ def main():
     from lteax.phy.tables.tbs import get_tbs_for_mcs
     from lteax.shard.mesh import make_mesh
     from lteax.shard.pipeline import (make_sharded_decoder,
-                                      make_sharded_decoder_pallas)
+                                      make_sharded_decoder_pallas,
+                                      make_sharded_acquire_decoder_pallas)
     from lteax.io.iq import to_iq_f32
 
     cfg = PhyConfig(n_rb_dl=a.n_rb)
@@ -90,13 +93,18 @@ def main():
     for n_dev in [d for d in (1, 2, 4, 8) if d <= n_dev_all]:
         mesh = make_mesh(n_chan=1, n_time=n_dev,
                          devices=jax.devices()[:n_dev])
+        interp = jax.default_backend() == "cpu"
         if a.xla_turbo:
             dec = make_sharded_decoder(mesh, cfg, cid, ctrl, prbs, sf, rnti,
                                        geom, scheme, n_iter=6)
+        elif a.acquire:
+            dec = make_sharded_acquire_decoder_pallas(
+                mesh, cfg, cid, ctrl, prbs, sf, rnti, geom, scheme,
+                n_iter=6, interpret=interp)
         else:
             dec = make_sharded_decoder_pallas(
                 mesh, cfg, cid, ctrl, prbs, sf, rnti, geom, scheme, n_iter=6,
-                interpret=jax.default_backend() == "cpu")
+                interpret=interp)
         x = np.tile(x1, (n_dev, 1))
         xd = jnp.asarray(to_iq_f32(x))
         out = dec(xd)

@@ -139,3 +139,23 @@ def test_sharded_pallas_mimo_matches_single_device():
     bits, ok, n_ok = dec(x_iq)
     assert int(n_ok) == 2 * 4        # 2 codewords x 4 subframes
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits1))
+
+
+@pytest.mark.heavy
+def test_sharded_acquire_decode_composed():
+    """make_sharded_acquire_decoder_pallas: ppermute halo PSS acquisition
+    composed with the production decode front in one sharded program —
+    bits exact, CRC metric psum'd, PSS peak found (the dryrun path, under
+    CI at small geometry)."""
+    from lteax.shard.pipeline import make_sharded_acquire_decoder_pallas
+
+    (cfg, cid, ctrl, prbs, sf, rnti, geom, scheme, x, tb_ref) = \
+        _make_pdsch_samples(8, seed=13)
+    mesh = make_mesh(n_chan=1, n_time=8)
+    dec = make_sharded_acquire_decoder_pallas(
+        mesh, cfg, cid, ctrl, prbs, sf, rnti, geom, scheme, n_iter=4,
+        interpret=True)
+    bits, ok, n_ok, peak = dec(jnp.asarray(x))
+    assert int(n_ok) == 8
+    np.testing.assert_array_equal(np.asarray(bits), tb_ref)
+    assert float(peak) > 0.0
