@@ -116,11 +116,13 @@ def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret):
 
 
 def _two_program(stage_front, stage_turbo, interpret):
-    """The production two-program split.  Composing the front's slice/concat
-    graphs with the Pallas kernel in a single program crashes the TPU worker
-    on this backend (KNOWN_ISSUES.md); the split also measures slightly
-    FASTER (173.9 vs ~196 ms at fixed-6/B=384 — less fusion pressure).
-    Calls chain asynchronously, so there is no extra host round-trip."""
+    """The production two-program split.  Historically forced by a backend
+    crash when composing the front's slice/concat graphs with the Pallas
+    TURBO kernel in one program; that crash EXPIRED r3
+    (scripts/backend_canaries.py), but the split stays on merit: it
+    measures slightly FASTER (173.9 vs ~196 ms at fixed-6/B=384 — less
+    fusion pressure) and keeps compile units small on the remote-compile
+    backend.  Calls chain asynchronously — no extra host round-trip."""
     if interpret:
         return jax.jit(lambda s: stage_turbo(stage_front(s)))
     f1, f2 = jax.jit(stage_front), jax.jit(stage_turbo)
@@ -615,7 +617,8 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                             tuning: DecoderTuning | None = None,
                             tm: int = 3, cb_index: int = 0,
                             interpret: bool = False):
-    """Batched 2x2 TM3 dual-codeword production decoder (DL levers applied).
+    """Batched 2x2 dual-codeword production decoder (TM3 CDD default;
+    ``tm=4`` + ``cb_index`` select closed-loop codebook precoding).
 
     (2 rx, B, n_samps, 2) float32 IQ -> ((2B, TBS), (2B,) ok): OFDM demod on
     both RX antennas, CRS chest per (rx, port), per-RE unbiased MMSE demix,
