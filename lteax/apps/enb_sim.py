@@ -650,10 +650,13 @@ class UeSim:
                     if sdu is None:
                         continue
                     if self.rrc_ue is not None:
-                        before = self.rrc_ue.ho_target
+                        # diff the monotonic HO counter, not ho_target: a
+                        # second HO command to the SAME (pci, earfcn) must
+                        # also hold the ReconfigurationComplete for the
+                        # target cell
+                        before = self.rrc_ue.ho_count
                         msgs = self.rrc_ue.on_dl_dcch(sdu)
-                        if (self.rrc_ue.ho_target is not None
-                                and self.rrc_ue.ho_target != before):
+                        if self.rrc_ue.ho_count != before:
                             # handover command: the ReconfigurationComplete
                             # must go out on the TARGET cell's SRB1 after
                             # the retune (handover_retune), not here

@@ -97,7 +97,10 @@ def demap_descr_planar_pallas(xr, xi, inv_nv, sgn_planar, scheme: str,
     return out[:bsz]
 
 
-@lru_cache(maxsize=None)
+# bounded: c_init varies per (rnti, subframe, codeword) — a long-running
+# service building decoders for many RNTIs must not grow host memory
+# without bound (each entry is an (m, npad) f32 array)
+@lru_cache(maxsize=64)
 def planar_sgn_np(c_init: int, g: int, m: int, npad: int) -> np.ndarray:
     """(m, npad) f32 scrambling signs in planar layout: plane j, column s
     holds the sign of interleaved bit s*m + j."""

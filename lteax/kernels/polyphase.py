@@ -133,7 +133,8 @@ def resample_poly_pallas(x: jnp.ndarray, p: int, q: int,
 
 
 def resample_poly(x: jnp.ndarray, p: int, q: int,
-                  taps_per_phase: int = 12) -> jnp.ndarray:
+                  taps_per_phase: int = 12,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
     """Resample (..., L) complex by rational P/Q -> (..., ~L*P/Q).
 
     y[m] = sum_l h_sub[m mod P, l] * x[floor(m*Q/P) - l + D]  (group-delay
@@ -143,9 +144,22 @@ def resample_poly(x: jnp.ndarray, p: int, q: int,
     (:func:`resample_poly_pallas`, one MXU matmul chain instead of P
     strided convs — 320 -> 23 ms for the 192/125 hackrf case at 4 Msamp);
     batched inputs and CPU keep the XLA conv formulation.
+
+    ``use_pallas`` pins the path explicitly.  When None, concrete inputs
+    dispatch on the array's ACTUAL device; only traced 1D inputs fall back
+    to ``jax.default_backend()`` — so an explicit-CPU jit of a 1D resample
+    while TPU is the default backend no longer takes the Pallas path on the
+    wrong platform (pass use_pallas for traced non-default-device jits).
     """
     import jax
-    if x.ndim == 1 and jax.default_backend() == "tpu":
+    if use_pallas is None and x.ndim == 1:
+        devs = getattr(x, "devices", None)
+        if isinstance(x, jax.Array) and devs is not None and \
+                not isinstance(x, jax.core.Tracer):
+            use_pallas = all(d.platform == "tpu" for d in x.devices())
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+    if x.ndim == 1 and use_pallas:
         return resample_poly_pallas(x, p, q, taps_per_phase)
     bank = design_polyphase(p, q, taps_per_phase)       # (P, T)
     t = bank.shape[1]

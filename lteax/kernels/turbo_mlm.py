@@ -546,32 +546,26 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     """
     from lteax.phy.tables.turbo_qpp import qpp_interleaver, qpp_deinterleaver
 
-    if fused is None:
-        import os
-        # fused second-half combine: half the VMEM stores, no separate
-        # combine pass — measured 351 -> 373 Mbit/s on the DL bench
-        fused = os.environ.get("LTEAX_PALLAS_FUSED", "1") == "1"
+    # None-valued knobs resolve through DecoderTuning.from_env() — the
+    # frozen profile (env vars stay overrides via its _ENV table, not
+    # ambient reads here).  Provenance for the defaults:
+    #  - fused: half the VMEM stores, no separate combine pass (351 -> 373
+    #    Mbit/s on the DL bench);
+    #  - nofreeze (default OFF): dropping the beta main-sweep freeze is ~3%
+    #    faster per half-iteration but loses the termination pin, and the
+    #    batch-wide CRC early stop then pays 1-2 EXTRA full iterations near
+    #    threshold (2x2 MIMO bench: 6/6 vs 4/6 iterations, -25%);
+    #  - pinpad: data-level pin (margin PIN on dead positions) instead of
+    #    freeze blends, KEEPING the termination pin — DL 591->602 @25dB,
+    #    MIMO 392->406, threshold-neutral.
+    if fused is None or nofreeze is None or pinpad is None:
+        from lteax.phy.tuning import DecoderTuning
+        _t = DecoderTuning.from_env()
+        fused = _t.fused if fused is None else fused
+        nofreeze = _t.nofreeze if nofreeze is None else nofreeze
+        pinpad = _t.pinpad if pinpad is None else pinpad
     fused = bool(fused and acq <= win // 2)
-    if nofreeze is None:
-        import os
-        # dropping the beta main-sweep freeze (the mask blend sits on the
-        # ACS dependency chain) is ~3% faster per half-iteration, but the
-        # lost termination pin makes the LAST codeblock converge slower and
-        # the batch-wide CRC early stop then pays 1-2 EXTRA full iterations
-        # near threshold (2x2 MIMO bench: 6/6 iterations vs 4/6, -25%
-        # throughput).  Exact carry stays the default; LTEAX_PALLAS_NOFREEZE=1
-        # re-enables the experiment for comfortable-margin workloads.
-        nofreeze = os.environ.get("LTEAX_PALLAS_NOFREEZE", "0") == "1"
     nofreeze = bool(nofreeze and fused)
-    if pinpad is None:
-        import os
-        # pinned padding replaces the main-sweep freeze blends with a
-        # data-level pin (margin PIN on dead positions); unlike nofreeze it
-        # KEEPS an effective termination pin, so the CRC early stop keeps
-        # its iteration count.  A/B'd: DL 591->602 @25dB, MIMO 392->406
-        # (384/384 CRC), threshold 381/381 @21.5, 362 vs 366 @20.5 (run
-        # noise).  LTEAX_PALLAS_PINPAD=0 restores the freeze-blend kernel.
-        pinpad = os.environ.get("LTEAX_PALLAS_PINPAD", "1") == "1"
     pinpad = bool(pinpad and fused and not nofreeze)
     c = llr_d.shape[0]
     n = k + 3
@@ -716,12 +710,11 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         bits = jnp.where(from1, bits_raw, bits_raw[:, inv])
         return bits, carry[0]
 
-    if retry_m is None:
-        import os
-        retry_m = int(os.environ.get("LTEAX_RETRY_M", "128"))
-    if retry_levels is None:
-        import os
-        retry_levels = int(os.environ.get("LTEAX_RETRY_LEVELS", "2"))
+    if retry_m is None or retry_levels is None:
+        from lteax.phy.tuning import DecoderTuning
+        _t = DecoderTuning.from_env()
+        retry_m = _t.retry_m if retry_m is None else retry_m
+        retry_levels = _t.retry_levels if retry_levels is None else retry_levels
 
     if not (0 < retry_m < c):
         bits, iters = run_earlystop(data_full, init, n_iter)

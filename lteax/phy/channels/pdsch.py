@@ -117,25 +117,26 @@ def _structured_dematch(geom: PdschGeometry):
     return tuple(groups)
 
 
-def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
+def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry,
+                 structured: bool | None = None) -> jnp.ndarray:
     """Descrambled codeword LLRs (..., G) -> d-stream LLRs (..., C, 3, D).
 
-    Structured slice/concat path when the rate matching is injective (the
-    sub-block interleaver decomposes into strided runs — no gather, see
-    ratematch.make_rate_unmatch_structured); scatter-add otherwise
-    (repetition soft combining)."""
+    ``structured=True`` selects the slice/concat de-match when the rate
+    matching is injective (the sub-block interleaver decomposes into strided
+    runs — no gather, see ratematch.make_rate_unmatch_structured);
+    ``structured=None`` resolves :class:`lteax.phy.tuning.DecoderTuning`'s
+    ``struct_dematch`` knob (env-overridable).  The gather is the default on
+    merit: the composed-program crash that originally forced structured off
+    EXPIRED at the r3 canary run, and the gather still measures faster in
+    the production composition (KNOWN_ISSUES.md).  Non-injective rate
+    matching (HARQ repetition) always takes the gather-sum path."""
     import jax
-    import os
     d_len = geom.k + 4
     lead = llrs_scr.shape[:-1]
-    # The structured path is gather-free and verified bit-exact (tests),
-    # but composing its slice/concat graph with the Pallas turbo kernel
-    # CRASHES the TPU worker on the current backend (minimal repro:
-    # soft_dematch -> reshape -> turbo_decode_batch_pallas; standalone it
-    # runs fine).  Default off until the backend bug is fixed; the gather
-    # measures within ~1 ms/batch(384) of it anyway.
-    groups = _structured_dematch(geom) \
-        if os.environ.get("LTEAX_STRUCT_DEMATCH", "0") == "1" else None
+    if structured is None:
+        from lteax.phy.tuning import DecoderTuning
+        structured = DecoderTuning.from_env().struct_dematch
+    groups = _structured_dematch(geom) if structured else None
     if groups is not None:
         outs = []
         for off, n, e, fn in groups:
@@ -160,7 +161,9 @@ def soft_dematch(llrs_scr: jnp.ndarray, geom: PdschGeometry) -> jnp.ndarray:
     return out.reshape(*lead, geom.info.c, 3, d_len)
 
 
-@lru_cache(maxsize=None)
+# bounded: one (C*3D,) int32 entry per live decode geometry — a scheduler
+# varying TBS per TTI must not grow these without bound
+@lru_cache(maxsize=64)
 def _global_rm_inv_planar(geom: PdschGeometry, npad: int) -> np.ndarray:
     """Inverse de-match map for PLANAR demap output (kernels/demap.py):
     interleaved codeword position g = s*m + j lives at planar flat position

@@ -70,11 +70,13 @@ def _rsc_matrix(k: int) -> np.ndarray:
     return m
 
 
-@lru_cache(maxsize=4)
 def _rsc_matrix_dev(k: int):
     # f32 storage: 0/1 is exact in any float dtype; TPU's default-precision
     # matmul feeds the MXU bf16 inputs (still exact for 0/1) with f32
-    # accumulation, and the CPU backend has no bf16 dot thunk
+    # accumulation, and the CPU backend has no bf16 dot thunk.
+    # NOT lru_cached: under shard_map tracing, array creation returns a
+    # trace-bound tracer — caching it leaks the tracer into later traces
+    # (only the numpy matrix above is cached; this is a per-trace constant)
     return jnp.asarray(_rsc_matrix(k), dtype=jnp.float32)
 
 

@@ -65,9 +65,16 @@ class DecoderTuning:
       output + remapped de-match gather (kernels/demap.py) — DL front
       9.5 -> ~4.2 ms device at B=384; falls back to the XLA demap when the
       rate match is non-injective (HARQ wrap) or the scheme is unsupported.
-    - ``struct_dematch``: structured (reshape-based) de-match — crashes the
-      TPU worker when composed with the Pallas kernel in one program
-      (KNOWN_ISSUES.md); default-off until the backend fix lands.
+    - ``struct_dematch``: structured (reshape-based) de-match.  The
+      composed-program TPU worker crash that originally forced this off
+      EXPIRED at the r3 canary run (scripts/backend_canaries.py); it now
+      stays off on merit — the gather measures faster in the production
+      composition (826 vs 863 Mbit/s same-session, KNOWN_ISSUES.md).
+
+    Diagnostics:
+
+    - ``print_iters``: turbo stages return the iteration count as a third
+      output (benches read it per the PERF.md iteration-count lesson).
     """
 
     win: int = 128
@@ -90,6 +97,7 @@ class DecoderTuning:
     mimo_detector: str = "mmse"
     struct_dematch: bool = False
     pallas_demap: bool = True
+    print_iters: bool = False
 
     # env var name -> (field, parser).  Kept 1:1 with the historical knobs.
     _ENV = {
@@ -113,6 +121,7 @@ class DecoderTuning:
         "LTEAX_MIMO_DETECTOR": ("mimo_detector", str),
         "LTEAX_STRUCT_DEMATCH": ("struct_dematch", lambda s: s == "1"),
         "LTEAX_PALLAS_DEMAP": ("pallas_demap", lambda s: s == "1"),
+        "LTEAX_PRINT_ITERS": ("print_iters", lambda s: s == "1"),
     }
 
     @classmethod

@@ -20,8 +20,6 @@ All tuning knobs come from :class:`lteax.phy.tuning.DecoderTuning`
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -98,7 +96,7 @@ def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret):
 
     d_len = geom.k + 4
     early_crc = t.early_crc(geom.info.cb_crc)
-    print_iters = os.environ.get("LTEAX_PRINT_ITERS", "0") == "1"
+    print_iters = t.print_iters
 
     def stage_turbo(d_llr):
         bsz = d_llr.shape[0]
@@ -232,7 +230,7 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
             # HBM traffic (the kernel computes in bf16 anyway)
             llr = llr.astype(jnp.bfloat16)
         # de-match at batch level (natively batched)
-        return pdsch_mod.soft_dematch(llr, geom)       # (B, C, 3, D)
+        return pdsch_mod.soft_dematch(llr, geom, t.struct_dematch)
 
     stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
     return stage_front, stage_turbo
@@ -364,7 +362,8 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
     else:
         def stage_front(batch_iq):
             llr = jax.vmap(front)(batch_iq)            # (B, G)
-            return pdsch_mod.soft_dematch(llr, geom)   # (B, C, 3, D)
+            return pdsch_mod.soft_dematch(llr, geom,
+                                          t.struct_dematch)
 
     stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
     return stage_front, stage_turbo
@@ -477,7 +476,8 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
     else:
         def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
             llr = jax.vmap(front, in_axes=1)(batch_iq)   # (B, 2, G)
-            return pdsch_mod.soft_dematch(llr.reshape(-1, geom.g), geom)
+            return pdsch_mod.soft_dematch(llr.reshape(-1, geom.g), geom,
+                                          t.struct_dematch)
 
     stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
     return stage_front, stage_turbo
@@ -542,7 +542,8 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
 
     def stage_front(batch_iq):                # (2rx, B, n_samps, 2)
         llr0, llr1, y, heff, nvar = jax.vmap(front, in_axes=1)(batch_iq)
-        return pdsch_mod.soft_dematch(llr0, geom), llr1, y, heff, nvar
+        return (pdsch_mod.soft_dematch(llr0, geom, t.struct_dematch),
+                llr1, y, heff, nvar)
 
     def stage_turbo0(d_llr):
         bsz = d_llr.shape[0]
@@ -567,7 +568,7 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
         llr1 = llr1.astype(llr1_mmse.dtype)
         # CW0-failed subframes keep the plain MMSE LLRs (never worse)
         llr1 = jnp.where(ok0[:, None], llr1, llr1_mmse)
-        return pdsch_mod.soft_dematch(llr1, geom)
+        return pdsch_mod.soft_dematch(llr1, geom, t.struct_dematch)
 
     stage_turbo1, _ = _make_turbo_stage(geom, n_iter, t, interpret)
     return stage_front, stage_turbo0, stage_cancel, stage_turbo1
@@ -649,6 +650,12 @@ def make_mimo_batch_decoder(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
 # ---------------------------------------------------------------------------
 
 
+def _no_print_iters(t: DecoderTuning) -> DecoderTuning:
+    """Sharded out_specs carry no slot for the diagnostic third output."""
+    from dataclasses import replace
+    return replace(t, print_iters=False) if t.print_iters else t
+
+
 def _shard_two_stage(mesh, stage_front, stage_turbo, in_spec, batch_axis=0):
     """Wrap a production (front, turbo) stage pair in shard_map over
     ``mesh`` with the subframe batch on the ``time`` mesh axis.
@@ -692,7 +699,7 @@ def make_sharded_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs, subframe,
     axis 0 over the ``time`` mesh axis -> (bits, ok, n_ok).  B must divide
     by the time-axis size.  (VERDICT r2 item 1: the multi-chip path IS the
     Pallas path.)"""
-    t = tuning if tuning is not None else DecoderTuning.from_env()
+    t = _no_print_iters(tuning if tuning is not None else DecoderTuning.from_env())
     f1, f2 = _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                            scheme, n_iter, t, interpret)
     return _shard_two_stage(mesh, f1, f2, P(TIME_AXIS, None, None))
@@ -704,21 +711,80 @@ def make_sharded_pusch_decoder(mesh, alloc, rnti, subframe, n_cell_id,
                                interpret: bool = False):
     """Time-sharded PRODUCTION UL decoder: (B, 14, m_sc, 2) f32 IQ grids
     sharded on axis 0 -> (bits, ok, n_ok)."""
-    t = tuning if tuning is not None else DecoderTuning.from_env()
+    t = _no_print_iters(tuning if tuning is not None else DecoderTuning.from_env())
     f1, f2 = _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter,
                            noise_var, t, interpret)
     return _shard_two_stage(mesh, f1, f2, P(TIME_AXIS, None, None, None))
 
 
+def make_sharded_mimo_sic_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe,
+                                  rnti, geom, scheme, n_iter: int = 6,
+                                  tuning: DecoderTuning | None = None,
+                                  tm: int = 3, cb_index: int = 0,
+                                  interpret: bool = False):
+    """Time-sharded SIC variant of :func:`make_sharded_mimo_decoder` (same
+    IO contract).  Every SIC stage is batch-local (front, CW0 turbo, MXU
+    re-encode + cancel, CW1 turbo), so each of the four chained programs
+    wraps in shard_map with the subframe batch on the ``time`` axis — the
+    compacted retry and the CW0-fail MMSE fallback are shard-local."""
+    t = _no_print_iters(tuning if tuning is not None else DecoderTuning.from_env())
+    f1, f2, f3, f4 = _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe,
+                                        rnti, geom, scheme, n_iter, t,
+                                        interpret, tm=tm, cb_index=cb_index)
+
+    tN = lambda n: P(TIME_AXIS, *([None] * n))
+    d_spec, b_spec = tN(3), tN(1)
+    f1_out = (d_spec, b_spec, tN(2), tN(3), P(TIME_AXIS))
+
+    def local_tail(tb0, ok0, tb1, ok1):
+        bits = jnp.stack([tb0, tb1], axis=1).reshape(2 * tb0.shape[0], -1)
+        ok = jnp.stack([ok0, ok1], axis=1).reshape(-1)
+        n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), TIME_AXIS)
+        n_ok = jax.lax.pmean(n_ok, CHAN_AXIS)
+        return bits, ok, n_ok
+
+    sm = lambda fn, ins, outs: jax.jit(shard_map(
+        fn, mesh=mesh, in_specs=ins, out_specs=outs, check_vma=False))
+    g1 = sm(f1, (P(None, TIME_AXIS, None, None),), f1_out)
+    g2 = sm(f2, (d_spec,), (b_spec, b_spec, P(TIME_AXIS)))
+    g3 = sm(f3, (b_spec, P(TIME_AXIS), b_spec, tN(2), tN(3), P(TIME_AXIS)),
+            d_spec)
+    g4 = sm(f4, (d_spec,), (b_spec, P(TIME_AXIS)))
+    g5 = sm(local_tail, (b_spec, P(TIME_AXIS), b_spec, P(TIME_AXIS)),
+            (b_spec, P(TIME_AXIS), P()))
+
+    def dec(batch_iq):
+        d0, llr1m, y, heff, nvar = g1(batch_iq)
+        bits0, tb0, ok0 = g2(d0)
+        d1 = g3(bits0, ok0, llr1m, y, heff, nvar)
+        tb1, ok1 = g4(d1)
+        return g5(tb0, ok0, tb1, ok1)
+
+    dec.stages = (g1, g2, g3, g4, g5)
+    return dec
+
+
 def make_sharded_mimo_decoder(mesh, cfg, n_cell_id, cfi, prbs, subframe,
                               rnti, geom, scheme, n_iter: int = 6,
                               tuning: DecoderTuning | None = None,
+                              tm: int = 3, cb_index: int = 0,
                               interpret: bool = False):
     """Time-sharded PRODUCTION 2x2 MIMO decoder: (2rx, B, n_samps, 2) f32 IQ
-    with the subframe batch (axis 1) sharded -> (bits (2B,TBS), ok, n_ok)."""
-    t = tuning if tuning is not None else DecoderTuning.from_env()
+    with the subframe batch (axis 1) sharded -> (bits (2B,TBS), ok, n_ok).
+
+    Honors ``tuning.mimo_detector="sic"`` by dispatching to
+    :func:`make_sharded_mimo_sic_decoder` — same contract as the
+    single-device factory (a profile selecting SIC must never silently
+    decode with MMSE)."""
+    t = _no_print_iters(tuning if tuning is not None else DecoderTuning.from_env())
+    if t.mimo_detector == "sic":
+        return make_sharded_mimo_sic_decoder(
+            mesh, cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
+            n_iter=n_iter, tuning=t, tm=tm, cb_index=cb_index,
+            interpret=interpret)
     f1, f2 = _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
-                          scheme, n_iter, t, interpret)
+                          scheme, n_iter, t, interpret, tm=tm,
+                          cb_index=cb_index)
     return _shard_two_stage(mesh, f1, f2, P(None, TIME_AXIS, None, None))
 
 
@@ -740,7 +806,7 @@ def make_sharded_acquire_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs,
     from lteax.phy.sync import pss_time_filters
     from lteax.shard.halo import overlap_save_correlate
 
-    t = tuning if tuning is not None else DecoderTuning.from_env()
+    t = _no_print_iters(tuning if tuning is not None else DecoderTuning.from_env())
     f1, f2 = _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                            scheme, n_iter, t, interpret)
     taps = jnp.asarray(pss_time_filters(cfg)[n_cell_id % 3])

@@ -489,6 +489,10 @@ class UeRrc:
         self.meas_config = None            # rrc_meas.MeasConfig when set
         self.ho_target: tuple | None = None    # (pci, earfcn) from HO cmd
         self.ho_rach: tuple | None = None      # dedicated (preamble, mask)
+        self.ho_count: int = 0                 # handover commands received
+        # (monotonic: callers diff it around on_dl_dcch to detect an HO
+        # command explicitly — ho_target alone can't distinguish a second
+        # handover to the SAME (pci, earfcn))
 
     def detach(self) -> list[tuple[str, bytes]]:
         """UE-initiated detach (24.301 §5.5.2.2)."""
@@ -684,6 +688,7 @@ class UeRrc:
             self.c_rnti = mob.new_ue_identity
             self.ho_target = (mob.target_pci, earf)
             self.ho_rach = mob.rach_dedicated      # dedicated preamble
+            self.ho_count += 1
             self.events.append(
                 f"handover target_pci={mob.target_pci} ncc={ncc} "
                 f"preamble={mob.rach_dedicated}")
