@@ -53,6 +53,10 @@ class ScanResult:
     sibs: dict = dataclasses.field(default_factory=dict)  # sib3..sib13 bodies
     sib_crc_fails: int = 0
     paging: list | None = None
+    # per successful SI PDSCH decode: dict(sf_index [into the frame_start-
+    # aligned subframe stream], sf, ctrl, prbs, tbs, rv, tb bits) — consumed
+    # by the app==production consistency test (not serialized in to_json)
+    si_decodes: list = dataclasses.field(default_factory=list)
 
     def to_json(self) -> str:
         d = {
@@ -279,6 +283,8 @@ def scan(x: np.ndarray, cfg: PhyConfig, correct_cfo: bool = True,
         if not okc:
             res.sib_crc_fails += 1
             continue
+        res.si_decodes.append(dict(sf_index=i, sf=sf, ctrl=ctrl, prbs=prbs,
+                                   tbs=tbs, rv=rv, tb=np.asarray(tb)))
         sib1 = rrc.unpack_sib1(tb)
         if sib1 is not None and res.sib1 is None:
             res.sib1 = sib1

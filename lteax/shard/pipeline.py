@@ -252,6 +252,47 @@ def make_batch_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframe, rnti,
     return _two_program(f1, f2, interpret)
 
 
+def make_batch_harq_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframes,
+                                   rnti, geoms, scheme, n_iter: int = 6,
+                                   tuning: DecoderTuning | None = None,
+                                   interpret: bool = False):
+    """Production HARQ incremental-redundancy decoder: soft-combine >= 2
+    (re)transmissions of the same transport block, then ONE Pallas turbo
+    batch on the combined d-domain LLRs (VERDICT r3 item 4 — the batch
+    counterpart of :func:`lteax.phy.channels.pdsch.soft_dematch_harq`).
+
+    ``subframes``/``geoms``: one entry per (re)transmission — the subframe
+    it was sent in (scrambling + CRS positions differ) and its
+    :class:`PdschGeometry` (same TBS/n_re/Qm, differing ``rv``; each single
+    transmission is gather-injective, so combining is a SUM of per-tx
+    de-match gathers — no scatter).  Input: (n_tx, B, n_samps, 2) f32 IQ,
+    slot i holding transmission i of every subframe in the batch.  Returns
+    ((B, TBS), (B,) ok) like :func:`make_batch_decoder_pallas`.
+
+    (reference capability: ``liblte/src/liblte_phy.cc :: rate_unmatch_turbo``
+    — the circular-buffer soft-combine accumulates retransmissions into
+    one d buffer; here each rv contributes one batched gather and the adds
+    run at batch level.)"""
+    ks = {g.k for g in geoms}
+    assert len(ks) == 1 and len(subframes) == len(geoms) >= 2, \
+        "HARQ combining needs >=2 transmissions of one TB geometry"
+    t = tuning if tuning is not None else DecoderTuning.from_env()
+    fronts = [
+        _pdsch_stages(cfg, n_cell_id, cfi, prbs, sf_i, rnti, g_i, scheme,
+                      n_iter, t, interpret)[0]
+        for sf_i, g_i in zip(subframes, geoms)]
+
+    def stage_front(batch_iq):               # (n_tx, B, n_samps, 2)
+        d = fronts[0](batch_iq[0])
+        for i in range(1, len(fronts)):
+            d = d + fronts[i](batch_iq[i])
+        return d
+
+    stage_turbo, _ = _make_turbo_stage(geoms[0], n_iter, t.for_pipeline("dl"),
+                                       interpret)
+    return _two_program(stage_front, stage_turbo, interpret)
+
+
 def _ul_rm_inv_planar(geom, qm: int, m_sc: int, npad: int):
     """UL de-match gather indices reading DIRECTLY from the planar demap
     output: composes (planar layout) ∘ (36.212 §5.2.2.8 data-only channel
