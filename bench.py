@@ -53,7 +53,10 @@ def main():
     re_idx = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
     geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 6, 0)
 
-    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "384"))
+    # default batch 768 since r4: the flipped-tile layout glue halved device
+    # time, so dispatch amortization dominates — 768 (1184) > 384 (1097) >
+    # 960 > 1152~768 measured same-session; B=576 faults (KNOWN_ISSUES)
+    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "768"))
     n_iter = int(__import__("os").environ.get("LTEAX_BENCH_TURBO_ITERS", "6"))
     reps = int(__import__("os").environ.get("LTEAX_BENCH_REPS", "10"))
 

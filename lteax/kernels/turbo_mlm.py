@@ -76,13 +76,15 @@ negligible (offset <= 3*PIN/2 between renorms, ULP(768)=4)."""
 
 def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
                  mdtype=jnp.float32, sdtype=None, fused: bool = False,
-                 nofreeze: bool = False, pinpad: bool = False):
+                 nofreeze: bool = False, pinpad: bool = False,
+                 pinpad_acq: bool = False):
     fwd, bwd, out0, out1 = _wiring()
     assert win % 2 == 0
     if fused:
         return _make_kernel_fused(win, acq, n_w, n, tb, mdtype=mdtype,
                                   sdtype=sdtype, nofreeze=nofreeze,
-                                  pinpad=pinpad)
+                                  pinpad=pinpad, pinpad_acq=pinpad_acq)
+    assert not pinpad_acq, "pinpad_acq is a fused-kernel canary variant"
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
@@ -197,7 +199,8 @@ def _make_kernel(win: int, acq: int, n_w: int, n: int, tb: int,
 
 def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
                        mdtype=jnp.float32, sdtype=None,
-                       nofreeze: bool = False, pinpad: bool = False):
+                       nofreeze: bool = False, pinpad: bool = False,
+                       pinpad_acq: bool = False):
     """Fused second-half combine: only win/2 alpha/beta columns are stored.
 
     The alpha and beta chains meet in the middle of the window; once they
@@ -278,12 +281,23 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
         a = tuple(ainit[:, :, s] for s in range(8))
         b = tuple(binit[:, :, s] for s in range(8))
 
-        def acq_body(t, ab):
-            a, b = ab
-            a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :])
-            j = acq - 1 - t
-            b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :])
-            return (a, b)
+        if pinpad_acq:
+            # Mosaic acq-cliff CANARY VARIANT (KNOWN_ISSUES.md): the exact
+            # "add a pad term to the acquisition input read" edit that
+            # de-optimizes the kernel ~90x.  la/lb hold PIN*(1-live) here.
+            def acq_body(t, ab):
+                a, b = ab
+                a = acs_fwd(a, ua[t] + la_ref[t, :][None, :], va[t])
+                j = acq - 1 - t
+                b = acs_bwd(b, ub[j] + lb_ref[j, :][None, :], vb[j])
+                return (a, b)
+        else:
+            def acq_body(t, ab):
+                a, b = ab
+                a = acs_fwd(a, ua[t], va[t], la_ref[t, :][None, :])
+                j = acq - 1 - t
+                b = acs_bwd(b, ub[j], vb[j], lb_ref[j, :][None, :])
+                return (a, b)
 
         a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
 
@@ -358,12 +372,339 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
     return kernel
 
 
+
+def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
+                       mdtype=jnp.float32, sdtype=None,
+                       nofreeze: bool = False, pinpad: bool = False):
+    """Fused-combine kernel with the FLIPPED tile: windows on SUBLANES,
+    codeblocks on LANES — (n_w, tl) ops instead of (tb, n_w*gb).
+
+    Motivation (r4 XProf): every XLA gather around the kernel produces a
+    (points, batch)-minor array, so the batch-on-sublanes tile forced a
+    relayout copy per gather; and at 20 MHz geometry (n_w=46, C=4992) the
+    old tile needed 156 grid cells at 77% lane fill vs 39 cells at ~96%
+    fill here — 4x fewer sequential step-cells.  Trellis logic is identical
+    to _make_kernel_fused (same wiring, same fused second-half combine,
+    same NII exports); only the axis order changed.  All masks arrive
+    pre-broadcast to (., n_w, tl) — no in-kernel relayouts.
+    """
+    fwd, bwd, out0, out1 = _wiring()
+    half_w = win // 2
+    assert win % 2 == 0 and acq <= half_w
+
+    def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
+               l_ref, a_nii_ref, b_nii_ref, astore, bstore):
+
+        is_bf16 = mdtype == jnp.bfloat16
+        sdt = sdtype or mdtype
+
+        def _freeze(new, old, lv):
+            if is_bf16:
+                m = lv.astype(jnp.bfloat16)
+                return tuple(m * nw + (1.0 - m) * od
+                             for nw, od in zip(new, old))
+            keep = lv > 0.5
+            return tuple(jnp.where(keep, nw, od)
+                         for nw, od in zip(new, old))
+
+        def acs_fwd(a, uu, vv, lv=None):
+            g = _gammas(uu, vv)
+            new = [jnp.maximum(a[p0] + g[g0], a[p1] + g[g1])
+                   for (p0, p1, g0, g1) in fwd]
+            if lv is None:
+                return tuple(new)
+            return _freeze(new, a, lv)
+
+        def acs_bwd(b, uu, vv, lv=None):
+            g = _gammas(uu, vv)
+            new = [jnp.maximum(b[n0] + g[g0], b[n1] + g[g1])
+                   for (n0, n1, g0, g1) in bwd]
+            if lv is None:
+                return tuple(new)
+            return _freeze(new, b, lv)
+
+        def combine(a_s, b_s, uu, vv):
+            f32 = jnp.float32
+            g = _gammas(uu.astype(f32), vv.astype(f32))
+            af = tuple(x.astype(f32) for x in a_s)
+            bf = tuple(x.astype(f32) for x in b_s)
+            m = [None] * 4
+            for s in range(8):
+                ns0, g0 = out0[s]
+                ns1, g1 = out1[s]
+                t0 = af[s] + bf[ns0]
+                m[g0] = t0 if m[g0] is None else jnp.maximum(m[g0], t0)
+                t1 = af[s] + bf[ns1]
+                m[g1] = t1 if m[g1] is None else jnp.maximum(m[g1], t1)
+            l0 = jnp.maximum(m[0] + g[0], m[1] + g[1])
+            l1 = jnp.maximum(m[2] + g[2], m[3] + g[3])
+            return l0 - l1
+
+        a = tuple(ainit[:, s, :] for s in range(8))
+        b = tuple(binit[:, s, :] for s in range(8))
+
+        def acq_body(t, ab):
+            a, b = ab
+            a = acs_fwd(a, ua[t], va[t], la_ref[t])
+            j = acq - 1 - t
+            b = acs_bwd(b, ub[j], vb[j], lb_ref[j])
+            return (a, b)
+
+        a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
+
+        unroll = 4 if half_w % 4 == 0 else 2
+
+        def store_body(tu, ab):
+            a, b = ab
+            for half in range(unroll):
+                t = unroll * tu + half
+                for s in range(8):
+                    astore[t, s, :, :] = a[s].astype(sdt)
+                a = acs_fwd(a, um[t], vm[t])
+                j = win - 1 - t
+                for s in range(8):
+                    bstore[j - half_w, s, :, :] = b[s].astype(sdt)
+                if pinpad:
+                    b = acs_bwd(b, um[j] + lm_ref[j], vm[j])
+                else:
+                    b = acs_bwd(b, um[j], vm[j],
+                                None if nofreeze else lm_ref[j])
+            if is_bf16:
+                a = tuple(x - a[0] for x in a)
+                b = tuple(x - b[0] for x in b)
+            return (a, b)
+
+        a, b = jax.lax.fori_loop(0, half_w // unroll, store_body, (a, b))
+
+        nii_tu = (win - acq - half_w) // unroll
+        nii_half = (win - acq - half_w) % unroll
+
+        def comb_body(tu, ab):
+            a, b = ab
+            for half in range(unroll):
+                t = half_w + unroll * tu + half
+                j = win - 1 - t
+                if half == nii_half:
+                    @pl.when(tu == nii_tu)
+                    def _():
+                        for s in range(8):
+                            a_nii_ref[:, s, :] = a[s].astype(jnp.float32)
+                            b_nii_ref[:, s, :] = b[s].astype(jnp.float32)
+                bs_t = tuple(bstore[t - half_w, s, :, :] for s in range(8))
+                l_ref[t, :, :] = combine(a, bs_t, um[t], vm[t]
+                                         ).astype(l_ref.dtype)
+                as_j = tuple(astore[j, s, :, :] for s in range(8))
+                l_ref[j, :, :] = combine(as_j, b, um[j], vm[j]
+                                         ).astype(l_ref.dtype)
+                a = acs_fwd(a, um[t], vm[t])
+                if pinpad:
+                    b = acs_bwd(b, um[j] + lm_ref[j], vm[j])
+                else:
+                    b = acs_bwd(b, um[j], vm[j],
+                                None if nofreeze else lm_ref[j])
+            if is_bf16:
+                a = tuple(x - a[0] for x in a)
+                b = tuple(x - b[0] for x in b)
+            return (a, b)
+
+        jax.lax.fori_loop(0, half_w // unroll, comb_body, (a, b))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("win", "acq", "n", "tl", "mdtype",
+                                   "nofreeze", "pinpad", "interpret"))
+def half_iteration_blane(um, vm, a_l, b_l, win: int, acq: int, n: int,
+                         tl: int = 128, mdtype: str = "f32",
+                         nofreeze: bool = False, pinpad: bool = False,
+                         interpret: bool = False):
+    """Flipped-tile half-iteration: um/vm (win, n_w, cpad) metric-dtype
+    arrays with codeblocks on the minor (lane) axis; a_l/b_l
+    (n_w, 8, cpad) boundary inits.  cpad % tl == 0.
+
+    Returns (l (win, n_w, cpad) metric dtype, a_next, b_next
+    (n_w, 8, cpad) f32 — already shifted into init position and
+    normalised, same NII convention as half_iteration_pallas).
+    """
+    dt = jnp.bfloat16 if mdtype.startswith("bf16") else jnp.float32
+    sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
+    n_w = -(-n // win)
+    cpad = um.shape[2]
+    assert um.shape[0] == win and um.shape[1] == n_w and cpad % tl == 0
+    um = um.astype(dt)
+    vm = vm.astype(dt)
+
+    def acq_slices(x):
+        # alpha acquisition: previous window's tail (shift +1 window along
+        # the sublane axis); beta acquisition: next window's head
+        tail = x[win - acq:]
+        aacq = jnp.concatenate(
+            [jnp.zeros_like(tail[:, :1]), tail[:, :-1]], axis=1)
+        head = x[:acq]
+        bacq = jnp.concatenate(
+            [head[:, 1:], jnp.zeros_like(head[:, :1])], axis=1)
+        return aacq, bacq
+
+    ua, ub = acq_slices(um)
+    va, vb = acq_slices(vm)
+    a_f = a_l.astype(dt)
+    b_f = b_l.astype(dt)
+    pinpad = bool(pinpad) and not nofreeze
+
+    lv_main, lv_aacq, lv_bacq = _live_masks(win, acq, n_w, n)
+    npdt = np.float32 if dt == jnp.float32 else "bfloat16"
+    if pinpad:
+        lm = np.broadcast_to(((1.0 - lv_main) * PIN).astype(npdt)[:, :, None],
+                             (win, n_w, tl)).copy()
+    else:
+        lm = np.broadcast_to(lv_main[:, :, None], (win, n_w, tl)).copy()
+    la = np.broadcast_to(lv_aacq[:, :, None], (acq, n_w, tl)).copy()
+    lb = np.broadcast_to(lv_bacq[:, :, None], (acq, n_w, tl)).copy()
+
+    kernel = _make_kernel_blane(win, acq, n_w, n, tl, mdtype=dt, sdtype=sdt,
+                                nofreeze=nofreeze, pinpad=pinpad)
+
+    def bs3(t_len):
+        return pl.BlockSpec((t_len, n_w, tl), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def bcast3(shape):
+        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    grid = (cpad // tl,)
+    l, a_nii, b_nii = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bcast3((win, n_w, tl)), bcast3((acq, n_w, tl)),
+                  bcast3((acq, n_w, tl)),
+                  bs3(win), bs3(win), bs3(acq), bs3(acq), bs3(acq), bs3(acq),
+                  pl.BlockSpec((n_w, 8, tl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n_w, 8, tl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[bs3(win),
+                   pl.BlockSpec((n_w, 8, tl), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n_w, 8, tl), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((win, n_w, cpad), dt),
+                   jax.ShapeDtypeStruct((n_w, 8, cpad), jnp.float32),
+                   jax.ShapeDtypeStruct((n_w, 8, cpad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((win // 2, 8, n_w, tl), sdt),
+                        pltpu.VMEM((win // 2, 8, n_w, tl), sdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(lm), jnp.asarray(la), jnp.asarray(lb),
+      um, vm, ua, va, ub, vb, a_f, b_f)
+
+    # NII shift into init position + normalise (window axis is axis 0)
+    a_next = jnp.roll(a_nii, 1, axis=0)
+    b_next = jnp.roll(b_nii, -1, axis=0)
+    a_next = a_next - jnp.max(a_next, axis=1, keepdims=True)
+    b_next = b_next - jnp.max(b_next, axis=1, keepdims=True)
+    return l, a_next, b_next
+
+
+def _half_call(um, ua, ub, vm, va, vb, a_f, b_f, *, win, acq, n, n_w, gb,
+               tb, dt, sdt, fused, nofreeze, pinpad, pinpad_acq, interpret):
+    """Shared pallas_call wrapper over pre-laid-out step-major inputs.
+
+    um/vm: (win, bpad, n_we); ua/va/ub/vb: (acq, bpad, n_we);
+    a_f/b_f: (bpad, n_we, 8) folded boundary inits.  bpad % tb == 0.
+    Returns (l (win, bpad, n_we) in dt, a_nii, b_nii (bpad, n_we, 8) f32).
+    """
+    n_we = gb * n_w
+    bpad = um.shape[1]
+    assert bpad % tb == 0
+    grid = (bpad // tb,)
+    kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt,
+                          fused=fused, nofreeze=nofreeze, pinpad=pinpad,
+                          pinpad_acq=pinpad_acq)
+
+    def bs(shape_tail):
+        return pl.BlockSpec((tb, *shape_tail),
+                            lambda i: (i, *([0] * len(shape_tail))),
+                            memory_space=pltpu.VMEM)
+
+    def bs_stepmajor(t_len):
+        return pl.BlockSpec((t_len, tb, n_we), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    lv_main, lv_aacq, lv_bacq = _live_masks(win, acq, n_w, n)
+    if gb > 1:   # same positions for every folded block
+        lv_main, lv_aacq, lv_bacq = [np.tile(m, (1, gb))
+                                     for m in (lv_main, lv_aacq, lv_bacq)]
+    npdt = np.float32 if dt == jnp.float32 else "bfloat16"
+    if pinpad:
+        # pinned padding (main sweeps only): lm carries PIN*(1-live) pad
+        # blocks (pre-broadcast, metric dtype) that the kernel ADDS to u on
+        # dead positions — one elementwise add instead of the 8-state
+        # freeze blend (see PIN docstring).  The 16-step acquisition loop
+        # keeps the exact masked freeze (la/lb stay live masks).
+        lv_main = np.broadcast_to(
+            ((1.0 - lv_main) * PIN).astype(npdt)[:, None, :],
+            (win, tb, n_we)).copy()
+        mask_specs = [
+            pl.BlockSpec((win, tb, n_we), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bcast((acq, n_we)), bcast((acq, n_we))]
+    else:
+        mask_specs = [bcast((win, n_we)), bcast((acq, n_we)),
+                      bcast((acq, n_we))]
+    if pinpad_acq:
+        # variant for the Mosaic acq-cliff canary: the acquisition loop
+        # reads pin-pad addends instead of freeze masks
+        lv_aacq = ((1.0 - lv_aacq) * PIN).astype(npdt)
+        lv_bacq = ((1.0 - lv_bacq) * PIN).astype(npdt)
+    mask_args = (jnp.asarray(lv_main), jnp.asarray(lv_aacq),
+                 jnp.asarray(lv_bacq))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=mask_specs + [
+                  bs_stepmajor(win), bs_stepmajor(win),
+                  bs_stepmajor(acq), bs_stepmajor(acq),
+                  bs_stepmajor(acq), bs_stepmajor(acq),
+                  bs((n_we, 8)), bs((n_we, 8))],
+        out_specs=[bs_stepmajor(win), bs((n_we, 8)), bs((n_we, 8))],
+        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), dt),
+                   jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((win // 2 if fused else win, 8, tb, n_we), sdt),
+                        pltpu.VMEM((win // 2 if fused else win, 8, tb, n_we), sdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*mask_args, um, vm, ua, va, ub, vb, a_f, b_f)
+
+
+def _nii_post(a_nii, b_nii, bsz: int, n_w: int):
+    """Unfold NII exports to (bsz, n_w, 8), shift into init position and
+    normalise (shared by both entry points)."""
+    bpad, n_we = a_nii.shape[0], a_nii.shape[1]
+    gb = n_we // n_w
+    a_nii = a_nii.reshape(bpad * gb, n_w, 8)
+    b_nii = b_nii.reshape(bpad * gb, n_w, 8)
+    a_next = jnp.roll(a_nii[:bsz], 1, axis=1)
+    b_next = jnp.roll(b_nii[:bsz], -1, axis=1)
+    a_next = a_next - jnp.max(a_next, axis=-1, keepdims=True)
+    b_next = b_next - jnp.max(b_next, axis=-1, keepdims=True)
+    return a_next, b_next
+
+
 @partial(jax.jit, static_argnames=("win", "acq", "n", "tb", "gb", "mdtype",
-                                   "fused", "nofreeze", "pinpad", "interpret"))
+                                   "fused", "nofreeze", "pinpad",
+                                   "pinpad_acq", "interpret"))
 def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
                           tb: int = 8, gb: int = 1, mdtype: str = "f32",
                           fused: bool = False, nofreeze: bool = False,
-                          pinpad: bool = False,
+                          pinpad: bool = False, pinpad_acq: bool = False,
                           interpret: bool = False):
     """u, v: (B, N) channel metrics; a_init/b_init (B, n_w, 8).
 
@@ -427,84 +768,173 @@ def half_iteration_pallas(u, v, a_init, b_init, win: int, acq: int, n: int,
 
     sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
     pinpad = bool(pinpad and fused)
-    kernel = _make_kernel(win, acq, n_we, n, tb, mdtype=dt, sdtype=sdt,
-                          fused=fused, nofreeze=nofreeze, pinpad=pinpad)
-    grid = (bf // tb,) if bf % tb == 0 else (-(-bf // tb),)
+    grid0 = bf // tb if bf % tb == 0 else -(-bf // tb)
     if bf % tb != 0:
-        padb = grid[0] * tb - bf
+        padb = grid0 * tb - bf
         um, ua, ub, vm, va, vb = [jnp.pad(x, ((0, 0), (0, padb), (0, 0)))
                                   for x in (um, ua, ub, vm, va, vb)]
         a_init = jnp.pad(a_init, ((0, padb), (0, 0), (0, 0)))
         b_init = jnp.pad(b_init, ((0, padb), (0, 0), (0, 0)))
     bpad = um.shape[1]
 
-    def bs(shape_tail):
-        return pl.BlockSpec((tb, *shape_tail), lambda i: (i, *([0] * len(shape_tail))),
-                            memory_space=pltpu.VMEM)
-
-    def bs_stepmajor(t_len):
-        return pl.BlockSpec((t_len, tb, n_we), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def bcast(shape):
-        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
-                            memory_space=pltpu.VMEM)
-
-    lv_main, lv_aacq, lv_bacq = _live_masks(win, acq, n_w, n)
-    if gb > 1:   # same positions for every folded block
-        lv_main, lv_aacq, lv_bacq = [np.tile(m, (1, gb))
-                                     for m in (lv_main, lv_aacq, lv_bacq)]
-    if pinpad:
-        # pinned padding (main sweeps only): lm carries PIN*(1-live) pad
-        # blocks (pre-broadcast, metric dtype) that the kernel ADDS to u on
-        # dead positions — one elementwise add instead of the 8-state
-        # freeze blend (see PIN docstring).  The 16-step acquisition loop
-        # keeps the exact masked freeze (la/lb stay live masks).
-        npdt = np.float32 if dt == jnp.float32 else "bfloat16"
-        lv_main = np.broadcast_to(
-            ((1.0 - lv_main) * PIN).astype(npdt)[:, None, :],
-            (win, tb, n_we)).copy()
-        mask_specs = [
-            pl.BlockSpec((win, tb, n_we), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            bcast((acq, n_we)), bcast((acq, n_we))]
-    else:
-        mask_specs = [bcast((win, n_we)), bcast((acq, n_we)),
-                      bcast((acq, n_we))]
-    mask_args = (jnp.asarray(lv_main), jnp.asarray(lv_aacq),
-                 jnp.asarray(lv_bacq))
-    l_out, a_nii, b_nii = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=mask_specs + [
-                  bs_stepmajor(win), bs_stepmajor(win),
-                  bs_stepmajor(acq), bs_stepmajor(acq),
-                  bs_stepmajor(acq), bs_stepmajor(acq),
-                  bs((n_we, 8)), bs((n_we, 8))],
-        out_specs=[bs_stepmajor(win), bs((n_we, 8)), bs((n_we, 8))],
-        out_shape=[jax.ShapeDtypeStruct((win, bpad, n_we), dt),
-                   jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32),
-                   jax.ShapeDtypeStruct((bpad, n_we, 8), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((win // 2 if fused else win, 8, tb, n_we), sdt),
-                        pltpu.VMEM((win // 2 if fused else win, 8, tb, n_we), sdt)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=interpret,
-    )(*mask_args, um, vm, ua, va, ub, vb, a_init, b_init)
+    l_out, a_nii, b_nii = _half_call(
+        um, ua, ub, vm, va, vb, a_init, b_init, win=win, acq=acq, n=n,
+        n_w=n_w, gb=gb, tb=tb, dt=dt, sdt=sdt, fused=fused,
+        nofreeze=nofreeze, pinpad=pinpad, pinpad_acq=pinpad_acq,
+        interpret=interpret)
 
     # unfold the gb blocks back out of the lane axis
     l = (l_out.transpose(1, 2, 0)                 # (bpad, n_we, win)
          .reshape(bpad * gb, n_w, win)
          .reshape(bpad * gb, npad)[:bsz, :n])
-    a_nii = a_nii.reshape(bpad * gb, n_w, 8)
-    b_nii = b_nii.reshape(bpad * gb, n_w, 8)
-    # shift NII into init position (next iteration):
-    #   a_init'[w] = a_nii[w-1],  b_init'[w] = b_nii[w+1]
-    a_next = jnp.roll(a_nii[:bsz], 1, axis=1)
-    b_next = jnp.roll(b_nii[:bsz], -1, axis=1)
-    a_next = a_next - jnp.max(a_next, axis=-1, keepdims=True)
-    b_next = b_next - jnp.max(b_next, axis=-1, keepdims=True)
+    a_next, b_next = _nii_post(a_nii, b_nii, bsz, n_w)
     return l, a_next, b_next
+
+
+# ---------------------------------------------------------------------------
+# Layout-domain glue (production fast path)
+#
+# XProf r4: at B=384 the two half-iteration kernels cost ~7.4 ms while the
+# inter-iteration GLUE cost ~11 ms — almost all of it relayout copies
+# (natural (C, K) <-> step-major transposes around every kernel call) plus
+# s32 CRC conversions.  The fix: keep EVERY iteration-carried array in the
+# FLIPPED-tile kernel layout (win, n_w, C) — codeblocks on lanes — and
+# express the QPP interleave as XLA gathers whose indices COMPOSE the
+# permutation with the layout transform.  With C as the gather's offset
+# (pass-through) dimension, every gather's natural (points, batch)-minor
+# output IS the kernel layout: no operand reshapes, no relayout copies.
+# Natural order is materialized exactly once at the end (and lazily for the
+# compacted-retry subbatch, which keeps the natural-path machinery).
+# ---------------------------------------------------------------------------
+
+class _BlaneMaps:
+    """Precomputed numpy index maps for the flipped-tile layout glue.
+
+    Value at trellis position p = w*win + j of codeblock c lives at
+    [j, w, c] of a (win, n_w, cpad) array.
+    """
+
+    def __init__(self, k: int, n: int, win: int, n_w: int, d_len: int,
+                 crc: str | None):
+        from lteax.phy.tables.turbo_qpp import qpp_interleaver, \
+            qpp_deinterleaver
+        self.k, self.n, self.win, self.n_w = k, n, win, n_w
+        j = np.arange(win)
+        w = np.arange(n_w)
+        pos = w[None, :] * win + j[:, None]          # (win, n_w)
+        live = pos < k
+        pi = np.asarray(qpp_interleaver(k))
+        inv = np.asarray(qpp_deinterleaver(k))
+
+        def static(stream, tails, perm=None):
+            """(win, n_w, 2) [stream, col] indices into (C, 3, d_len):
+            the main stream (optionally ``perm``-interleaved) for p<k, the
+            three tail-bit (stream, col) pairs at p=k..k+2, and a safe
+            masked source for dead positions (zeroed via the m_n mask)."""
+            smap = np.zeros(pos.shape, np.int64)
+            cmap = np.zeros(pos.shape, np.int64)
+            smap[live] = stream
+            cmap[live] = pos[live] if perm is None else perm[pos[live]]
+            for i, (s_t, c_t) in enumerate(tails):
+                smap[pos == k + i] = s_t
+                cmap[pos == k + i] = c_t
+            return np.stack([smap, cmap], -1).astype(np.int32)
+
+        # tail wiring == the sys_t/par_t stacks of the natural path
+        self.u1s = static(0, [(0, k), (2, k), (1, k + 1)])
+        self.v1s = static(1, [(1, k), (0, k + 1), (2, k + 1)])
+        self.u2s = static(0, [(0, k + 2), (2, k + 2), (1, k + 3)], perm=pi)
+        self.v2s = static(2, [(1, k + 2), (0, k + 3), (2, k + 3)])
+
+        def chain(perm):
+            """Layout->layout gather indices composing ``perm``."""
+            p2 = np.zeros(pos.shape, np.int64)
+            p2[live] = perm[pos[live]]
+            return np.stack([p2 % win, p2 // win], -1).astype(np.int32)
+
+        self.chain_pi = chain(pi)
+        self.chain_inv = chain(inv)
+
+        def nat(perm):
+            """(k, 2) layout coords of natural position perm[i] (identity
+            when perm is None)."""
+            p2 = np.arange(k) if perm is None else perm[:k]
+            return np.stack([p2 % win, p2 // win], -1).astype(np.int32)
+
+        self.nat_id = nat(None)
+        self.nat_inv = nat(inv)
+        self.m01 = live.astype(np.float32)[:, :, None]     # extrinsic mask
+        self.m_n = (pos < n).astype(np.float32)[:, :, None]  # static mask
+        if crc is not None:
+            from lteax.phy.fec.crc import crc_matrix
+            m_perm = crc_matrix(k, crc)[pi]           # DEC2 (interleaved)
+            r = m_perm.shape[1]
+            ml = np.zeros((win, n_w, r), np.float32)
+            ml[live] = m_perm[pos[live]]
+            self.m_perm_flat = ml.reshape(win * n_w, r)
+
+
+@lru_cache(maxsize=16)
+def _blane_maps(k: int, n: int, win: int, n_w: int, d_len: int,
+                crc: str | None) -> _BlaneMaps:
+    return _BlaneMaps(k, n, win, n_w, d_len, crc)
+
+
+_IN_BOUNDS = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
+
+
+def _bl_static(llr3, idx):
+    """(C, 3, d_len) LLRs -> (win, n_w, C) layout (C passes through as the
+    gather's offset dim — the output is born in kernel layout)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(1, 2),
+        start_index_map=(1, 2))
+    return jax.lax.gather(llr3, jnp.asarray(idx), dn,
+                          (llr3.shape[0], 1, 1), mode=_IN_BOUNDS)
+
+
+def _bl_chain(x, idx):
+    """Layout -> layout permuted gather (QPP composed into the indices);
+    each point reads one contiguous C-row of the operand."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1))
+    return jax.lax.gather(x, jnp.asarray(idx), dn,
+                          (1, 1, x.shape[2]), mode=_IN_BOUNDS)
+
+
+def _bl_nat(x, idx, c: int):
+    """Layout (win, n_w, cpad) -> (k, c) natural-position-major array
+    (callers transpose in their consuming fusion)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1))
+    out = jax.lax.gather(x, jnp.asarray(idx), dn,
+                         (1, 1, x.shape[2]), mode=_IN_BOUNDS)
+    return out[:, :c]
+
+
+def _crc_ok_blane(l2, m_flat, c: int):
+    """Per-codeblock CRC pass/fail directly on a layout-domain LLR array.
+
+    The CRC matrix rows are reordered into layout order (GF(2)-linear), so
+    the contraction is ONE MXU matmul over the bitcast-flattened (j, w)
+    axes — bf16 0/1 inputs, f32 accumulation (exact for counts < 2^24).
+    """
+    win, n_w, cpad = l2.shape
+    bits = (l2 < 0).astype(jnp.bfloat16).reshape(win * n_w, cpad)
+    s = jax.lax.dot_general(jnp.asarray(m_flat, jnp.bfloat16), bits,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jnp.all(jnp.mod(s, 2.0) == 0.0, axis=0)[:c]   # (r, cpad) -> (c,)
+
+
+def _pin_blane(a_l, b_l):
+    """Flipped-tile _pin_boundaries: window axis is axis 0."""
+    pin = jnp.full((8,), NEG, jnp.float32).at[0].set(0.0)
+    a = a_l.at[0, :, :].set(pin[:, None])
+    b = b_l.at[-1, :, :].set(pin[:, None])
+    return a, b
 
 
 def _pin_boundaries(a_init, b_init):
@@ -527,6 +957,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               retry_m: int | None = None,
                               retry_levels: int | None = None,
                               retry_stage: str | None = None,
+                              layout: bool | None = None,
                               return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
@@ -543,6 +974,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     stopping rule).  Worst case (any failing block) runs all n_iter
     iterations, identical to early_crc=None; on convergent batches the
     remaining iterations are skipped batch-wide.
+
+    layout (default on via DecoderTuning.layout_glue): run the full-batch
+    iterations entirely in the kernel's step-major layout — the natural
+    (C, K) <-> (win, B, n_w) relayout copies around every kernel call
+    vanish, the QPP interleave rides composed gathers (_LayMaps), and the
+    per-iteration CRC runs as a layout-domain bf16 matmul.  The compacted
+    retry keeps the natural-order machinery on its small subbatch.  Same
+    max-log arithmetic; bf16 rounding may differ in the last ulp of the
+    extrinsic sums (u is pre-summed as static+extrinsic instead of
+    subtracting twice), which existing decode tests tolerate.
     """
     from lteax.phy.tables.turbo_qpp import qpp_interleaver, qpp_deinterleaver
 
@@ -558,37 +999,46 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     #  - pinpad: data-level pin (margin PIN on dead positions) instead of
     #    freeze blends, KEEPING the termination pin — DL 591->602 @25dB,
     #    MIMO 392->406, threshold-neutral.
-    if fused is None or nofreeze is None or pinpad is None:
+    if fused is None or nofreeze is None or pinpad is None or layout is None:
         from lteax.phy.tuning import DecoderTuning
         _t = DecoderTuning.from_env()
         fused = _t.fused if fused is None else fused
         nofreeze = _t.nofreeze if nofreeze is None else nofreeze
         pinpad = _t.pinpad if pinpad is None else pinpad
+        layout = _t.layout_glue if layout is None else layout
     fused = bool(fused and acq <= win // 2)
     nofreeze = bool(nofreeze and fused)
     pinpad = bool(pinpad and fused and not nofreeze)
     c = llr_d.shape[0]
     n = k + 3
+    d_len = llr_d.shape[2]
     n_w = -(-n // win)
     if gb is None:
         gb = max(1, min(128 // n_w, c))
     pi = jnp.asarray(qpp_interleaver(k))
     inv = jnp.asarray(qpp_deinterleaver(k))
-    d0, d1, d2 = llr_d[:, 0], llr_d[:, 1], llr_d[:, 2]
-    ls = d0[:, :k]
-    lp1 = d1[:, :k]
-    lp2 = d2[:, :k]
-    sys_t1 = jnp.stack([d0[:, k], d2[:, k], d1[:, k + 1]], axis=1)
-    par_t1 = jnp.stack([d1[:, k], d0[:, k + 1], d2[:, k + 1]], axis=1)
-    sys_t2 = jnp.stack([d0[:, k + 2], d2[:, k + 2], d1[:, k + 3]], axis=1)
-    par_t2 = jnp.stack([d1[:, k + 2], d0[:, k + 3], d2[:, k + 3]], axis=1)
-    ls_int = ls[:, pi]
-    v1 = jnp.concatenate([lp1, par_t1], axis=1)
-    v2 = jnp.concatenate([lp2, par_t2], axis=1)
 
+    if retry_m is None or retry_levels is None:
+        from lteax.phy.tuning import DecoderTuning
+        _t = DecoderTuning.from_env()
+        retry_m = _t.retry_m if retry_m is None else retry_m
+        retry_levels = _t.retry_levels if retry_levels is None else retry_levels
+
+    # extrinsic/l carries run in the metric dtype (bf16-safe: see combine)
+    dt_e = jnp.bfloat16 if mdtype == "bf16" else jnp.float32
     zero = jnp.zeros((c, n_w, 8), jnp.float32)
 
-    data_full = (ls, ls_int, v1, v2, sys_t1, sys_t2)
+    def data_from(llr_sub):
+        """Natural-path data tuple for a (sub)batch of flat LLR rows."""
+        d0, d1, d2 = llr_sub[:, 0], llr_sub[:, 1], llr_sub[:, 2]
+        ls = d0[:, :k]
+        sys_t1 = jnp.stack([d0[:, k], d2[:, k], d1[:, k + 1]], axis=1)
+        par_t1 = jnp.stack([d1[:, k], d0[:, k + 1], d2[:, k + 1]], axis=1)
+        sys_t2 = jnp.stack([d0[:, k + 2], d2[:, k + 2], d1[:, k + 3]], axis=1)
+        par_t2 = jnp.stack([d1[:, k + 2], d0[:, k + 3], d2[:, k + 3]], axis=1)
+        v1 = jnp.concatenate([d1[:, :k], par_t1], axis=1)
+        v2 = jnp.concatenate([d2[:, :k], par_t2], axis=1)
+        return (ls, ls[:, pi], v1, v2, sys_t1, sys_t2)
 
     def make_halves(data):
         """DEC1/DEC2 half-iteration closures over a (sub)batch's data
@@ -628,26 +1078,67 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
         return dec1, dec2, ext12
 
-    def one_iteration(le21, a1, b1, a2, b2):
-        dec1, dec2, ext12 = make_halves(data_full)
-        l1, a1n, b1n = dec1(le21, a1, b1)
-        # l2 stays in DEC2's interleaved domain: the final check permutes
-        # the CRC contribution matrix instead (GF(2)-linear), and the single
-        # deinterleave gather happens once after the iteration loop
-        l2, le21n, a2n, b2n = dec2(ext12(l1, le21), a2, b2)
-        return le21n, a1n, b1n, a2n, b2n, l2
+    # ---- layout-domain fast path (flipped tile; see _BlaneMaps) ----
+    use_layout = (bool(layout) and fused
+                  and (early_crc is None or 0 < retry_m < c))
+    if use_layout:
+        maps = _blane_maps(k, n, win, n_w, d_len, early_crc)
+        tl = 128
+        cpad = -(-c // tl) * tl
+        llr3 = llr_d.astype(dt_e)
+        m_n = jnp.asarray(maps.m_n, dt_e)
+        m01 = jnp.asarray(maps.m01, dt_e)
 
-    # extrinsic/l carries run in the metric dtype (bf16-safe: see combine)
-    dt_e = jnp.bfloat16 if mdtype == "bf16" else jnp.float32
-    init = (jnp.zeros(ls.shape, dt_e), zero, zero, zero, zero)
+        def mk_static(idx):
+            g = _bl_static(llr3, idx) * m_n
+            if cpad != c:
+                g = jnp.pad(g, ((0, 0), (0, 0), (0, cpad - c)))
+            return g
 
-    if early_crc is None:
-        def body(carry, _):
-            out = one_iteration(*carry)
-            return out[:5], out[5]
-        _, l_hist = jax.lax.scan(body, init, None, length=n_iter)
-        bits = (l_hist[-1][:, inv] < 0).astype(jnp.int32)
-        return (bits, jnp.int32(n_iter)) if return_n_iter else bits
+        u1s = mk_static(maps.u1s)
+        v1l = mk_static(maps.v1s)
+        u2s = mk_static(maps.u2s)
+        v2l = mk_static(maps.v2s)
+
+        def one_iteration_l(le21_l, a1, b1, a2, b2):
+            u1 = u1s + m01 * le21_l
+            a1p, b1p = _pin_blane(a1, b1)
+            l1, a1n, b1n = half_iteration_blane(
+                u1, v1l, a1p, b1p, win, acq, n, tl=tl, mdtype=mdtype,
+                nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
+            e12 = ext_scale * (l1.astype(dt_e) - u1)
+            u2 = u2s + m01 * _bl_chain(e12, maps.chain_pi)
+            a2p, b2p = _pin_blane(a2, b2)
+            l2, a2n, b2n = half_iteration_blane(
+                u2, v2l, a2p, b2p, win, acq, n, tl=tl, mdtype=mdtype,
+                nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
+            le21n = _bl_chain(ext_scale * (l2.astype(dt_e) - u2),
+                              maps.chain_inv)
+            return le21n, a1n, b1n, a2n, b2n, l2
+
+        zero_l = jnp.zeros((win, n_w, cpad), dt_e)
+        zero_ab = jnp.zeros((n_w, 8, cpad), jnp.float32)
+        init_l = (zero_l, zero_ab, zero_ab, zero_ab, zero_ab)
+
+        if early_crc is None:
+            def body(carry, _):
+                st, _ = carry
+                out = one_iteration_l(*st)
+                return (out[:5], out[5]), None
+            (_, l2), _ = jax.lax.scan(body, (init_l, zero_l), None,
+                                      length=n_iter)
+            bits = ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int32)
+            return (bits, jnp.int32(n_iter)) if return_n_iter else bits
+
+        m_perm_flat = maps.m_perm_flat
+
+        def nat_le21(le21_l, m):
+            """Natural (m-row, k) extrinsic from a (possibly lane-sliced)
+            layout array."""
+            return _bl_nat(le21_l, maps.nat_id, m).T.astype(dt_e)
+
+        def bits_nat(l2):
+            return ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int32)
 
     from lteax.phy.fec.crc import crc_matrix
 
@@ -659,9 +1150,10 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     # (kernel + QPP gathers) is skipped via lax.cond — at operating points
     # where convergence lands mid-iteration this saves a full half-kernel
     # pass; worst case matches the fixed-n_iter schedule plus the checks.
-    from lteax.phy.tables.turbo_qpp import qpp_interleaver as _qpp
-    m_nat = jnp.asarray(crc_matrix(k, early_crc), dtype=jnp.int32)
-    m_perm = jnp.asarray(crc_matrix(k, early_crc)[_qpp(k)], dtype=jnp.int32)
+    if early_crc is not None:
+        m_nat = jnp.asarray(crc_matrix(k, early_crc), dtype=jnp.int32)
+        m_perm = jnp.asarray(crc_matrix(k, early_crc)[np.asarray(
+            qpp_interleaver(k))], dtype=jnp.int32)
 
     def run_earlystop(data, state, iters_left, ignore=None):
         """Early-stopping decode of a (sub)batch from a carried state.
@@ -710,11 +1202,88 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         bits = jnp.where(from1, bits_raw, bits_raw[:, inv])
         return bits, carry[0]
 
-    if retry_m is None or retry_levels is None:
-        from lteax.phy.tuning import DecoderTuning
-        _t = DecoderTuning.from_env()
-        retry_m = _t.retry_m if retry_m is None else retry_m
-        retry_levels = _t.retry_levels if retry_levels is None else retry_levels
+    if use_layout:
+        # ---- layout-domain multi-level compacted retry ----
+        # Same schedule as the natural path below; the full-batch
+        # iterations and their CRC checks stay in layout, natural order is
+        # materialized only for the merged bits and the retry subbatch.
+        def nat_ab(x, idx=None):
+            """(n_w, 8, lanes) boundary metrics -> natural (rows, n_w, 8)
+            for the retry subbatch (``idx`` lane-gather) or the full batch."""
+            if idx is not None:
+                x = x[:, :, idx]
+            else:
+                x = x[:, :, :c]
+            return x.transpose(2, 0, 1)
+
+        def compact_at_l(kk, state_k, bits_k, okb_k, n_fail_k):
+            le21_l, a1, b1, a2, b2 = state_k
+            idx = jnp.argsort(okb_k)[:retry_m]        # failing blocks first
+            sub_data = data_from(llr_d[idx].astype(dt_e))
+            sub_state = (nat_le21(le21_l[:, :, idx], retry_m),
+                         nat_ab(a1, idx), nat_ab(b1, idx),
+                         nat_ab(a2, idx), nat_ab(b2, idx))
+            sub_bits, sub_it = run_earlystop(
+                sub_data, sub_state,
+                jnp.where(n_fail_k == 0, 0, n_iter - kk), ignore=okb_k[idx])
+            take_new = jnp.logical_not(okb_k[idx])[:, None]
+            merged = jnp.where(take_new, sub_bits, bits_k[idx])
+            return bits_k.at[idx].set(merged), sub_it
+
+        def level_l(kk, state_k, bits_k, okb_k):
+            n_fail_k = jnp.sum(jnp.logical_not(okb_k))
+
+            def compact(_):
+                return compact_at_l(kk, state_k, bits_k, okb_k, n_fail_k)
+
+            if kk >= min(retry_levels, n_iter - 1):
+                def full(_):
+                    le21_l, a1, b1, a2, b2 = state_k
+                    nat_state = (nat_le21(le21_l, c), nat_ab(a1), nat_ab(b1),
+                                 nat_ab(a2), nat_ab(b2))
+                    return run_earlystop(data_from(llr_d.astype(dt_e)),
+                                         nat_state, n_iter - kk)
+                bits, extra = jax.lax.cond(n_fail_k <= retry_m, compact,
+                                           full, None)
+                return bits, extra
+
+            def deeper(_):
+                le21n, a1n, b1n, a2n, b2n, l2n = one_iteration_l(*state_k)
+                okb_n = _crc_ok_blane(l2n, m_perm_flat, c)
+                inner_bits, inner_it = level_l(
+                    kk + 1, (le21n, a1n, b1n, a2n, b2n), bits_nat(l2n),
+                    okb_n)
+                return inner_bits, inner_it + 1
+
+            return jax.lax.cond(n_fail_k <= retry_m, compact, deeper, None)
+
+        le21_l, a1n, b1n, a2n, b2n, l2 = one_iteration_l(*init_l)
+        okb = _crc_ok_blane(l2, m_perm_flat, c)
+        bits, extra_it = level_l(1, (le21_l, a1n, b1n, a2n, b2n),
+                                 bits_nat(l2), okb)
+        return (bits, 1 + extra_it) if return_n_iter else bits
+
+    # ---- natural-order path (layout off, retry off, or tiny batches) ----
+    data_full = data_from(llr_d)
+
+    def one_iteration(le21, a1, b1, a2, b2):
+        dec1, dec2, ext12 = make_halves(data_full)
+        l1, a1n, b1n = dec1(le21, a1, b1)
+        # l2 stays in DEC2's interleaved domain: the final check permutes
+        # the CRC contribution matrix instead (GF(2)-linear), and the single
+        # deinterleave gather happens once after the iteration loop
+        l2, le21n, a2n, b2n = dec2(ext12(l1, le21), a2, b2)
+        return le21n, a1n, b1n, a2n, b2n, l2
+
+    init = (jnp.zeros((c, k), dt_e), zero, zero, zero, zero)
+
+    if early_crc is None:
+        def body(carry, _):
+            out = one_iteration(*carry)
+            return out[:5], out[5]
+        _, l_hist = jax.lax.scan(body, init, None, length=n_iter)
+        bits = (l_hist[-1][:, inv] < 0).astype(jnp.int32)
+        return (bits, jnp.int32(n_iter)) if return_n_iter else bits
 
     if not (0 < retry_m < c):
         bits, iters = run_earlystop(data_full, init, n_iter)
@@ -732,14 +1301,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     # iteration 2: the single-level scheme fell back to a FULL-batch
     # iteration 3 for those 144, paying ~30x the compact cost.  Beyond
     # retry_levels, fall back to the full-batch early-stop loop.
-    def compact_at(k, state_k, bits_k, okb_k, n_fail_k):
+    def compact_at(kk, state_k, bits_k, okb_k, n_fail_k):
         """Gather the (<= retry_m) failing blocks and finish them alone."""
         idx = jnp.argsort(okb_k)[:retry_m]        # failing blocks first
         sub_data = tuple(x[idx] for x in data_full)
         sub_state = tuple(x[idx] for x in state_k)
         sub_bits, sub_it = run_earlystop(
             sub_data, sub_state,
-            jnp.where(n_fail_k == 0, 0, n_iter - k), ignore=okb_k[idx])
+            jnp.where(n_fail_k == 0, 0, n_iter - kk), ignore=okb_k[idx])
         # keep the full-batch bits for blocks that were already ok (the
         # retry subbatch is padded with ok blocks when fewer than retry_m
         # failed; their re-decode is equivalent but not replayed)
@@ -747,16 +1316,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         merged = jnp.where(take_new, sub_bits, bits_k[idx])
         return bits_k.at[idx].set(merged), sub_it
 
-    def level(k, state_k, bits_k, okb_k):
-        """k full iterations done; decide compact / deeper / full."""
+    def level(kk, state_k, bits_k, okb_k):
+        """kk full iterations done; decide compact / deeper / full."""
         n_fail_k = jnp.sum(jnp.logical_not(okb_k))
 
         def compact(_):
-            return compact_at(k, state_k, bits_k, okb_k, n_fail_k)
+            return compact_at(kk, state_k, bits_k, okb_k, n_fail_k)
 
-        if k >= min(retry_levels, n_iter - 1):
+        if kk >= min(retry_levels, n_iter - 1):
             def full(_):
-                return run_earlystop(data_full, state_k, n_iter - k)
+                return run_earlystop(data_full, state_k, n_iter - kk)
             bits, extra = jax.lax.cond(n_fail_k <= retry_m, compact, full,
                                        None)
             return bits, extra
@@ -767,7 +1336,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                 ((l2n < 0).astype(jnp.int32) @ m_perm) % 2 == 0, axis=-1)
             bits_n = (l2n < 0).astype(jnp.int32)[:, inv]
             inner_bits, inner_it = level(
-                k + 1, (le21n, a1n, b1n, a2n, b2n), bits_n, okb_n)
+                kk + 1, (le21n, a1n, b1n, a2n, b2n), bits_n, okb_n)
             return inner_bits, inner_it + 1
 
         return jax.lax.cond(n_fail_k <= retry_m, compact, deeper, None)

@@ -48,6 +48,11 @@ class DecoderTuning:
       falling back to the full-batch early-stop loop (2x2 MIMO at 25 dB
       needs level 2: 4704/4992 blocks fail after iteration 1 but only 144
       after iteration 2).
+    - ``layout_glue``: keep the full-batch turbo iterations in the kernel's
+      step-major layout (QPP interleave composed into gathers, layout-domain
+      CRC matmul) — kills the relayout copies that XProf measured at ~11 ms
+      of the 20 ms turbo stage at B=384 (r4).  The compacted retry subbatch
+      still uses the natural-order path.
 
     Front-end / chest:
 
@@ -91,6 +96,7 @@ class DecoderTuning:
     retry_m_dl: int | None = 64
     retry_m_mimo: int | None = 192
     retry_levels: int = 2
+    layout_glue: bool = True
     mimo_chest: str = "ls"
     mimo_denoise: bool = False
     mimo_chest_nv: float = 3e-3
@@ -115,6 +121,7 @@ class DecoderTuning:
         "LTEAX_RETRY_M_DL": ("retry_m_dl", int),
         "LTEAX_RETRY_M_MIMO": ("retry_m_mimo", int),
         "LTEAX_RETRY_LEVELS": ("retry_levels", int),
+        "LTEAX_LAYOUT_GLUE": ("layout_glue", lambda s: s == "1"),
         "LTEAX_MIMO_CHEST": ("mimo_chest", str),
         "LTEAX_MIMO_DENOISE": ("mimo_denoise", lambda s: s == "1"),
         "LTEAX_MIMO_CHEST_NV": ("mimo_chest_nv", float),

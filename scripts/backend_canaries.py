@@ -140,6 +140,112 @@ print("SURVIVED")
                             "tail": (r.stderr or "")[-200:]}
 
 
+def probe_mosaic_acq_cliff():
+    """KNOWN_ISSUES: Mosaic de-optimizes the turbo kernel ~90x if the
+    ACQUISITION loop body changes (e.g. adding a pad term to the input
+    read).  Workaround: the pinned-padding path keeps the masked
+    acquisition loop verbatim.  Probe: time the production kernel vs the
+    ``pinpad_acq`` variant (the forbidden edit); expired when the variant
+    is within 3x."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lteax.kernels.turbo_mlm import half_iteration_pallas
+    rng = np.random.default_rng(0)
+    c, k = 512, 6144
+    n = k + 3
+    n_w = -(-n // 128)
+    u = rng.standard_normal((c, n)).astype(np.float32)
+    v = rng.standard_normal((c, n)).astype(np.float32)
+    a0 = np.zeros((c, n_w, 8), np.float32)
+
+    def run(pinpad_acq):
+        f = jax.jit(lambda uu, vv, aa: half_iteration_pallas(
+            uu, vv, aa, aa, 128, 16, n, tb=16, gb=2, mdtype="bf16",
+            fused=True, pinpad=True, pinpad_acq=pinpad_acq)[0])
+        np.asarray(f(u, v, a0))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(u, v, a0))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_base = run(False)
+    t_var = run(True)
+    ratio = t_var / t_base
+    status = "EXPIRED" if ratio < 3 else "still-broken"
+    return status, {"t_base_ms": round(t_base * 1e3, 1),
+                    "t_variant_ms": round(t_var * 1e3, 1),
+                    "ratio": round(ratio, 1)}
+
+
+def probe_int8_ingest():
+    """KNOWN_ISSUES: int8 IQ -> f32 conversion is pathological on this
+    backend (~1.8x slower end-to-end); sc8 captures are host-converted.
+    Probe: FFT front on sc8 vs bf16 device-boundary input."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    b, ns = 128, 30720
+    x8 = rng.integers(-127, 128, (b, ns, 2)).astype(np.int8)
+    xb = (x8.astype(np.float32) / 127.0).astype(jnp.bfloat16)
+
+    def front(s):
+        c = (s[..., 0].astype(jnp.float32)
+             + 1j * s[..., 1].astype(jnp.float32))
+        g = jnp.fft.fft(c.reshape(b, -1, 2048), axis=-1)
+        return jnp.sum(jnp.abs(g))
+
+    def t(x):
+        f = jax.jit(front)
+        np.asarray(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t8, tb16 = t(jnp.asarray(x8)), t(jnp.asarray(xb))
+    ratio = t8 / tb16
+    status = "EXPIRED" if ratio < 1.3 else "still-broken"
+    return status, {"t_sc8_ms": round(t8 * 1e3, 1),
+                    "t_bf16_ms": round(tb16 * 1e3, 1),
+                    "ratio": round(ratio, 2)}
+
+
+def probe_b576_layout_fault(timeout_s=600):
+    """KNOWN_ISSUES (r4): the layout-glue decode at C=7488 codeblocks
+    (B=576-class) deterministically crashes the TPU worker, though every
+    program piece runs fine in isolation and neighbouring shapes pass.
+    Runs the crashing repro in a SUBPROCESS."""
+    code = r"""
+import sys; sys.path.insert(0, %r)
+import numpy as np, jax, jax.numpy as jnp
+from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+rng = np.random.default_rng(0)
+k, c = 5824, 7488
+llr = rng.standard_normal((c, 3, k + 4)).astype(np.float32)
+out = jax.jit(lambda d: turbo_decode_batch_pallas(
+    d, k, n_iter=6, win=128, acq=16, tb=16, early_crc="24B",
+    mdtype="bf16", retry_m=64, retry_levels=2, layout=True))(jnp.asarray(llr))
+print("SURVIVED", int(np.asarray(out).sum()))
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return "error", {"timeout_s": timeout_s}
+    if r.returncode == 0 and "SURVIVED" in r.stdout:
+        return "EXPIRED", {}
+    return "still-broken", {"rc": r.returncode,
+                            "tail": (r.stderr or "")[-200:]}
+
+
 def probe_b512_compile(timeout_s=240):
     """KNOWN_ISSUES: B~512 shapes hit pathological compile times.
     Probe: compile the front at B=512 with a deadline (subprocess)."""
@@ -187,10 +293,16 @@ def main():
          "drop io.iq f32-pair device boundary"),
         ("eager-dispatch", probe_eager_dispatch,
          "allow jnp _c_init in decoder factories"),
+        ("mosaic-acq-cliff", probe_mosaic_acq_cliff,
+         "simplify the acquisition loop (pin-pad it like the main sweeps)"),
+        ("int8-ingest", probe_int8_ingest,
+         "accept sc8 captures at the device boundary (drop host conversion)"),
     ]
     if a.include_crashers:
         probes.append(("struct-dematch+turbo-kernel", probe_struct_dematch_crash,
                        "flip DecoderTuning.struct_dematch default ON (then re-A/B)"))
+        probes.append(("b576-layout-fault", probe_b576_layout_fault,
+                       "drop the ~576-subframe layout-path avoidance note"))
     if a.slow:
         probes.append(("b512-compile", probe_b512_compile,
                        "retune bench batch size above 384"))

@@ -242,3 +242,59 @@ def test_pallas_front_decodes_rv2():
     bits, ok = dec(jnp.asarray(to_iq_f32(x)))
     assert bool(jnp.all(ok))
     np.testing.assert_array_equal(np.asarray(bits), tb_ref)
+
+
+def test_layout_glue_matches_natural_path():
+    """The r4 layout-domain glue (step-major iteration, composed QPP
+    gathers, layout CRC matmul) must reproduce the natural-order path
+    bit-for-bit, including when the compacted retry engages on blocks
+    that fail iteration 1."""
+    from lteax.phy.fec.turbo import turbo_encode
+    from lteax.phy.fec.crc import attach_crc_np
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    rng = np.random.default_rng(7)
+    k, c = 128, 6
+    payload = rng.integers(0, 2, (c, k - 24)).astype(np.int32)
+    bits = np.stack([attach_crc_np(p, "24A") for p in payload])
+    d = np.stack([np.asarray(turbo_encode(jnp.asarray(b), k))
+                  for b in bits])
+    llr = (1 - 2 * d.astype(np.float32)) * 2.0
+    # hit a couple of blocks hard enough that iteration 1 fails their CRC
+    # (exercises compact_at_l / deeper), leave the rest clean
+    llr[:2] += rng.standard_normal(llr[:2].shape).astype(np.float32) * 1.8
+
+    res = {}
+    for lay in (False, True):
+        out, it = turbo_decode_batch_pallas(
+            jnp.asarray(llr), k, n_iter=4, win=32, acq=8, tb=8,
+            early_crc="24A", mdtype="f32", fused=True, nofreeze=False,
+            pinpad=True, retry_m=2, retry_levels=2, layout=lay,
+            return_n_iter=True, interpret=True)
+        res[lay] = np.asarray(out)
+    assert np.array_equal(res[False], res[True])
+    # and both recover the clean blocks exactly
+    assert np.array_equal(res[True][2:], bits[2:])
+
+
+def test_layout_glue_fixed_iteration_path():
+    """layout=True with early_crc=None (fixed-iteration scan) matches the
+    natural fixed path."""
+    from lteax.phy.fec.turbo import turbo_encode
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    rng = np.random.default_rng(9)
+    k, c = 104, 4
+    bits = rng.integers(0, 2, (c, k)).astype(np.int32)
+    d = np.stack([np.asarray(turbo_encode(jnp.asarray(b), k))
+                  for b in bits])
+    llr = (1 - 2 * d.astype(np.float32)) * 3.0
+    llr += rng.standard_normal(llr.shape).astype(np.float32) * 0.8
+
+    outs = [np.asarray(turbo_decode_batch_pallas(
+        jnp.asarray(llr), k, n_iter=2, win=32, acq=8, tb=8,
+        early_crc=None, mdtype="f32", fused=True, nofreeze=False,
+        pinpad=True, retry_m=0, layout=lay, interpret=True))
+        for lay in (False, True)]
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], bits)
