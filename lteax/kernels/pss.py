@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: PSS matched-filter correlation magnitude.
+
+(SURVEY §7 step 6c — the scanner's hot loop; reference capability:
+``liblte_phy.cc :: liblte_phy_find_pss_and_fine_timing``'s serial
+time-domain correlation per EARFCN.)
+
+TPU-native design: the length-``nf`` complex matched filter is decomposed
+into ``nc = nf/F`` Toeplitz chunk matrices G_c (F x F, F = 128 lanes), so a
+tile of T output frames is
+
+    corr[t : t+T, :] = sum_c  blk[c : c+T, :] @ G_c
+
+— the same shifted-row-slice matmul-accumulation shape as the Pallas
+polyphase resampler (kernels/polyphase.py), with
+
+    G_c[s, i] = conj(h[c*F + s - i])   where 0 <= c*F + s - i < nf.
+
+All 3 PSS roots run in one kernel instance, complex arithmetic as 4 real
+MXU matmuls (bf16 in, f32 accumulation), and |corr|^2 is formed IN VMEM —
+the complex correlation never touches HBM (the overlap-save FFT path
+materializes a (C, 3, L) complex64 intermediate).  MAC overhead vs a
+direct correlation is (nf+F)/nf ~ 6% at 20 MHz.
+
+bf16 inputs cost ~2^-9-class relative error on the correlation sum —
+irrelevant for detection (the PSS peak carries 10*log10(nf) ~ 33 dB of
+coherent gain) and for the peak INDEX; ``mdtype="f32"`` bumps the matmuls
+to f32 for exactness studies.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=8)
+def _chunk_matrices(filt_key, nf: int, f: int):
+    """(3, (nc+1)*F, F) complex64 stacked Toeplitz chunks of conj(h)."""
+    filt = np.asarray(filt_key).reshape(3, nf)
+    nc = -(-nf // f)
+    g = np.zeros((3, (nc + 1) * f, f), np.complex64)
+    hh = np.conj(filt)
+    s_idx = np.arange((nc + 1) * f)[:, None]          # chunk-stacked s
+    i_idx = np.arange(f)[None, :]
+    d = s_idx - i_idx                                  # = c*F + s - i
+    valid = (d >= 0) & (d < nf)
+    for r in range(3):
+        g[r][valid] = hh[r][d[valid]]
+    return g
+
+
+def pss_corr_mag_pallas(x: jnp.ndarray, filt: np.ndarray,
+                        tile_rows: int = 256, mdtype: str = "bf16",
+                        interpret: bool = False) -> jnp.ndarray:
+    """|corr|^2 of x (..., L) complex against the 3 PSS replicas.
+
+    Returns (..., 3, L) float32, corr[n] = sum_k x[n+k] conj(filt[root, k])
+    — same convention as :func:`lteax.phy.sync.pss_correlate` (peak index =
+    PSS start sample).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = filt.shape[1]
+    f = 128
+    nc = -(-nf // f)
+    t_rows = tile_rows
+    assert t_rows >= nc, (t_rows, nc)
+    lead = x.shape[:-1]
+    l = x.shape[-1]
+    c = int(np.prod(lead)) if lead else 1
+    xc = x.reshape(c, l)
+
+    dt = jnp.bfloat16 if mdtype == "bf16" else jnp.float32
+    g = _chunk_matrices(tuple(map(tuple, filt)), nf, f)
+    gr = jnp.asarray(g.real, dt)                       # (3, (nc+1)F, F)
+    gi = jnp.asarray(g.imag, dt)
+
+    n_rows = -(-l // f)
+    n_tiles = -(-n_rows // t_rows)
+    rows_total = (n_tiles + 1) * t_rows                # +1 tile: halo source
+    xp = jnp.pad(xc, ((0, 0), (0, rows_total * f - l)))
+    xr4 = jnp.real(xp).astype(dt).reshape(c, n_tiles + 1, t_rows, f)
+    xi4 = jnp.imag(xp).astype(dt).reshape(c, n_tiles + 1, t_rows, f)
+    hr = xr4[:, 1:, :nc, :]                            # (c, n_tiles, nc, f)
+    hi = xi4[:, 1:, :nc, :]
+    xr4, xi4 = xr4[:, :-1], xi4[:, :-1]
+
+    def kernel(xr_ref, hr_ref, xi_ref, hi_ref, gr_ref, gi_ref, out_ref):
+        blkr = jnp.concatenate([xr_ref[0, 0], hr_ref[0, 0]], axis=0)
+        blki = jnp.concatenate([xi_ref[0, 0], hi_ref[0, 0]], axis=0)
+        for root in range(3):
+            cr = None
+            ci = None
+            for s in range(nc + 1):
+                xrs = blkr[s:s + t_rows, :]
+                xis = blki[s:s + t_rows, :]
+                grs = gr_ref[root, s * f:(s + 1) * f, :]
+                gis = gi_ref[root, s * f:(s + 1) * f, :]
+                tr = (jnp.dot(xrs, grs, preferred_element_type=jnp.float32)
+                      - jnp.dot(xis, gis, preferred_element_type=jnp.float32))
+                ti = (jnp.dot(xrs, gis, preferred_element_type=jnp.float32)
+                      + jnp.dot(xis, grs, preferred_element_type=jnp.float32))
+                cr = tr if cr is None else cr + tr
+                ci = ti if ci is None else ci + ti
+            out_ref[0, root, 0] = cr * cr + ci * ci
+
+    bs_main = pl.BlockSpec((1, 1, t_rows, f), lambda ci_, ti_: (ci_, ti_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bs_halo = pl.BlockSpec((1, 1, nc, f), lambda ci_, ti_: (ci_, ti_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bs_g = pl.BlockSpec(gr.shape, lambda ci_, ti_: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, n_tiles),
+        in_specs=[bs_main, bs_halo, bs_main, bs_halo, bs_g, bs_g],
+        out_specs=pl.BlockSpec((1, 3, 1, t_rows, f),
+                               lambda ci_, ti_: (ci_, 0, ti_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 3, n_tiles, t_rows, f),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xr4, hr, xi4, hi, gr, gi)
+    out = out.reshape(c, 3, n_tiles * t_rows * f)[:, :, :l]
+    return out.reshape(*lead, 3, l)

@@ -95,17 +95,35 @@ def pss_time_filters(cfg: PhyConfig) -> np.ndarray:
 _PSS_FFT_MAX = 1 << 15   # one-shot FFT cap; larger captures go overlap-save
 
 
-def pss_correlate(x: jnp.ndarray, cfg: PhyConfig) -> jnp.ndarray:
-    """Correlate x (..., L) with the 3 PSS replicas via FFT.
+def pss_correlate(x: jnp.ndarray, cfg: PhyConfig,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
+    """Correlate x (..., L) with the 3 PSS replicas.
 
     Returns (..., 3, L) correlation magnitude² (peak index = PSS *start*
-    sample).  Short captures: one capture FFT, 3 pointwise multiplies,
-    batched IFFT.  Long captures: overlap-save with fixed-size block FFTs —
-    the TPU backend cannot compile very large FFTs (2^17+ wedges the remote
-    compiler), and same-size blocks reuse one compiled FFT.
+    sample).
+
+    On TPU (r4, SURVEY §7 step 6c): the Pallas Toeplitz-chunk matmul
+    correlator (`kernels/pss.py`) — time-domain matched filter on the MXU,
+    |corr|² formed in VMEM.  Elsewhere / ``use_pallas=False``: the FFT
+    path — short captures as one capture FFT + 3 pointwise multiplies +
+    batched IFFT; long captures overlap-save with fixed-size block FFTs
+    (the TPU backend cannot compile very large FFTs — KNOWN_ISSUES; same-
+    size blocks reuse one compiled FFT).  Dispatch mirrors
+    ``resample_poly``: concrete arrays dispatch on their actual device,
+    traced inputs on ``jax.default_backend()``.
     """
     l = x.shape[-1]
     filt = pss_time_filters(cfg)
+    if use_pallas is None:
+        devs = getattr(x, "devices", None)
+        if isinstance(x, jax.Array) and devs is not None and \
+                not isinstance(x, jax.core.Tracer):
+            use_pallas = all(d.platform == "tpu" for d in x.devices())
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and l >= cfg.n_fft:
+        from lteax.kernels.pss import pss_corr_mag_pallas
+        return pss_corr_mag_pallas(x, filt)
     nfft = int(2 ** np.ceil(np.log2(l + cfg.n_fft)))
     if nfft <= _PSS_FFT_MAX:
         xf = jnp.fft.fft(x, n=nfft, axis=-1)

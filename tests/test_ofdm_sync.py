@@ -114,3 +114,32 @@ def test_channel_estimation_flat_and_multipath():
     h_freq = np.fft.fft(imp)[cfg.sc_to_fft_bin]
     err = np.abs(h_est[5] - h_freq) / np.abs(h_freq)
     assert np.median(err) < 0.08, np.median(err)
+
+
+def test_pss_pallas_kernel_matches_fft_path():
+    """The r4 Pallas Toeplitz-chunk PSS correlator (kernels/pss.py, SURVEY
+    §7 step 6c) must reproduce the FFT path's |corr|^2 and peak locations
+    (f32 exact to ~1e-6; bf16 production dtype detection-equivalent)."""
+    from lteax.kernels.pss import pss_corr_mag_pallas
+    from lteax.phy.sync import pss_time_filters
+
+    cfg = PhyConfig(n_rb_dl=6)
+    rng = np.random.default_rng(3)
+    filt = pss_time_filters(cfg)
+    L = 8 * cfg.n_fft + 37
+    o1, o2 = 2 * cfg.n_fft, 3 * cfg.n_fft + 11
+    x = (rng.standard_normal((2, L))
+         + 1j * rng.standard_normal((2, L))).astype(np.complex64) * 0.05
+    x[0, o1:o1 + cfg.n_fft] += filt[1]
+    x[1, o2:o2 + cfg.n_fft] += filt[2]
+    ref = np.asarray(sync.pss_correlate(jnp.asarray(x), cfg,
+                                        use_pallas=False))
+    got32 = np.asarray(pss_corr_mag_pallas(jnp.asarray(x), filt,
+                                           mdtype="f32", interpret=True))
+    np.testing.assert_allclose(got32, ref, atol=2e-5 * float(ref.max()))
+    got = np.asarray(pss_corr_mag_pallas(jnp.asarray(x), filt,
+                                         interpret=True))
+    assert got[0, 1].argmax() == o1 and got[1, 2].argmax() == o2
+    # bf16 production dtype: sub-0.1% error in the signal region
+    sig = ref > 0.01 * ref.max()
+    assert float(np.max(np.abs(got - ref)[sig])) < 2e-3 * float(ref.max())
