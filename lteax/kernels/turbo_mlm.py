@@ -978,7 +978,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     layout (default on via DecoderTuning.layout_glue): run the full-batch
     iterations entirely in the kernel's step-major layout — the natural
     (C, K) <-> (win, B, n_w) relayout copies around every kernel call
-    vanish, the QPP interleave rides composed gathers (_LayMaps), and the
+    vanish, the QPP interleave rides composed gathers (_BlaneMaps), and the
     per-iteration CRC runs as a layout-domain bf16 matmul.  The compacted
     retry keeps the natural-order machinery on its small subbatch.  Same
     max-log arithmetic; bf16 rounding may differ in the last ulp of the
