@@ -867,11 +867,15 @@ class _BlaneMaps:
         self.m_n = (pos < n).astype(np.float32)[:, :, None]  # static mask
         if crc is not None:
             from lteax.phy.fec.crc import crc_matrix
-            m_perm = crc_matrix(k, crc)[pi]           # DEC2 (interleaved)
+            m_nat = crc_matrix(k, crc)
+            m_perm = m_nat[pi]                        # DEC2 (interleaved)
             r = m_perm.shape[1]
             ml = np.zeros((win, n_w, r), np.float32)
             ml[live] = m_perm[pos[live]]
             self.m_perm_flat = ml.reshape(win * n_w, r)
+            mn = np.zeros((win, n_w, r), np.float32)
+            mn[live] = m_nat[pos[live]]
+            self.m_nat_flat = mn.reshape(win * n_w, r)
 
 
 @lru_cache(maxsize=16)
@@ -881,6 +885,62 @@ def _blane_maps(k: int, n: int, win: int, n_w: int, d_len: int,
 
 
 _IN_BOUNDS = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
+
+
+@lru_cache(maxsize=16)
+def _planar_maps(k: int, n: int, win: int, n_w: int, d_len: int,
+                 rm_key, n_cb: int, sentinel: int):
+    """Static-gather maps for the PLANAR input form (r4).
+
+    ``rm_key`` is the (n_cb*3*d_len,) de-match index map into the planar
+    LLR flat axis (sentinel = untransmitted position -> LLR 0).  Composes
+    the rate de-match INTO the four layout static gathers, so the natural
+    (C, 3, D) llr_d intermediate never materializes — at B=768 that
+    intermediate cost ~12 ms (the de-match gather degraded to 4.7 ms at
+    this width plus a 5-op relayout chain).
+
+    Returns per-static (idx (win, n_w, n_cb, 1) int32 into the planar flat
+    axis, weight (win, n_w, n_cb, 1) f32 zeroing sentinel hits and dead
+    trellis positions).  Lane order of the gathered output is
+    c' = cb*B + sf (cb-major) — callers reorder bits once at the end.
+    """
+    rm_inv = np.frombuffer(rm_key, dtype=np.int32).astype(np.int64)
+    base = _blane_maps(k, n, win, n_w, d_len, None)
+    pos = (np.arange(n_w)[None, :] * win + np.arange(win)[:, None])
+    liven = (pos < n)
+
+    out = {}
+    for name in ("u1s", "v1s", "u2s", "v2s"):
+        m2 = getattr(base, name).astype(np.int64)       # (win, n_w, 2)
+        gidx = (np.arange(n_cb)[None, None, :] * 3 * d_len
+                + m2[..., 0:1] * d_len + m2[..., 1:2])  # (win, n_w, n_cb)
+        p = rm_inv[gidx]
+        w = ((p != sentinel) & liven[..., None]).astype(np.float32)
+        p = np.where(p == sentinel, 0, p)
+        out[name] = (p[..., None].astype(np.int32), w[..., None])
+    # retry-subbatch natural rebuild: per-cb (3*d_len,) planar indices
+    g3 = (np.arange(n_cb)[:, None] * 3 * d_len + np.arange(3 * d_len))
+    p3 = rm_inv[g3]
+    out["cb_idx"] = np.where(p3 == sentinel, 0, p3).astype(np.int32)
+    out["cb_w"] = (p3 != sentinel).astype(np.float32)
+    return out
+
+
+def _bl_static_planar(p2t, idx, wgt):
+    """TRANSPOSED planar LLRs (planar_flat, B) -> (win, n_w, n_cb*B)
+    layout, de-match and RE-extraction composed into the indices; B passes
+    through as the gather's offset dim.  The transposed operand makes every
+    gather point a CONTIGUOUS B-row read (the (B, flat) orientation strode
+    ~200 KB per element and measured slower than the d_llr path it
+    replaced)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(3,), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    g = jax.lax.gather(p2t, jnp.asarray(idx), dn,
+                       (1, p2t.shape[1]), mode=_IN_BOUNDS)
+    g = g * jnp.asarray(wgt, g.dtype)                  # (win, n_w, ncb, B)
+    win, n_w, ncb, b = g.shape
+    return g.reshape(win, n_w, ncb * b)
 
 
 def _bl_static(llr3, idx):
@@ -914,19 +974,22 @@ def _bl_nat(x, idx, c: int):
     return out[:, :c]
 
 
-def _crc_ok_blane(l2, m_flat, c: int):
-    """Per-codeblock CRC pass/fail directly on a layout-domain LLR array.
-
-    The CRC matrix rows are reordered into layout order (GF(2)-linear), so
-    the contraction is ONE MXU matmul over the bitcast-flattened (j, w)
-    axes — bf16 0/1 inputs, f32 accumulation (exact for counts < 2^24).
-    """
+def _crc_par_blane(l2, m_flat):
+    """Per-lane CRC pass/fail on a layout-domain LLR array (incl. pad
+    lanes).  The CRC matrix rows are reordered into layout order
+    (GF(2)-linear), so the contraction is ONE MXU matmul over the
+    bitcast-flattened (j, w) axes — bf16 0/1 inputs, f32 accumulation
+    (exact for counts < 2^24)."""
     win, n_w, cpad = l2.shape
     bits = (l2 < 0).astype(jnp.bfloat16).reshape(win * n_w, cpad)
     s = jax.lax.dot_general(jnp.asarray(m_flat, jnp.bfloat16), bits,
                             (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return jnp.all(jnp.mod(s, 2.0) == 0.0, axis=0)[:c]   # (r, cpad) -> (c,)
+    return jnp.all(jnp.mod(s, 2.0) == 0.0, axis=0)       # (cpad,)
+
+
+def _crc_ok_blane(l2, m_flat, c: int):
+    return _crc_par_blane(l2, m_flat)[:c]
 
 
 def _pin_blane(a_l, b_l):
@@ -958,11 +1021,15 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               retry_levels: int | None = None,
                               retry_stage: str | None = None,
                               layout: bool | None = None,
+                              planar: tuple | None = None,
                               return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
 
-    llr_d: (C, 3, K+4) -> (C, K) hard bits.  Matches
+    llr_d: (C, 3, K+4) -> (C, K) hard bits (int8 since r4: the decoded-
+    bits pipeline — lax.cond carries, retry merges, desegmentation — was
+    ~6 ms of s32 HBM traffic at B=768; CRC matmuls cast up internally).
+    Matches
     ``lteax.phy.fec.turbo.turbo_decode_batch`` numerically (same windowed
     max-log-MAP + NII schedule).
 
@@ -1009,9 +1076,18 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     fused = bool(fused and acq <= win // 2)
     nofreeze = bool(nofreeze and fused)
     pinpad = bool(pinpad and fused and not nofreeze)
-    c = llr_d.shape[0]
+    if planar is not None:
+        # (planar2 (B_sf, flat), rm_inv np.int32 (n_cb*3*d_len,), n_cb,
+        # sentinel) — the de-match map into the planar demap output; the
+        # four static gathers compose it (see _planar_maps)
+        planar2, rm_inv_np, n_cb, sentinel = planar
+        bsf = planar2.shape[0]
+        c = n_cb * bsf
+        d_len = k + 4
+    else:
+        c = llr_d.shape[0]
+        d_len = llr_d.shape[2]
     n = k + 3
-    d_len = llr_d.shape[2]
     n_w = -(-n // win)
     if gb is None:
         gb = max(1, min(128 // n_w, c))
@@ -1081,24 +1157,45 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     # ---- layout-domain fast path (flipped tile; see _BlaneMaps) ----
     use_layout = (bool(layout) and fused
                   and (early_crc is None or 0 < retry_m < c))
+    if planar is not None:
+        pm = _planar_maps(k, n, win, n_w, d_len, rm_inv_np.tobytes(),
+                          n_cb, sentinel)
+        p2 = planar2.astype(dt_e)
+        pm_idx = jnp.asarray(pm["cb_idx"])
+        pm_w = jnp.asarray(pm["cb_w"], dt_e)
+        if not use_layout:
+            # natural fallback: materialize llr_d (standard subframe-major
+            # block order) from the planar input in one gather
+            vals = p2[:, pm_idx.reshape(-1)] * pm_w.reshape(-1)
+            llr_d = vals.reshape(bsf, n_cb, 3, d_len).reshape(c, 3, d_len)
     if use_layout:
         maps = _blane_maps(k, n, win, n_w, d_len, early_crc)
         tl = 128
         cpad = -(-c // tl) * tl
-        llr3 = llr_d.astype(dt_e)
-        m_n = jnp.asarray(maps.m_n, dt_e)
         m01 = jnp.asarray(maps.m01, dt_e)
 
-        def mk_static(idx):
-            g = _bl_static(llr3, idx) * m_n
+        def _pad_lanes(g):
             if cpad != c:
                 g = jnp.pad(g, ((0, 0), (0, 0), (0, cpad - c)))
             return g
 
-        u1s = mk_static(maps.u1s)
-        v1l = mk_static(maps.v1s)
-        u2s = mk_static(maps.u2s)
-        v2l = mk_static(maps.v2s)
+        if planar is not None:
+            p2t = p2.T        # one relayout; 4 contiguous-row gathers after
+            u1s = _pad_lanes(_bl_static_planar(p2t, *pm["u1s"]))
+            v1l = _pad_lanes(_bl_static_planar(p2t, *pm["v1s"]))
+            u2s = _pad_lanes(_bl_static_planar(p2t, *pm["u2s"]))
+            v2l = _pad_lanes(_bl_static_planar(p2t, *pm["v2s"]))
+        else:
+            llr3 = llr_d.astype(dt_e)
+            m_n = jnp.asarray(maps.m_n, dt_e)
+
+            def mk_static(idx):
+                return _pad_lanes(_bl_static(llr3, idx) * m_n)
+
+            u1s = mk_static(maps.u1s)
+            v1l = mk_static(maps.v1s)
+            u2s = mk_static(maps.u2s)
+            v2l = mk_static(maps.v2s)
 
         def one_iteration_l(le21_l, a1, b1, a2, b2):
             u1 = u1s + m01 * le21_l
@@ -1120,6 +1217,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         zero_ab = jnp.zeros((n_w, 8, cpad), jnp.float32)
         init_l = (zero_l, zero_ab, zero_ab, zero_ab, zero_ab)
 
+        def bits_std(bits_cp):
+            """Lane-order bits -> standard subframe-major block order (the
+            planar statics' lanes are cb-major: c' = cb*B + sf)."""
+            if planar is None:
+                return bits_cp
+            return (bits_cp.reshape(n_cb, bsf, k)
+                    .transpose(1, 0, 2).reshape(c, k))
+
         if early_crc is None:
             def body(carry, _):
                 st, _ = carry
@@ -1127,18 +1232,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                 return (out[:5], out[5]), None
             (_, l2), _ = jax.lax.scan(body, (init_l, zero_l), None,
                                       length=n_iter)
-            bits = ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int32)
+            bits = bits_std(
+                ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int8))
             return (bits, jnp.int32(n_iter)) if return_n_iter else bits
 
         m_perm_flat = maps.m_perm_flat
 
-        def nat_le21(le21_l, m):
-            """Natural (m-row, k) extrinsic from a (possibly lane-sliced)
-            layout array."""
-            return _bl_nat(le21_l, maps.nat_id, m).T.astype(dt_e)
-
         def bits_nat(l2):
-            return ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int32)
+            return ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int8)
 
     from lteax.phy.fec.crc import crc_matrix
 
@@ -1196,38 +1297,104 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                  jnp.zeros((data[0].shape[0], k), dt_e))
         carry = jax.lax.while_loop(cond, body, carry)
         llast, from1 = carry[-1], carry[2]
-        bits_raw = (llast < 0).astype(jnp.int32)
+        bits_raw = (llast < 0).astype(jnp.int8)
         # llast is natural-order when the loop stopped after DEC1,
         # interleaved when it ran (or ended at) DEC2
         bits = jnp.where(from1, bits_raw, bits_raw[:, inv])
         return bits, carry[0]
 
     if use_layout:
-        # ---- layout-domain multi-level compacted retry ----
-        # Same schedule as the natural path below; the full-batch
-        # iterations and their CRC checks stay in layout, natural order is
-        # materialized only for the merged bits and the retry subbatch.
-        def nat_ab(x, idx=None):
-            """(n_w, 8, lanes) boundary metrics -> natural (rows, n_w, 8)
-            for the retry subbatch (``idx`` lane-gather) or the full batch."""
-            if idx is not None:
-                x = x[:, :, idx]
-            else:
-                x = x[:, :, :c]
-            return x.transpose(2, 0, 1)
+        # ---- layout-NATIVE multi-level compacted retry (r4) ----
+        # The retry subbatch is a LANE-SLICE of the already-materialized
+        # layout statics and carried state — no natural-order rebuild, no
+        # planar/llr_d captures inside the conditional branches (the
+        # natural rebuild gather measured 11 ms and the captured planar
+        # operands bloated the cond to 12.6 ms at B=768).
+        chain_pi_j = jnp.asarray(maps.chain_pi)
+        chain_inv_j = jnp.asarray(maps.chain_inv)
+        nat_id_j = jnp.asarray(maps.nat_id)
+        nat_inv_j = jnp.asarray(maps.nat_inv)
+        m_nat_flat = maps.m_nat_flat
+
+        def run_earlystop_l(subs, state, iters_left, ignore_ok):
+            """Layout-domain early-stopping decode of a lane set.
+
+            subs = (u1s, v1, u2s, v2) lane-sliced statics; state the
+            matching lane-sliced carry; ``ignore_ok`` (lanes,) bool marks
+            pad/already-converged lanes whose CRC must not delay the stop.
+            Same half-iteration CRC-skip schedule as the natural
+            ``run_earlystop``.  Returns (bits (lanes, K) int8 in lane
+            order, full_iterations_used)."""
+            u1s_s, v1_s, u2s_s, v2_s = subs
+            lanes = u1s_s.shape[2]
+
+            def _allok(par):
+                return jnp.all(jnp.logical_or(par, ignore_ok))
+
+            def cond(carry):
+                it, done = carry[0], carry[1]
+                return jnp.logical_and(it < iters_left,
+                                       jnp.logical_not(done))
+
+            def body(carry):
+                it, _, _, le21, a1, b1, a2, b2, _ = carry
+                u1 = u1s_s + m01 * le21
+                a1p, b1p = _pin_blane(a1, b1)
+                l1, a1n, b1n = half_iteration_blane(
+                    u1, v1_s, a1p, b1p, win, acq, n, tl=tl, mdtype=mdtype,
+                    nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
+                ok1 = _allok(_crc_par_blane(l1, m_nat_flat))
+
+                def do_dec2(_):
+                    e12 = ext_scale * (l1.astype(dt_e) - u1)
+                    u2 = u2s_s + m01 * _bl_chain(e12, chain_pi_j)
+                    a2p, b2p = _pin_blane(a2, b2)
+                    l2, a2n, b2n = half_iteration_blane(
+                        u2, v2_s, a2p, b2p, win, acq, n, tl=tl,
+                        mdtype=mdtype, nofreeze=nofreeze, pinpad=pinpad,
+                        interpret=interpret)
+                    ok2 = _allok(_crc_par_blane(l2, m_perm_flat))
+                    le21n = _bl_chain(ext_scale * (l2.astype(dt_e) - u2),
+                                      chain_inv_j)
+                    return (le21n, a2n, b2n, l2.astype(dt_e), ok2,
+                            jnp.bool_(False))
+
+                def skip_dec2(_):
+                    return (le21, a2, b2, l1.astype(dt_e), jnp.bool_(True),
+                            jnp.bool_(True))
+
+                le21n, a2n, b2n, llast, done, from1 = jax.lax.cond(
+                    ok1, skip_dec2, do_dec2, None)
+                return (it + 1, done, from1, le21n, a1n, b1n, a2n, b2n,
+                        llast)
+
+            carry = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
+                     *state, jnp.zeros_like(state[0]))
+            carry = jax.lax.while_loop(cond, body, carry)
+            llast, from1 = carry[-1], carry[2]
+            # llast is natural-domain when the loop stopped after DEC1,
+            # interleaved when it ran DEC2 — select the index map (static
+            # constants; jnp.where keeps the gather single)
+            sel = jnp.where(from1, nat_id_j, nat_inv_j)
+            bits = ((_bl_nat(llast, sel, lanes) < 0).T).astype(jnp.int8)
+            return bits, carry[0]
+
+        statics = (u1s, v1l, u2s, v2l)
+        ign_pad = jnp.asarray(np.arange(cpad) >= c)
 
         def compact_at_l(kk, state_k, bits_k, okb_k, n_fail_k):
-            le21_l, a1, b1, a2, b2 = state_k
+            tlr = -(-retry_m // tl) * tl
             idx = jnp.argsort(okb_k)[:retry_m]        # failing blocks first
-            sub_data = data_from(llr_d[idx].astype(dt_e))
-            sub_state = (nat_le21(le21_l[:, :, idx], retry_m),
-                         nat_ab(a1, idx), nat_ab(b1, idx),
-                         nat_ab(a2, idx), nat_ab(b2, idx))
-            sub_bits, sub_it = run_earlystop(
-                sub_data, sub_state,
-                jnp.where(n_fail_k == 0, 0, n_iter - kk), ignore=okb_k[idx])
+            idxp = jnp.pad(idx, (0, tlr - retry_m))
+            subs = tuple(x[:, :, idxp] for x in statics)
+            sub_state = tuple(x[:, :, idxp] for x in state_k)
+            ign = jnp.pad(okb_k[idx], (0, tlr - retry_m),
+                          constant_values=True)
+            sub_bits, sub_it = run_earlystop_l(
+                subs, sub_state,
+                jnp.where(n_fail_k == 0, 0, n_iter - kk), ign)
             take_new = jnp.logical_not(okb_k[idx])[:, None]
-            merged = jnp.where(take_new, sub_bits, bits_k[idx])
+            merged = jnp.where(take_new, sub_bits[:retry_m], bits_k[idx])
             return bits_k.at[idx].set(merged), sub_it
 
         def level_l(kk, state_k, bits_k, okb_k):
@@ -1238,11 +1405,9 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
             if kk >= min(retry_levels, n_iter - 1):
                 def full(_):
-                    le21_l, a1, b1, a2, b2 = state_k
-                    nat_state = (nat_le21(le21_l, c), nat_ab(a1), nat_ab(b1),
-                                 nat_ab(a2), nat_ab(b2))
-                    return run_earlystop(data_from(llr_d.astype(dt_e)),
-                                         nat_state, n_iter - kk)
+                    bits_f, it_f = run_earlystop_l(
+                        statics, state_k, n_iter - kk, ign_pad)
+                    return bits_f[:c], it_f
                 bits, extra = jax.lax.cond(n_fail_k <= retry_m, compact,
                                            full, None)
                 return bits, extra
@@ -1261,6 +1426,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         okb = _crc_ok_blane(l2, m_perm_flat, c)
         bits, extra_it = level_l(1, (le21_l, a1n, b1n, a2n, b2n),
                                  bits_nat(l2), okb)
+        bits = bits_std(bits)
         return (bits, 1 + extra_it) if return_n_iter else bits
 
     # ---- natural-order path (layout off, retry off, or tiny batches) ----
@@ -1282,7 +1448,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             out = one_iteration(*carry)
             return out[:5], out[5]
         _, l_hist = jax.lax.scan(body, init, None, length=n_iter)
-        bits = (l_hist[-1][:, inv] < 0).astype(jnp.int32)
+        bits = (l_hist[-1][:, inv] < 0).astype(jnp.int8)
         return (bits, jnp.int32(n_iter)) if return_n_iter else bits
 
     if not (0 < retry_m < c):
@@ -1334,7 +1500,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             le21n, a1n, b1n, a2n, b2n, l2n = one_iteration(*state_k)
             okb_n = jnp.all(
                 ((l2n < 0).astype(jnp.int32) @ m_perm) % 2 == 0, axis=-1)
-            bits_n = (l2n < 0).astype(jnp.int32)[:, inv]
+            bits_n = (l2n < 0).astype(jnp.int8)[:, inv]
             inner_bits, inner_it = level(
                 kk + 1, (le21n, a1n, b1n, a2n, b2n), bits_n, okb_n)
             return inner_bits, inner_it + 1
@@ -1343,6 +1509,6 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
     le21, a1n, b1n, a2n, b2n, l2 = one_iteration(*init)
     okb = jnp.all(((l2 < 0).astype(jnp.int32) @ m_perm) % 2 == 0, axis=-1)
-    bits_a = (l2 < 0).astype(jnp.int32)[:, inv]
+    bits_a = (l2 < 0).astype(jnp.int8)[:, inv]
     bits, extra_it = level(1, (le21, a1n, b1n, a2n, b2n), bits_a, okb)
     return (bits, 1 + extra_it) if return_n_iter else bits

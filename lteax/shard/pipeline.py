@@ -88,25 +88,35 @@ def _crc_stage(bits, geom, print_iters, n_it):
     return (tb_bits, ok, n_it) if print_iters else (tb_bits, ok)
 
 
-def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret):
-    """(B*, C, 3, D) de-matched LLRs -> (tb_bits, ok[, n_it]) via the Pallas
-    kernel with early stop + compacted retry (batch-local, so shard-local
-    under shard_map)."""
+def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret,
+                      planar_spec=None):
+    """De-matched LLRs -> (tb_bits, ok[, n_it]) via the Pallas kernel with
+    early stop + compacted retry (batch-local, so shard-local under
+    shard_map).
+
+    Input is (B*, C, 3, D) natural LLRs, or — when ``planar_spec``
+    = (rm_inv np.int32, n_cb, sentinel) is given — the raw (B, flat)
+    PLANAR demap output: the rate de-match then rides the decode's static
+    layout gathers and the (B, C, 3, D) intermediate never materializes
+    (r4; ~12 ms at B=768)."""
     from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
     d_len = geom.k + 4
     early_crc = t.early_crc(geom.info.cb_crc)
     print_iters = t.print_iters
 
-    def stage_turbo(d_llr):
-        bsz = d_llr.shape[0]
-        flat = d_llr.reshape(bsz * geom.info.c, 3, d_len)
+    def stage_turbo(x):
+        if planar_spec is not None:
+            flat, planar = None, (x, *planar_spec)
+        else:
+            flat = x.reshape(x.shape[0] * geom.info.c, 3, d_len)
+            planar = None
         out = turbo_decode_batch_pallas(
             flat, geom.k, n_iter=n_iter, tb=t.tb, win=t.win, acq=t.acq,
             gb=t.gb, early_crc=early_crc, mdtype=t.mdtype,
             ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
             pinpad=t.pinpad, retry_m=t.retry_m, retry_levels=t.retry_levels,
-            layout=t.layout_glue, return_n_iter=print_iters,
+            layout=t.layout_glue, planar=planar, return_n_iter=print_iters,
             interpret=interpret)
         bits, n_it = out if print_iters else (out, None)
         return _crc_stage(bits, geom, print_iters, n_it)
@@ -131,8 +141,13 @@ def _two_program(stage_front, stage_turbo, interpret):
 
 
 def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
-                  n_iter, t: DecoderTuning, interpret):
-    """Build the DL production (stage_front, stage_turbo) pair."""
+                  n_iter, t: DecoderTuning, interpret,
+                  planar_boundary: bool = True):
+    """Build the DL production (stage_front, stage_turbo) pair.
+
+    ``planar_boundary=False`` forces the (B, C, 3, D) de-matched stage
+    boundary even on the Pallas-demap front — required by consumers that
+    COMBINE front outputs in the d domain (HARQ soft combining)."""
     from lteax.phy import seq
     from lteax.phy.channels.pdsch import _global_rm_inv
 
@@ -189,8 +204,7 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         grid_inv = (j_bit * npad_g + re_np[np.minimum(
             s_sym, len(re_np) - 1)]).astype(np.int64)
         grid_inv[inv_g == geom.g] = qm * npad_g       # zero sentinel
-        grid_inv = jnp.asarray(grid_inv.astype(np.int32))
-        d_len_ = geom.k + 4
+        grid_inv_np = grid_inv.astype(np.int32)
 
         def front(samples_iq):
             grid, h, nv = eq_front(samples_iq)
@@ -200,15 +214,33 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
             x = x / jnp.maximum(p / (p + nv), 1e-12)
             return jnp.real(x), jnp.imag(x), p / nv   # full grid, no extract
 
-        def stage_front(samples_iq):
+        def demap_planar(samples_iq):
             xr, xi, invnv = jax.vmap(front)(samples_iq)
             llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp_g, scheme,
                                             out_dtype=ldt,
                                             interpret=interpret)
-            flat = llr.reshape(llr.shape[0], -1)
+            return llr.reshape(llr.shape[0], -1)
+
+        if planar_boundary:
+            # stage boundary carries the RAW planar demap output (r4): the
+            # de-match (grid_inv, which already composes the RE extraction)
+            # moves into the decode's static layout gathers — halving the
+            # boundary traffic and killing the (B, C, 3, D) intermediate
+            stage_front = demap_planar
+            stage_front.mid_rank = 2    # planar (B, flat) stage boundary
+            stage_turbo, _ = _make_turbo_stage(
+                geom, n_iter, t, interpret,
+                planar_spec=(grid_inv_np, geom.info.c, qm * npad_g))
+            return stage_front, stage_turbo
+
+        grid_inv_j = jnp.asarray(grid_inv_np)
+        d_len_ = geom.k + 4
+
+        def stage_front(samples_iq):
+            flat = demap_planar(samples_iq)
             ext = jnp.concatenate(
                 [flat, jnp.zeros((flat.shape[0], 1), flat.dtype)], axis=-1)
-            return ext[..., grid_inv].reshape(
+            return ext[..., grid_inv_j].reshape(
                 flat.shape[0], geom.info.c, 3, d_len_)
 
         stage_turbo, _ = _make_turbo_stage(geom, n_iter, t, interpret)
@@ -280,7 +312,7 @@ def make_batch_harq_decoder_pallas(cfg, n_cell_id, cfi, prbs, subframes,
     t = tuning if tuning is not None else DecoderTuning.from_env()
     fronts = [
         _pdsch_stages(cfg, n_cell_id, cfi, prbs, sf_i, rnti, g_i, scheme,
-                      n_iter, t, interpret)[0]
+                      n_iter, t, interpret, planar_boundary=False)[0]
         for sf_i, g_i in zip(subframes, geoms)]
 
     def stage_front(batch_iq):               # (n_tx, B, n_samps, 2)
@@ -711,7 +743,9 @@ def _shard_two_stage(mesh, stage_front, stage_turbo, in_spec, batch_axis=0):
 
     Returns fn: sharded_batch -> (tb_bits P(time), ok P(time),
     n_ok replicated int32 — the psum'd CRC-pass metric)."""
-    mid_spec = P(TIME_AXIS, None, None, None)    # (B, C, 3, D)
+    # (B, C, 3, D) natural boundary, or (B, flat) when the front is planar
+    mid_rank = getattr(stage_front, "mid_rank", 4)
+    mid_spec = P(TIME_AXIS, *([None] * (mid_rank - 1)))
 
     def local_turbo(d_llr):
         tb_bits, ok = stage_turbo(d_llr)
@@ -852,7 +886,8 @@ def make_sharded_acquire_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs,
     f1, f2 = _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
                            scheme, n_iter, t, interpret)
     taps = jnp.asarray(pss_time_filters(cfg)[n_cell_id % 3])
-    mid_spec = P(TIME_AXIS, None, None, None)
+    mid_rank = getattr(f1, "mid_rank", 4)
+    mid_spec = P(TIME_AXIS, *([None] * (mid_rank - 1)))
 
     def front_acq(samples_iq):               # local (b_loc, n_samps, 2)
         xc = (samples_iq[..., 0] + 1j * samples_iq[..., 1]
