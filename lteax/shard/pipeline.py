@@ -380,7 +380,6 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
         qm = alloc.qm
         npad = -(-(12 * m_sc) // 128) * 128
         sgnp = jnp.asarray(planar_sgn_np(c_init, geom.g, qm, npad))
-        ul_inv = jnp.asarray(_ul_rm_inv_planar(geom, qm, m_sc, npad))
         ldt = jnp.bfloat16 if t.mdtype.startswith("bf16") else jnp.float32
 
     def front(g_iq):                         # (14, m_sc, 2) f32|bf16
@@ -421,6 +420,13 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
         return llr.reshape(12, r_mux, alloc.qm).transpose(1, 0, 2).reshape(-1)
 
     if use_kernel:
+        # NOTE r4: the DL-style planar stage boundary was A/B'd here and
+        # LOSES (906 vs 1140 Mbit/s) — at UL's per-subframe planar width
+        # the single composed gather below is already optimal; only the
+        # DL full-grid geometry wins from deferring the de-match into the
+        # decode's static gathers
+        ul_inv = jnp.asarray(_ul_rm_inv_planar(geom, alloc.qm, m_sc, npad))
+
         def stage_front(batch_iq):
             xr, xi, invnv = jax.vmap(front)(batch_iq)  # (B, 12*m_sc)
             llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp,
@@ -538,6 +544,9 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         return jnp.stack(outs)               # (2 cw, G)
 
     if use_kernel:
+        # NOTE r4: the DL-style planar stage boundary LOSES here too
+        # (766 vs 976 Mbit/s) — see the UL note; keep the composed
+        # planar de-match gather
         def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
             xr, xi, invnv = jax.vmap(front, in_axes=1)(batch_iq)  # (B,2,M)
             llr = jnp.stack(
