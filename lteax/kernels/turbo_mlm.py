@@ -1009,6 +1009,17 @@ def _pin_boundaries(a_init, b_init):
     return a, b
 
 
+def _in_b576_fault_zone(c: int) -> bool:
+    """KNOWN_ISSUES (r4): the full layout decode program deterministically
+    crashes the TPU worker for C in the B≈576-class zone (7360/7488
+    observed at K=5824) while neighbouring shapes pass.  Construction
+    guard: the factory falls back to the natural path there (B=576 decodes
+    fine on it).  The ``b576-layout-fault`` canary probes for backend-fix
+    expiry, at which point this zone check should be dropped.  CPU (tests,
+    interpret mode) never crashed — the guard is TPU-backend-only."""
+    return 7000 <= c <= 7700 and jax.default_backend() != "cpu"
+
+
 def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               acq: int = 32, ext_scale: float = 0.75,
                               tb: int = 8, gb: int | None = None,
@@ -1155,7 +1166,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         return dec1, dec2, ext12
 
     # ---- layout-domain fast path (flipped tile; see _BlaneMaps) ----
-    use_layout = (bool(layout) and fused
+    use_layout = (bool(layout) and fused and not _in_b576_fault_zone(c)
                   and (early_crc is None or 0 < retry_m < c))
     if planar is not None:
         pm = _planar_maps(k, n, win, n_w, d_len, rm_inv_np.tobytes(),
@@ -1229,7 +1240,10 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             def body(carry, _):
                 st, _ = carry
                 out = one_iteration_l(*st)
-                return (out[:5], out[5]), None
+                # the l2 carry slot is allocated in dt_e; the kernel's
+                # metric dtype differs for mdtype="bf16_f32store" (advisor
+                # r4): cast so the scan carry types match
+                return (out[:5], out[5].astype(dt_e)), None
             (_, l2), _ = jax.lax.scan(body, (init_l, zero_l), None,
                                       length=n_iter)
             bits = bits_std(

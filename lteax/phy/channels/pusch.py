@@ -41,14 +41,14 @@ def _idft_matrices(m_sc: int) -> tuple[np.ndarray, np.ndarray]:
 def _ul_dft(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Unitary transform (de)precoding over the last axis.
 
-    ``LTEAX_UL_DFT`` selects the implementation:
+    ``DecoderTuning.ul_dft`` (env override ``LTEAX_UL_DFT``) selects:
       fft      — jnp.fft (XLA FFT; Bluestein fallback for non-pow2 on TPU)
       factored — Cooley–Tukey N1·N2 split as two MXU matmuls (phy/dft.py);
                  ~17x fewer MACs than the dense-matmul alternative
       matmul   — dense unitary DFT matrix (kept for comparison)
     """
-    import os
-    mode = os.environ.get("LTEAX_UL_DFT", "fft")
+    from lteax.phy.tuning import DecoderTuning
+    mode = DecoderTuning.from_env().ul_dft
     n = x.shape[-1]
     if mode == "factored":
         from lteax.phy.dft import dft_factored

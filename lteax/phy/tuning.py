@@ -104,6 +104,11 @@ class DecoderTuning:
     struct_dematch: bool = False
     pallas_demap: bool = True
     print_iters: bool = False
+    # SC-FDMA transform (de)precoding implementation (phy/channels/pusch.py
+    # ``_ul_dft``): "fft" (XLA FFT; Bluestein for non-pow2 on TPU),
+    # "factored" (Cooley–Tukey N1·N2 MXU matmuls), "matmul" (dense unitary
+    # DFT — comparison only).  "fft" measured fastest on the UL bench.
+    ul_dft: str = "fft"
 
     # env var name -> (field, parser).  Kept 1:1 with the historical knobs.
     _ENV = {
@@ -129,6 +134,7 @@ class DecoderTuning:
         "LTEAX_STRUCT_DEMATCH": ("struct_dematch", lambda s: s == "1"),
         "LTEAX_PALLAS_DEMAP": ("pallas_demap", lambda s: s == "1"),
         "LTEAX_PRINT_ITERS": ("print_iters", lambda s: s == "1"),
+        "LTEAX_UL_DFT": ("ul_dft", str),
     }
 
     @classmethod

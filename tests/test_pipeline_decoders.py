@@ -298,3 +298,41 @@ def test_layout_glue_fixed_iteration_path():
         for lay in (False, True)]
     assert np.array_equal(outs[0], outs[1])
     assert np.array_equal(outs[1], bits)
+
+
+def test_layout_fixed_iteration_bf16_f32store_traces():
+    """Advisor r4 (medium): the fixed-iteration layout scan carried the
+    kernel-dtype l2 into a dt_e-typed carry slot, so layout=True +
+    early_crc=None + mdtype='bf16_f32store' failed at trace time with a
+    scan carry type mismatch.  Pin the combination end-to-end."""
+    from lteax.phy.fec.turbo import turbo_encode
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    rng = np.random.default_rng(11)
+    k, c = 104, 4
+    bits = rng.integers(0, 2, (c, k)).astype(np.int32)
+    d = np.stack([np.asarray(turbo_encode(jnp.asarray(b), k))
+                  for b in bits])
+    llr = (1 - 2 * d.astype(np.float32)) * 3.0
+    out = np.asarray(turbo_decode_batch_pallas(
+        jnp.asarray(llr), k, n_iter=2, win=32, acq=8, tb=8,
+        early_crc=None, mdtype="bf16_f32store", fused=True, nofreeze=False,
+        pinpad=True, retry_m=0, layout=True, interpret=True))
+    assert np.array_equal(out, bits)
+
+
+def test_b576_fault_zone_guard(monkeypatch):
+    """KNOWN_ISSUES B≈576 layout fault: the factory must refuse the layout
+    path for the crashing C range on non-CPU backends (falling back to the
+    natural path) and keep it everywhere else."""
+    from lteax.kernels import turbo_mlm
+
+    # on the CPU backend the zone never crashed -> guard inactive
+    assert not turbo_mlm._in_b576_fault_zone(7488)
+    monkeypatch.setattr(turbo_mlm.jax, "default_backend", lambda: "axon")
+    assert turbo_mlm._in_b576_fault_zone(7360)
+    assert turbo_mlm._in_b576_fault_zone(7488)
+    # bench shapes and the documented clean neighbours stay on the layout
+    # path
+    for c_ok in (4992, 8320, 9984, 12480, 14976, 1000, 4160):
+        assert not turbo_mlm._in_b576_fault_zone(c_ok)
