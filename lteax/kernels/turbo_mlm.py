@@ -932,20 +932,65 @@ def _bl_static_planar(p2t, idx, wgt):
     through as the gather's offset dim.  The transposed operand makes every
     gather point a CONTIGUOUS B-row read (the (B, flat) orientation strode
     ~200 KB per element and measured slower than the d_llr path it
-    replaced)."""
+    replaced).
+
+    The whole chain runs 2D-FLAT (win*n_w*ncb, B): the earlier 4D
+    (win, n_w, ncb, B) intermediates made XLA tile the (ncb=13, B) minor
+    pair — a 13->16 pad materialized by a reshape copy per static, plus a
+    relayout copy on the loop carry (~4 ms/batch at B=768, r5 trace).  The
+    final merge to (win, n_w, ncb*B) is a free bitcast from the flat
+    row-major shape."""
+    win, n_w, ncb = idx.shape[:3]
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(3,), collapsed_slice_dims=(0,),
+        offset_dims=(1,), collapsed_slice_dims=(0,),
         start_index_map=(0,))
-    g = jax.lax.gather(p2t, jnp.asarray(idx), dn,
+    g = jax.lax.gather(p2t, jnp.asarray(idx).reshape(-1, 1), dn,
                        (1, p2t.shape[1]), mode=_IN_BOUNDS)
-    g = g * jnp.asarray(wgt, g.dtype)                  # (win, n_w, ncb, B)
-    win, n_w, ncb, b = g.shape
-    return g.reshape(win, n_w, ncb * b)
+    g = g * jnp.asarray(wgt, g.dtype).reshape(-1, 1)  # (win*n_w*ncb, B)
+    return g.reshape(win, n_w, ncb * g.shape[1])
 
 
 def _bl_static(llr3, idx):
     """(C, 3, d_len) LLRs -> (win, n_w, C) layout (C passes through as the
-    gather's offset dim — the output is born in kernel layout)."""
+    gather's offset dim — the output is born in kernel layout).  The
+    (stream, col) starts are pre-linearized into the row-major (3*d_len)
+    flat axis (see _bl_chain)."""
+    c, _, d_len = llr3.shape
+    idx = jnp.asarray(idx, jnp.int32)
+    lin = idx[..., 0] * d_len + idx[..., 1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(1,),
+        start_index_map=(1,))
+    return jax.lax.gather(llr3.reshape(c, 3 * d_len), lin[..., None], dn,
+                          (c, 1), mode=_IN_BOUNDS)
+
+
+def _bl_chain(x, idx):
+    """Layout -> layout permuted gather (QPP composed into the indices);
+    each point reads one contiguous C-row of the operand.
+
+    The operand is bitcast-flattened to (win*n_w, C) and the (j, w) start
+    pairs pre-linearized: with 2D starts XLA chose a (n_w, win, C)-major
+    operand layout and inserted a transpose copy of the kernel output
+    before every chain gather (~0.4 ms each at B=768, r5 trace).  A 1D
+    row index into the row-major flat view leaves no layout freedom."""
+    win, n_w, c = x.shape
+    idx = jnp.asarray(idx, jnp.int32)
+    lin = idx[..., 0] * n_w + idx[..., 1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    return jax.lax.gather(x.reshape(win * n_w, c), lin[..., None], dn,
+                          (1, c), mode=_IN_BOUNDS)
+
+
+def _bl_static_2d(llr3, idx):
+    """r4 2D-start variant of _bl_static.  Kept selectable: at the MIMO
+    dual-codeword geometry (B=192, C=4992, 3-iteration/level-2-retry
+    regime) the old static+chain pair measures ~14% faster END-TO-END than
+    the flat pair (961 vs 824 Mbit/s, r5 same-session A/B) via an XLA
+    fusion interaction, while DL (+70) and UL (+30..100) prefer flat.
+    Selection: DecoderTuning.blane_flat / blane_flat_mimo."""
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(2,), collapsed_slice_dims=(1, 2),
         start_index_map=(1, 2))
@@ -953,9 +998,8 @@ def _bl_static(llr3, idx):
                           (llr3.shape[0], 1, 1), mode=_IN_BOUNDS)
 
 
-def _bl_chain(x, idx):
-    """Layout -> layout permuted gather (QPP composed into the indices);
-    each point reads one contiguous C-row of the operand."""
+def _bl_chain_2d(x, idx):
+    """r4 2D-start variant of _bl_chain (see _bl_static_2d)."""
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(2,), collapsed_slice_dims=(0, 1),
         start_index_map=(0, 1))
@@ -963,14 +1007,28 @@ def _bl_chain(x, idx):
                           (1, 1, x.shape[2]), mode=_IN_BOUNDS)
 
 
-def _bl_nat(x, idx, c: int):
-    """Layout (win, n_w, cpad) -> (k, c) natural-position-major array
-    (callers transpose in their consuming fusion)."""
+def _bl_nat_2d(x, idx, c: int):
+    """r4 2D-start variant of _bl_nat (see _bl_static_2d)."""
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0, 1),
         start_index_map=(0, 1))
-    out = jax.lax.gather(x, jnp.asarray(idx), dn,
+    out = jax.lax.gather(x, jnp.asarray(idx, jnp.int32), dn,
                          (1, 1, x.shape[2]), mode=_IN_BOUNDS)
+    return out[:, :c]
+
+
+def _bl_nat(x, idx, c: int):
+    """Layout (win, n_w, cpad) -> (k, c) natural-position-major array
+    (callers transpose in their consuming fusion).  Flat-linearized like
+    _bl_chain."""
+    win, n_w, cp = x.shape
+    idx = jnp.asarray(idx, jnp.int32)
+    lin = idx[..., 0] * n_w + idx[..., 1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    out = jax.lax.gather(x.reshape(win * n_w, cp), lin[..., None], dn,
+                         (1, cp), mode=_IN_BOUNDS)
     return out[:, :c]
 
 
@@ -1033,6 +1091,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               retry_stage: str | None = None,
                               layout: bool | None = None,
                               planar: tuple | None = None,
+                              flat_maps: bool | None = None,
                               return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
@@ -1084,6 +1143,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         nofreeze = _t.nofreeze if nofreeze is None else nofreeze
         pinpad = _t.pinpad if pinpad is None else pinpad
         layout = _t.layout_glue if layout is None else layout
+    if flat_maps is None:
+        from lteax.phy.tuning import DecoderTuning
+        flat_maps = DecoderTuning.from_env().blane_flat
+    # flat (1D-linearized, r5) vs 2D-start (r4) layout gathers — see
+    # _bl_static_2d for the per-pipeline A/B that keeps both alive
+    _st = _bl_static if flat_maps else _bl_static_2d
+    _ch = _bl_chain if flat_maps else _bl_chain_2d
+    _nt = _bl_nat if flat_maps else _bl_nat_2d
     fused = bool(fused and acq <= win // 2)
     nofreeze = bool(nofreeze and fused)
     pinpad = bool(pinpad and fused and not nofreeze)
@@ -1201,7 +1268,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             m_n = jnp.asarray(maps.m_n, dt_e)
 
             def mk_static(idx):
-                return _pad_lanes(_bl_static(llr3, idx) * m_n)
+                return _pad_lanes(_st(llr3, idx) * m_n)
 
             u1s = mk_static(maps.u1s)
             v1l = mk_static(maps.v1s)
@@ -1215,12 +1282,12 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                 u1, v1l, a1p, b1p, win, acq, n, tl=tl, mdtype=mdtype,
                 nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
             e12 = ext_scale * (l1.astype(dt_e) - u1)
-            u2 = u2s + m01 * _bl_chain(e12, maps.chain_pi)
+            u2 = u2s + m01 * _ch(e12, maps.chain_pi)
             a2p, b2p = _pin_blane(a2, b2)
             l2, a2n, b2n = half_iteration_blane(
                 u2, v2l, a2p, b2p, win, acq, n, tl=tl, mdtype=mdtype,
                 nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
-            le21n = _bl_chain(ext_scale * (l2.astype(dt_e) - u2),
+            le21n = _ch(ext_scale * (l2.astype(dt_e) - u2),
                               maps.chain_inv)
             return le21n, a1n, b1n, a2n, b2n, l2
 
@@ -1247,13 +1314,13 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             (_, l2), _ = jax.lax.scan(body, (init_l, zero_l), None,
                                       length=n_iter)
             bits = bits_std(
-                ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int8))
+                ((_nt(l2, maps.nat_inv, c) < 0).T).astype(jnp.int8))
             return (bits, jnp.int32(n_iter)) if return_n_iter else bits
 
         m_perm_flat = maps.m_perm_flat
 
         def bits_nat(l2):
-            return ((_bl_nat(l2, maps.nat_inv, c) < 0).T).astype(jnp.int8)
+            return ((_nt(l2, maps.nat_inv, c) < 0).T).astype(jnp.int8)
 
     from lteax.phy.fec.crc import crc_matrix
 
@@ -1361,14 +1428,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
                 def do_dec2(_):
                     e12 = ext_scale * (l1.astype(dt_e) - u1)
-                    u2 = u2s_s + m01 * _bl_chain(e12, chain_pi_j)
+                    u2 = u2s_s + m01 * _ch(e12, chain_pi_j)
                     a2p, b2p = _pin_blane(a2, b2)
                     l2, a2n, b2n = half_iteration_blane(
                         u2, v2_s, a2p, b2p, win, acq, n, tl=tl,
                         mdtype=mdtype, nofreeze=nofreeze, pinpad=pinpad,
                         interpret=interpret)
                     ok2 = _allok(_crc_par_blane(l2, m_perm_flat))
-                    le21n = _bl_chain(ext_scale * (l2.astype(dt_e) - u2),
+                    le21n = _ch(ext_scale * (l2.astype(dt_e) - u2),
                                       chain_inv_j)
                     return (le21n, a2n, b2n, l2.astype(dt_e), ok2,
                             jnp.bool_(False))
@@ -1390,7 +1457,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             # interleaved when it ran DEC2 — select the index map (static
             # constants; jnp.where keeps the gather single)
             sel = jnp.where(from1, nat_id_j, nat_inv_j)
-            bits = ((_bl_nat(llast, sel, lanes) < 0).T).astype(jnp.int8)
+            bits = ((_nt(llast, sel, lanes) < 0).T).astype(jnp.int8)
             return bits, carry[0]
 
         statics = (u1s, v1l, u2s, v2l)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,13 @@ def _freq_interp_matrix(cfg: PhyConfig, shift: int) -> np.ndarray:
         w[k, a] = 1 - t
         w[k, b] = t
     return w
+
+
+@lru_cache(maxsize=None)
+def _freq_interp_stack(cfg: PhyConfig, shifts: tuple[int, ...]) -> np.ndarray:
+    """(n_ps, n_sc, 2*n_rb) f32 — per-pilot-symbol frequency interpolators
+    stacked for one batched real dot (see estimate_channel)."""
+    return np.stack([_freq_interp_matrix(cfg, s) for s in shifts])
 
 
 @lru_cache(maxsize=None)
@@ -97,22 +105,30 @@ def estimate_channel(grid: jnp.ndarray, cfg: PhyConfig, n_cell_id: int,
     rx = flat[..., pidx]                                  # (..., n_ps, 2n_rb)
     ref = jnp.asarray(_crs_ref_values(cfg, n_cell_id, port, subframe))
     h_ls = rx * jnp.conj(ref)                             # |ref|^2 == 1
-    # frequency interpolation per pilot symbol — shift differs per symbol
+    # Interpolation as REAL-decomposed batched MXU dots.  The weights are
+    # real, but casting them complex64 (the r1-r4 formulation) made XLA
+    # lower the interp as complex `convolution`s + 33 kLoop fusions — the
+    # ~1.8 ms/batch VPU-speed residual NEXT.md r4 diagnosed (HLO verified
+    # r5).  Two f32 einsums per re/im part ride the MXU instead; HIGHEST
+    # precision keeps the f32 accuracy the VPU path had (the dots are tiny,
+    # ~3 GFLOP at B=768, so the 6-pass cost is noise).
     vs = n_cell_id % 6
-    cols = []
-    for i, sym in enumerate(syms):
-        slot = sym // cfg.n_sym_slot
-        l = sym % cfg.n_sym_slot
-        shift = (_crs_v(port, l, slot) + vs) % 6
-        w = jnp.asarray(_freq_interp_matrix(cfg, shift))
-        cols.append(h_ls[..., i, :] @ w.T.astype(jnp.complex64))
-    h_f = jnp.stack(cols, axis=-2)                        # (..., n_ps, n_sc)
+    shifts = tuple((_crs_v(port, sym % cfg.n_sym_slot,
+                           sym // cfg.n_sym_slot) + vs) % 6 for sym in syms)
+    wf = _freq_interp_stack(cfg, shifts)                  # (n_ps, n_sc, n_p)
+    hr, hi = jnp.real(h_ls), jnp.imag(h_ls)
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    fr = jnp.einsum("...pj,pkj->...pk", hr, wf, **kw)
+    fi = jnp.einsum("...pj,pkj->...pk", hi, wf, **kw)
     if denoise:
         from lteax.phy.channels.pusch import chest_denoise
-        h_f = chest_denoise(h_f)
-    wt = jnp.asarray(_time_interp_matrix(cfg, syms)).astype(jnp.complex64)
-    h = jnp.einsum("sp,...pk->...sk", wt, h_f)
-    return h
+        h_f = chest_denoise(jax.lax.complex(fr, fi))
+        fr, fi = jnp.real(h_f), jnp.imag(h_f)
+    wt = np.asarray(_time_interp_matrix(cfg, syms))       # (n_sym, n_ps)
+    tr = jnp.einsum("sp,...pk->...sk", wt, fr, **kw)
+    ti = jnp.einsum("sp,...pk->...sk", wt, fi, **kw)
+    return jax.lax.complex(tr, ti)
 
 
 @lru_cache(maxsize=None)

@@ -104,6 +104,14 @@ class DecoderTuning:
     struct_dematch: bool = False
     pallas_demap: bool = True
     print_iters: bool = False
+    # Layout-glue gather style (kernels/turbo_mlm.py): flat 1D-linearized
+    # index maps (r5) vs 2D-start gathers (r4).  Flat kills the 4D tile-pad
+    # reshape + relayout copies at DL/UL geometries (DL 1431->1501 at
+    # B=768, UL 1028->1059 at B=384, same-session A/Bs) but LOSES ~14% at
+    # the MIMO dual-codeword geometry via an XLA fusion interaction
+    # (824 vs 961) — per-pipeline override, same pattern as retry_m_mimo.
+    blane_flat: bool = True
+    blane_flat_mimo: bool = False
     # SC-FDMA transform (de)precoding implementation (phy/channels/pusch.py
     # ``_ul_dft``): "fft" (XLA FFT; Bluestein for non-pow2 on TPU),
     # "factored" (Cooley–Tukey N1·N2 MXU matmuls), "matmul" (dense unitary
@@ -135,6 +143,8 @@ class DecoderTuning:
         "LTEAX_PALLAS_DEMAP": ("pallas_demap", lambda s: s == "1"),
         "LTEAX_PRINT_ITERS": ("print_iters", lambda s: s == "1"),
         "LTEAX_UL_DFT": ("ul_dft", str),
+        "LTEAX_BLANE_FLAT": ("blane_flat", lambda s: s == "1"),
+        "LTEAX_BLANE_FLAT_MIMO": ("blane_flat_mimo", lambda s: s == "1"),
     }
 
     @classmethod
@@ -169,9 +179,15 @@ class DecoderTuning:
         return {f.name: getattr(self, f.name) for f in fields(self)}
 
     def for_pipeline(self, kind: str) -> "DecoderTuning":
-        """Resolve the per-pipeline retry_m ("dl" / "ul" / "mimo")."""
+        """Resolve per-pipeline overrides ("dl" / "ul" / "mimo"):
+        retry_m_{dl,mimo} and blane_flat_mimo onto the base fields."""
+        t = self
         ov = {"dl": self.retry_m_dl, "mimo": self.retry_m_mimo}.get(kind)
-        return self if ov is None else replace(self, retry_m=ov)
+        if ov is not None:
+            t = replace(t, retry_m=ov)
+        if kind == "mimo":
+            t = replace(t, blane_flat=self.blane_flat_mimo)
+        return t
 
     def early_crc(self, cb_crc: bool) -> str | None:
         """CRC flavor for the kernel's early stop (None when disabled)."""

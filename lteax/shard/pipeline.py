@@ -116,8 +116,8 @@ def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret,
             gb=t.gb, early_crc=early_crc, mdtype=t.mdtype,
             ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
             pinpad=t.pinpad, retry_m=t.retry_m, retry_levels=t.retry_levels,
-            layout=t.layout_glue, planar=planar, return_n_iter=print_iters,
-            interpret=interpret)
+            layout=t.layout_glue, planar=planar, flat_maps=t.blane_flat,
+            return_n_iter=print_iters, interpret=interpret)
         bits, n_it = out if print_iters else (out, None)
         return _crc_stage(bits, geom, print_iters, n_it)
 
@@ -636,7 +636,7 @@ def _mimo_sic_programs(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom,
             gb=t.gb, early_crc=early_crc, mdtype=t.mdtype,
             ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
             pinpad=t.pinpad, retry_m=t.retry_m, retry_levels=t.retry_levels,
-            layout=t.layout_glue, interpret=interpret)
+            layout=t.layout_glue, flat_maps=t.blane_flat, interpret=interpret)
         tb_bits, ok = _crc_stage(bits, geom, False, None)
         return bits, tb_bits, ok               # bits: raw (B*C, K) for SIC
 

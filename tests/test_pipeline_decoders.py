@@ -336,3 +336,27 @@ def test_b576_fault_zone_guard(monkeypatch):
     # path
     for c_ok in (4992, 8320, 9984, 12480, 14976, 1000, 4160):
         assert not turbo_mlm._in_b576_fault_zone(c_ok)
+
+
+def test_blane_flat_and_2d_gathers_match():
+    """The r5 flat (1D-linearized) layout gathers and the r4 2D-start
+    gathers are alternative lowerings of the same maps (per-pipeline
+    selection via DecoderTuning.blane_flat) — bits must be identical."""
+    from lteax.phy.fec.turbo import turbo_encode
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+
+    rng = np.random.default_rng(13)
+    k, c = 128, 5
+    bits = rng.integers(0, 2, (c, k)).astype(np.int32)
+    d = np.stack([np.asarray(turbo_encode(jnp.asarray(b), k))
+                  for b in bits])
+    llr = (1 - 2 * d.astype(np.float32)) * 2.0
+    llr[:1] += rng.standard_normal(llr[:1].shape).astype(np.float32) * 1.5
+
+    outs = [np.asarray(turbo_decode_batch_pallas(
+        jnp.asarray(llr), k, n_iter=3, win=32, acq=8, tb=8,
+        early_crc="24A", mdtype="f32", fused=True, nofreeze=False,
+        pinpad=True, retry_m=2, retry_levels=2, layout=True,
+        flat_maps=fm, interpret=True)) for fm in (True, False)]
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0][1:], bits[1:])
