@@ -73,7 +73,10 @@ def demap_descr_planar_pallas(xr, xi, inv_nv, sgn_planar, scheme: str,
     ma = m // 2
     assert scheme in ("qpsk", "16qam", "64qam"), scheme
     bsz, n = xr.shape
-    npad = -(-n // 128) * 128
+    # lane padding follows the sign planes when they are wider: the DL
+    # full-grid path guarantees >=1 zeroed pad column as the de-match
+    # maps' zero slot (shard/pipeline.py)
+    npad = max(-(-n // 128) * 128, sgn_planar.shape[1])
     bpad = -(-bsz // tb) * tb
     pad = lambda x: jnp.pad(x, ((0, bpad - bsz), (0, npad - n)))
     xr, xi, inv_nv = pad(xr), pad(xi), pad(inv_nv)

@@ -528,9 +528,13 @@ def half_iteration_blane(um, vm, a_l, b_l, win: int, acq: int, n: int,
     """
     dt = jnp.bfloat16 if mdtype.startswith("bf16") else jnp.float32
     sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
-    n_w = -(-n // win)
+    # n_w comes from the operand shape: callers may sublane-pad the window
+    # axis with dead windows (r5 — makes the statics' flat gather output a
+    # true bitcast of this kernel's 3D operand); _live_masks marks them
+    # fully dead, so pinpad/freeze handle them like any dead tail.
+    n_w = um.shape[1]
     cpad = um.shape[2]
-    assert um.shape[0] == win and um.shape[1] == n_w and cpad % tl == 0
+    assert um.shape[0] == win and n_w >= -(-n // win) and cpad % tl == 0
     um = um.astype(dt)
     vm = vm.astype(dt)
 
@@ -886,6 +890,13 @@ def _blane_maps(k: int, n: int, win: int, n_w: int, d_len: int,
 
 _IN_BOUNDS = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
 
+_NW_PAD = 8
+"""Sublane multiple the layout path pads the window axis to (r5): the
+kernel tiles (n_w, lanes) and pads sublanes to 8 internally anyway, but
+building the index maps at the padded n_w makes the statics' 2D-flat
+gather output a true tile-compatible bitcast of the kernel's 3D operand
+(the reshape copies cost ~3.5 ms/batch at DL B=768).  1 disables (A/B)."""
+
 
 @lru_cache(maxsize=16)
 def _planar_maps(k: int, n: int, win: int, n_w: int, d_len: int,
@@ -915,9 +926,12 @@ def _planar_maps(k: int, n: int, win: int, n_w: int, d_len: int,
         gidx = (np.arange(n_cb)[None, None, :] * 3 * d_len
                 + m2[..., 0:1] * d_len + m2[..., 1:2])  # (win, n_w, n_cb)
         p = rm_inv[gidx]
-        w = ((p != sentinel) & liven[..., None]).astype(np.float32)
-        p = np.where(p == sentinel, 0, p)
-        out[name] = (p[..., None].astype(np.int32), w[..., None])
+        # zero-fold (r5): untransmitted (sentinel) and dead trellis
+        # positions point at planar flat slot sentinel-1, which the
+        # pipeline guarantees reads 0.0 (zeroed descramble sign on a pad
+        # column) — no mask multiply after the gather
+        dead = (p == sentinel) | ~liven[..., None]
+        out[name] = np.where(dead, sentinel - 1, p).astype(np.int32)
     # retry-subbatch natural rebuild: per-cb (3*d_len,) planar indices
     g3 = (np.arange(n_cb)[:, None] * 3 * d_len + np.arange(3 * d_len))
     p3 = rm_inv[g3]
@@ -926,7 +940,7 @@ def _planar_maps(k: int, n: int, win: int, n_w: int, d_len: int,
     return out
 
 
-def _bl_static_planar(p2t, idx, wgt):
+def _bl_static_planar(p2t, idx):
     """TRANSPOSED planar LLRs (planar_flat, B) -> (win, n_w, n_cb*B)
     layout, de-match and RE-extraction composed into the indices; B passes
     through as the gather's offset dim.  The transposed operand makes every
@@ -946,7 +960,6 @@ def _bl_static_planar(p2t, idx, wgt):
         start_index_map=(0,))
     g = jax.lax.gather(p2t, jnp.asarray(idx).reshape(-1, 1), dn,
                        (1, p2t.shape[1]), mode=_IN_BOUNDS)
-    g = g * jnp.asarray(wgt, g.dtype).reshape(-1, 1)  # (win*n_w*ncb, B)
     return g.reshape(win, n_w, ncb * g.shape[1])
 
 
@@ -1050,11 +1063,13 @@ def _crc_ok_blane(l2, m_flat, c: int):
     return _crc_par_blane(l2, m_flat)[:c]
 
 
-def _pin_blane(a_l, b_l):
-    """Flipped-tile _pin_boundaries: window axis is axis 0."""
+def _pin_blane(a_l, b_l, lastw: int = -1):
+    """Flipped-tile _pin_boundaries: window axis is axis 0.  ``lastw`` is
+    the last LIVE window (the termination pin must land there, not on a
+    sublane-pad window)."""
     pin = jnp.full((8,), NEG, jnp.float32).at[0].set(0.0)
     a = a_l.at[0, :, :].set(pin[:, None])
-    b = b_l.at[-1, :, :].set(pin[:, None])
+    b = b_l.at[lastw, :, :].set(pin[:, None])
     return a, b
 
 
@@ -1235,8 +1250,9 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
     # ---- layout-domain fast path (flipped tile; see _BlaneMaps) ----
     use_layout = (bool(layout) and fused and not _in_b576_fault_zone(c)
                   and (early_crc is None or 0 < retry_m < c))
+    n_w_l = -(-n_w // _NW_PAD) * _NW_PAD   # sublane-padded windows (below)
     if planar is not None:
-        pm = _planar_maps(k, n, win, n_w, d_len, rm_inv_np.tobytes(),
+        pm = _planar_maps(k, n, win, n_w_l, d_len, rm_inv_np.tobytes(),
                           n_cb, sentinel)
         p2 = planar2.astype(dt_e)
         pm_idx = jnp.asarray(pm["cb_idx"])
@@ -1247,7 +1263,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             vals = p2[:, pm_idx.reshape(-1)] * pm_w.reshape(-1)
             llr_d = vals.reshape(bsf, n_cb, 3, d_len).reshape(c, 3, d_len)
     if use_layout:
-        maps = _blane_maps(k, n, win, n_w, d_len, early_crc)
+        # sublane-pad the window axis to a multiple of 8 with dead windows
+        # (r5): the kernel tiles (n_w, lanes) and pads 46->48 sublanes
+        # internally ANYWAY, but building the maps at the padded n_w makes
+        # the statics' 2D-flat gather output a true tile-compatible bitcast
+        # of the kernel's 3D (win, n_w, C) operand — the reshape copies
+        # (~3.5 ms/batch at B=768, trace-attributed) vanish.  Dead windows
+        # are fully masked by _live_masks; the termination pin lands on the
+        # last LIVE window via lastw.
+        lastw = n_w - 1
+        maps = _blane_maps(k, n, win, n_w_l, d_len, early_crc)
         tl = 128
         cpad = -(-c // tl) * tl
         m01 = jnp.asarray(maps.m01, dt_e)
@@ -1259,10 +1284,10 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
         if planar is not None:
             p2t = p2.T        # one relayout; 4 contiguous-row gathers after
-            u1s = _pad_lanes(_bl_static_planar(p2t, *pm["u1s"]))
-            v1l = _pad_lanes(_bl_static_planar(p2t, *pm["v1s"]))
-            u2s = _pad_lanes(_bl_static_planar(p2t, *pm["u2s"]))
-            v2l = _pad_lanes(_bl_static_planar(p2t, *pm["v2s"]))
+            u1s = _pad_lanes(_bl_static_planar(p2t, pm["u1s"]))
+            v1l = _pad_lanes(_bl_static_planar(p2t, pm["v1s"]))
+            u2s = _pad_lanes(_bl_static_planar(p2t, pm["u2s"]))
+            v2l = _pad_lanes(_bl_static_planar(p2t, pm["v2s"]))
         else:
             llr3 = llr_d.astype(dt_e)
             m_n = jnp.asarray(maps.m_n, dt_e)
@@ -1277,13 +1302,13 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
         def one_iteration_l(le21_l, a1, b1, a2, b2):
             u1 = u1s + m01 * le21_l
-            a1p, b1p = _pin_blane(a1, b1)
+            a1p, b1p = _pin_blane(a1, b1, lastw)
             l1, a1n, b1n = half_iteration_blane(
                 u1, v1l, a1p, b1p, win, acq, n, tl=tl, mdtype=mdtype,
                 nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
             e12 = ext_scale * (l1.astype(dt_e) - u1)
             u2 = u2s + m01 * _ch(e12, maps.chain_pi)
-            a2p, b2p = _pin_blane(a2, b2)
+            a2p, b2p = _pin_blane(a2, b2, lastw)
             l2, a2n, b2n = half_iteration_blane(
                 u2, v2l, a2p, b2p, win, acq, n, tl=tl, mdtype=mdtype,
                 nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
@@ -1291,8 +1316,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               maps.chain_inv)
             return le21n, a1n, b1n, a2n, b2n, l2
 
-        zero_l = jnp.zeros((win, n_w, cpad), dt_e)
-        zero_ab = jnp.zeros((n_w, 8, cpad), jnp.float32)
+        zero_l = jnp.zeros((win, n_w_l, cpad), dt_e)
+        zero_ab = jnp.zeros((n_w_l, 8, cpad), jnp.float32)
         init_l = (zero_l, zero_ab, zero_ab, zero_ab, zero_ab)
 
         def bits_std(bits_cp):
@@ -1420,7 +1445,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             def body(carry):
                 it, _, _, le21, a1, b1, a2, b2, _ = carry
                 u1 = u1s_s + m01 * le21
-                a1p, b1p = _pin_blane(a1, b1)
+                a1p, b1p = _pin_blane(a1, b1, lastw)
                 l1, a1n, b1n = half_iteration_blane(
                     u1, v1_s, a1p, b1p, win, acq, n, tl=tl, mdtype=mdtype,
                     nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
@@ -1429,7 +1454,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                 def do_dec2(_):
                     e12 = ext_scale * (l1.astype(dt_e) - u1)
                     u2 = u2s_s + m01 * _ch(e12, chain_pi_j)
-                    a2p, b2p = _pin_blane(a2, b2)
+                    a2p, b2p = _pin_blane(a2, b2, lastw)
                     l2, a2n, b2n = half_iteration_blane(
                         u2, v2_s, a2p, b2p, win, acq, n, tl=tl,
                         mdtype=mdtype, nofreeze=nofreeze, pinpad=pinpad,

@@ -191,8 +191,15 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         # (~2.4 ms/batch(384))
         n_grid = cfg.n_sym_subframe * cfg.n_sc
         npad_g = -(-n_grid // 128) * 128
+        if npad_g == n_grid:      # always keep >=1 pad column (zero slot)
+            npad_g += 128
         sgn_np = seq.scrambling_symbols_np(c_init, geom.g)
-        sgnp_g = np.ones((qm, npad_g), dtype=np.float32)
+        # zeros-init (r5): every column NOT carrying PDSCH gets sign 0, so
+        # the demap kernel emits exact 0.0 there — in particular planar
+        # flat slot qm*npad_g - 1 (last pad column), which the de-match
+        # maps' zero-fold (turbo_mlm._planar_maps) points dead/sentinel
+        # positions at instead of multiplying a mask after the gather
+        sgnp_g = np.zeros((qm, npad_g), dtype=np.float32)
         sgnp_g[:, np.asarray(re_idx)] = sgn_np.reshape(-1, qm).T
         sgnp_g = jnp.asarray(sgnp_g)
         # remap: interleaved g at (s, j) -> plane j, grid column re_idx[s]
