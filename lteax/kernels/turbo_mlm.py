@@ -890,6 +890,10 @@ def _blane_maps(k: int, n: int, win: int, n_w: int, d_len: int,
 
 _IN_BOUNDS = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
 
+_ZERO_FOLD = True
+"""Planar statics: point dead positions at the pipeline's zero slot
+(True) vs multiply a 0/1 weight after the gather (False) — A/B switch."""
+
 _NW_PAD = 8
 """Sublane multiple the layout path pads the window axis to (r5): the
 kernel tiles (n_w, lanes) and pads sublanes to 8 internally anyway, but
@@ -929,9 +933,12 @@ def _planar_maps(k: int, n: int, win: int, n_w: int, d_len: int,
         # zero-fold (r5): untransmitted (sentinel) and dead trellis
         # positions point at planar flat slot sentinel-1, which the
         # pipeline guarantees reads 0.0 (zeroed descramble sign on a pad
-        # column) — no mask multiply after the gather
+        # column) — no mask multiply after the gather.  The weight form
+        # (idx0, w) is kept alongside for the _ZERO_FOLD=False A/B.
         dead = (p == sentinel) | ~liven[..., None]
         out[name] = np.where(dead, sentinel - 1, p).astype(np.int32)
+        w = (~dead).astype(np.float32)
+        out[name + "_w"] = (np.where(dead, 0, p).astype(np.int32), w)
     # retry-subbatch natural rebuild: per-cb (3*d_len,) planar indices
     g3 = (np.arange(n_cb)[:, None] * 3 * d_len + np.arange(3 * d_len))
     p3 = rm_inv[g3]
@@ -940,7 +947,7 @@ def _planar_maps(k: int, n: int, win: int, n_w: int, d_len: int,
     return out
 
 
-def _bl_static_planar(p2t, idx):
+def _bl_static_planar(p2t, idx, wgt=None):
     """TRANSPOSED planar LLRs (planar_flat, B) -> (win, n_w, n_cb*B)
     layout, de-match and RE-extraction composed into the indices; B passes
     through as the gather's offset dim.  The transposed operand makes every
@@ -960,6 +967,8 @@ def _bl_static_planar(p2t, idx):
         start_index_map=(0,))
     g = jax.lax.gather(p2t, jnp.asarray(idx).reshape(-1, 1), dn,
                        (1, p2t.shape[1]), mode=_IN_BOUNDS)
+    if wgt is not None:
+        g = g * jnp.asarray(wgt, g.dtype).reshape(-1, 1)
     return g.reshape(win, n_w, ncb * g.shape[1])
 
 
@@ -1284,10 +1293,16 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
         if planar is not None:
             p2t = p2.T        # one relayout; 4 contiguous-row gathers after
-            u1s = _pad_lanes(_bl_static_planar(p2t, pm["u1s"]))
-            v1l = _pad_lanes(_bl_static_planar(p2t, pm["v1s"]))
-            u2s = _pad_lanes(_bl_static_planar(p2t, pm["u2s"]))
-            v2l = _pad_lanes(_bl_static_planar(p2t, pm["v2s"]))
+
+            def _mk_pl(name):
+                if _ZERO_FOLD:
+                    return _pad_lanes(_bl_static_planar(p2t, pm[name]))
+                return _pad_lanes(_bl_static_planar(p2t, *pm[name + "_w"]))
+
+            u1s = _mk_pl("u1s")
+            v1l = _mk_pl("v1s")
+            u2s = _mk_pl("u2s")
+            v2l = _mk_pl("v2s")
         else:
             llr3 = llr_d.astype(dt_e)
             m_n = jnp.asarray(maps.m_n, dt_e)
@@ -1488,12 +1503,30 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         statics = (u1s, v1l, u2s, v2l)
         ign_pad = jnp.asarray(np.arange(cpad) >= c)
 
+        def _lane_pick(x, sel):
+            """Dynamic lane selection as a one-hot MXU matmul (r5): a
+            direct x[:, :, idxp] gather along the minor lane axis made XLA
+            relayout every (win, n_w, C) operand to lane-major first
+            (~0.4 ms copy per carried array at B=768, trace-attributed);
+            contracting the lane axis against a one-hot (C, tlr) matrix
+            reads the native layout.  Exact: each column selects exactly
+            one lane (f32 accumulation of a single product; HIGHEST keeps
+            f32 operands unrounded on the MXU)."""
+            out = jax.lax.dot_general(
+                x, sel.astype(jnp.bfloat16 if x.dtype == jnp.bfloat16
+                              else x.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return out.astype(x.dtype)
+
         def compact_at_l(kk, state_k, bits_k, okb_k, n_fail_k):
             tlr = -(-retry_m // tl) * tl
             idx = jnp.argsort(okb_k)[:retry_m]        # failing blocks first
             idxp = jnp.pad(idx, (0, tlr - retry_m))
-            subs = tuple(x[:, :, idxp] for x in statics)
-            sub_state = tuple(x[:, :, idxp] for x in state_k)
+            sel = (jnp.arange(cpad)[:, None] == idxp[None, :])
+            subs = tuple(_lane_pick(x, sel) for x in statics)
+            sub_state = tuple(_lane_pick(x, sel) for x in state_k)
             ign = jnp.pad(okb_k[idx], (0, tlr - retry_m),
                           constant_values=True)
             sub_bits, sub_it = run_earlystop_l(
