@@ -797,6 +797,37 @@ def make_sharded_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs, subframe,
     return _shard_two_stage(mesh, f1, f2, P(TIME_AXIS, None, None))
 
 
+def make_sharded_harq_decoder_pallas(mesh, cfg, n_cell_id, cfi, prbs,
+                                     subframes, rnti, geoms, scheme,
+                                     n_iter: int = 6,
+                                     tuning: DecoderTuning | None = None,
+                                     interpret: bool = False):
+    """Time-sharded PRODUCTION HARQ IR decoder (VERDICT r4 item 3): the
+    per-transmission fronts + d-domain soft-combine + Pallas turbo of
+    :func:`make_batch_harq_decoder_pallas`, sharded over the subframe
+    batch.  Input (n_tx, B, n_samps, 2) f32 IQ with axis 1 sharded ->
+    (bits, ok, n_ok)."""
+    ks = {g.k for g in geoms}
+    assert len(ks) == 1 and len(subframes) == len(geoms) >= 2, \
+        "HARQ combining needs >=2 transmissions of one TB geometry"
+    t = _no_print_iters(tuning if tuning is not None else DecoderTuning.from_env())
+    fronts = [
+        _pdsch_stages(cfg, n_cell_id, cfi, prbs, sf_i, rnti, g_i, scheme,
+                      n_iter, t, interpret, planar_boundary=False)[0]
+        for sf_i, g_i in zip(subframes, geoms)]
+
+    def stage_front(batch_iq):               # (n_tx, B_local, n_samps, 2)
+        d = fronts[0](batch_iq[0])
+        for i in range(1, len(fronts)):
+            d = d + fronts[i](batch_iq[i])
+        return d
+
+    stage_turbo, _ = _make_turbo_stage(geoms[0], n_iter, t.for_pipeline("dl"),
+                                       interpret)
+    return _shard_two_stage(mesh, stage_front, stage_turbo,
+                            P(None, TIME_AXIS, None, None))
+
+
 def make_sharded_pusch_decoder(mesh, alloc, rnti, subframe, n_cell_id,
                                n_iter: int = 6, noise_var: float | None = None,
                                tuning: DecoderTuning | None = None,
