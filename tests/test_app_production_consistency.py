@@ -13,6 +13,7 @@ fails CI.
 loopback is the reference's only end-to-end check — SURVEY.md §4.)"""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from lteax.apps.file_gen import GenConfig, generate
@@ -24,6 +25,7 @@ from lteax.phy.grid import pdsch_flat_idx
 from lteax.shard.pipeline import make_batch_decoder_pallas
 
 
+@pytest.mark.mid
 def test_file_scan_si_bits_match_production_decoder():
     gc = GenConfig(n_rb_dl=6, n_cell_id=214, n_frames=4, tac=0x1234)
     x = generate(gc)

@@ -49,6 +49,7 @@ def _make_tx(cfg, cid, cfi, prbs, sf, rnti, geom, scheme, tb_ref, nv, rng):
     return jnp.asarray(to_iq_f32(x))
 
 
+@pytest.mark.mid
 def test_harq_combining_decodes_where_rv0_fails():
     cfg = PhyConfig(n_rb_dl=CFG["n_rb"])
     cid, rnti, cfi = CFG["cid"], CFG["rnti"], CFG["cfi"]

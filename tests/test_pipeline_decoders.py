@@ -244,6 +244,7 @@ def test_pallas_front_decodes_rv2():
     np.testing.assert_array_equal(np.asarray(bits), tb_ref)
 
 
+@pytest.mark.mid
 def test_layout_glue_matches_natural_path():
     """The r4 layout-domain glue (step-major iteration, composed QPP
     gathers, layout CRC matmul) must reproduce the natural-order path
@@ -338,6 +339,7 @@ def test_b576_fault_zone_guard(monkeypatch):
         assert not turbo_mlm._in_b576_fault_zone(c_ok)
 
 
+@pytest.mark.mid
 def test_blane_flat_and_2d_gathers_match():
     """The r5 flat (1D-linearized) layout gathers and the r4 2D-start
     gathers are alternative lowerings of the same maps (per-pipeline

@@ -99,10 +99,12 @@ def _run_gate(n_rb, mcs, expect_scheme):
     assert bers[-1] == 0.0, f"BER at {snrs[-1]:+.1f} dB = {bers[-1]}"
 
 
+@pytest.mark.mid
 def test_bler_gate_qpsk_production():
     _run_gate(n_rb=6, mcs=4, expect_scheme="qpsk")
 
 
+@pytest.mark.mid
 def test_bler_gate_16qam_production():
     _run_gate(n_rb=25, mcs=10, expect_scheme="16qam")
 

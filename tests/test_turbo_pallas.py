@@ -86,6 +86,7 @@ def test_early_crc_termination():
     assert not np.all(np.asarray(ok2))
 
 
+@pytest.mark.mid
 def test_pallas_bf16_decodes():
     """bf16 trellis path (with per-block renormalisation) decodes cleanly at
     bench-scale LLR magnitudes.  Interpret mode exercises wiring + renorm
@@ -132,6 +133,7 @@ def test_fused_combine_matches_unfused(k):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
+@pytest.mark.mid
 def test_fused_decode_bf16():
     rng = np.random.default_rng(8)
     k, c = 5824, 3
