@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--len-sf", type=int, default=20,
                     help="capture length per carrier, subframes")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="sweeps in flight (sustained mode)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the r5 fused in-kernel detect reductions")
     ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args()
     import jax
@@ -60,8 +64,21 @@ def main():
     x_iq = np.stack([x.real, x.imag], -1).astype(np.float32)
     xd = jax.device_put(jnp.asarray(x_iq))
 
+    from lteax.phy.sync import pss_time_filters
+    from lteax.kernels.pss import pss_detect_pallas, pss_reduce_combine
+    filt = np.asarray(pss_time_filters(cfg))
+    use_fused = (not a.no_fused) and not a.cpu and \
+        jax.default_backend() != "cpu"
+
     def detect(xi):
         s = (xi[..., 0] + 1j * xi[..., 1]).astype(jnp.complex64)
+        if use_fused:
+            # r5: the (C, 3, L) correlation tile reduces in-kernel — the
+            # full array never touches HBM and the XLA reduction passes
+            # disappear (VERDICT r4 item 5)
+            nid2, idx, peak, mean = pss_reduce_combine(
+                *pss_detect_pallas(s, filt))
+            return nid2, idx, peak / jnp.maximum(mean, 1e-20)
         p = pss_correlate(s, cfg)                     # (C, 3, L)
         root_max = jnp.max(p, axis=-1)
         nid2 = jnp.argmax(root_max, axis=-1)
@@ -92,12 +109,12 @@ def main():
     t0 = time.perf_counter()
     for _ in range(a.reps):
         inflight.append(f(xd))
-        if len(inflight) > 2:
+        if len(inflight) > a.depth:
             np.asarray(inflight.pop(0)[2])
     for r in inflight:
         np.asarray(r[2])
     t_sus = (time.perf_counter() - t0) / a.reps
-    print(f"sustained (2 in flight): {t_sus*1e3:.1f} ms/sweep",
+    print(f"sustained ({a.depth} in flight): {t_sus*1e3:.1f} ms/sweep",
           file=sys.stderr)
     t = min(t, t_sus)
     msps = a.carriers * L / t / 1e6

@@ -129,3 +129,118 @@ def pss_corr_mag_pallas(x: jnp.ndarray, filt: np.ndarray,
     )(xr4, hr, xi4, hi, gr, gi)
     out = out.reshape(c, 3, n_tiles * t_rows * f)[:, :, :l]
     return out.reshape(*lead, 3, l)
+
+
+def pss_detect_pallas(x: jnp.ndarray, filt: np.ndarray,
+                      tile_rows: int = 256, mdtype: str = "bf16",
+                      interpret: bool = False):
+    """Correlate + DETECT in one kernel (VERDICT r4 item 5): the 3-root
+    |corr|^2 tile never leaves VMEM — each grid cell reduces its
+    (t_rows, 128) magnitude tile to (max, argmax-within-tile, sum) per
+    root, so the (C, 3, L) f32 correlation array (472 MB at C=64/20 sf)
+    is never materialized in HBM and the XLA max/argmax/mean reduction
+    passes over it disappear.
+
+    Returns (maxv, argv, sumv): (C, 3, n_tiles) f32/int32/f32 partials;
+    combine with :func:`pss_reduce_combine`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = filt.shape[1]
+    f = 128
+    nc = -(-nf // f)
+    t_rows = tile_rows
+    assert t_rows >= nc, (t_rows, nc)
+    lead = x.shape[:-1]
+    l = x.shape[-1]
+    c = int(np.prod(lead)) if lead else 1
+    xc = x.reshape(c, l)
+
+    dt = jnp.bfloat16 if mdtype == "bf16" else jnp.float32
+    g = _chunk_matrices(tuple(map(tuple, filt)), nf, f)
+    gr = jnp.asarray(g.real, dt)
+    gi = jnp.asarray(g.imag, dt)
+
+    n_rows = -(-l // f)
+    n_tiles = -(-n_rows // t_rows)
+    rows_total = (n_tiles + 1) * t_rows
+    xp = jnp.pad(xc, ((0, 0), (0, rows_total * f - l)))
+    xr4 = jnp.real(xp).astype(dt).reshape(c, n_tiles + 1, t_rows, f)
+    xi4 = jnp.imag(xp).astype(dt).reshape(c, n_tiles + 1, t_rows, f)
+    hr = xr4[:, 1:, :nc, :]
+    hi = xi4[:, 1:, :nc, :]
+    xr4, xi4 = xr4[:, :-1], xi4[:, :-1]
+
+    def kernel(xr_ref, hr_ref, xi_ref, hi_ref, gr_ref, gi_ref,
+               mx_ref, ar_ref, sm_ref):
+        blkr = jnp.concatenate([xr_ref[0, 0], hr_ref[0, 0]], axis=0)
+        blki = jnp.concatenate([xi_ref[0, 0], hi_ref[0, 0]], axis=0)
+        pos = (jax.lax.broadcasted_iota(jnp.int32, (t_rows, f), 0) * f
+               + jax.lax.broadcasted_iota(jnp.int32, (t_rows, f), 1))
+        for root in range(3):
+            cr = None
+            ci = None
+            for s_ in range(nc + 1):
+                xrs = blkr[s_:s_ + t_rows, :]
+                xis = blki[s_:s_ + t_rows, :]
+                grs = gr_ref[root, s_ * f:(s_ + 1) * f, :]
+                gis = gi_ref[root, s_ * f:(s_ + 1) * f, :]
+                tr = (jnp.dot(xrs, grs, preferred_element_type=jnp.float32)
+                      - jnp.dot(xis, gis, preferred_element_type=jnp.float32))
+                ti = (jnp.dot(xrs, gis, preferred_element_type=jnp.float32)
+                      + jnp.dot(xis, grs, preferred_element_type=jnp.float32))
+                cr = tr if cr is None else cr + tr
+                ci = ti if ci is None else ci + ti
+            m = cr * cr + ci * ci
+            tmax = jnp.max(m)
+            # scalar partials broadcast into an (8, 128) tile (Mosaic
+            # requires tile-aligned output blocks); host reads [..., 0, 0]
+            mx_ref[0, root, 0] = jnp.full((8, 128), tmax, jnp.float32)
+            amin = jnp.min(jnp.where(m >= tmax, pos, t_rows * f))
+            ar_ref[0, root, 0] = jnp.full((8, 128), amin, jnp.int32)
+            sm_ref[0, root, 0] = jnp.full((8, 128), jnp.sum(m),
+                                          jnp.float32)
+
+    bs_main = pl.BlockSpec((1, 1, t_rows, f),
+                           lambda ci_, ti_: (ci_, ti_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bs_halo = pl.BlockSpec((1, 1, nc, f), lambda ci_, ti_: (ci_, ti_, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bs_g = pl.BlockSpec(gr.shape, lambda ci_, ti_: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bs_out = pl.BlockSpec((1, 3, 1, 8, 128),
+                          lambda ci_, ti_: (ci_, 0, ti_, 0, 0),
+                          memory_space=pltpu.VMEM)
+    maxv, argv, sumv = pl.pallas_call(
+        kernel,
+        grid=(c, n_tiles),
+        in_specs=[bs_main, bs_halo, bs_main, bs_halo, bs_g, bs_g],
+        out_specs=[bs_out, bs_out, bs_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, 3, n_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c, 3, n_tiles, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((c, 3, n_tiles, 8, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xr4, hr, xi4, hi, gr, gi)
+    shape3 = (*lead, 3, n_tiles) if lead else (3, n_tiles)
+    return (maxv[..., 0, 0].reshape(shape3), argv[..., 0, 0].reshape(shape3),
+            sumv[..., 0, 0].reshape(shape3), t_rows * f, l)
+
+
+def pss_reduce_combine(maxv, argv, sumv, tile_len: int, l: int):
+    """Combine per-tile partials into (n_id_2, peak_idx, peak, mean) with
+    jnp.argmax-identical tie-breaking (first tile attaining the max)."""
+    root_max = jnp.max(maxv, axis=-1)                 # (..., 3)
+    n_id_2 = jnp.argmax(root_max, axis=-1)            # (...)
+    mr = jnp.take_along_axis(maxv, n_id_2[..., None, None], axis=-2)
+    ar = jnp.take_along_axis(argv, n_id_2[..., None, None], axis=-2)
+    mr, ar = mr[..., 0, :], ar[..., 0, :]             # (..., n_tiles)
+    peak = jnp.max(mr, axis=-1)
+    tile = jnp.argmax(mr, axis=-1)
+    idx = (tile * tile_len
+           + jnp.take_along_axis(ar, tile[..., None], axis=-1)[..., 0])
+    mean = jnp.sum(sumv, axis=(-2, -1)) / (3 * l)
+    return n_id_2, idx, peak, mean
