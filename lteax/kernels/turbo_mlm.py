@@ -1092,14 +1092,15 @@ def _pin_boundaries(a_init, b_init):
 
 
 def _in_b576_fault_zone(c: int) -> bool:
-    """KNOWN_ISSUES (r4): the full layout decode program deterministically
-    crashes the TPU worker for C in the B≈576-class zone (7360/7488
-    observed at K=5824) while neighbouring shapes pass.  Construction
-    guard: the factory falls back to the natural path there (B=576 decodes
-    fine on it).  The ``b576-layout-fault`` canary probes for backend-fix
-    expiry, at which point this zone check should be dropped.  CPU (tests,
-    interpret mode) never crashed — the guard is TPU-backend-only."""
-    return 7000 <= c <= 7700 and jax.default_backend() != "cpu"
+    """KNOWN_ISSUES (r4): the r4 layout decode program deterministically
+    crashed the TPU worker for C in the B≈576-class zone (7360/7488 at
+    K=5824).  EXPIRED r5: under the r5 program (flat 1D-linearized
+    gathers, sublane-padded n_w, zero-fold statics) C=7360/7424/7488 all
+    decode clean on the real chip — the construction guard is inactive.
+    The ``b576-layout-fault`` canary (guard-bypassing repro) stays as the
+    each-round regression probe; re-activate the zone check here if it
+    flips back to still-broken."""
+    return False
 
 
 def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,

@@ -217,9 +217,9 @@ def probe_int8_ingest():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    tb16 = t(jnp.asarray(xb))
+    tb16 = t(jax.device_put(xb))
     try:
-        t8 = t(jnp.asarray(x8))
+        t8 = t(jax.device_put(x8))
     except Exception as e:
         # sc8 at the device boundary doesn't even transfer/lower (r4:
         # UNIMPLEMENTED) — host conversion stays load-bearing
@@ -240,6 +240,10 @@ def probe_b576_layout_fault(timeout_s=600):
     code = r"""
 import sys; sys.path.insert(0, %r)
 import numpy as np, jax, jax.numpy as jnp
+import lteax.kernels.turbo_mlm as _tm
+# r5: the factory guards the fault zone (falls back to the natural
+# path); bypass it here so the probe exercises the BACKEND fault
+_tm._in_b576_fault_zone = lambda c: False
 from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 rng = np.random.default_rng(0)
 k, c = 5824, 7488

@@ -143,3 +143,32 @@ def test_pss_pallas_kernel_matches_fft_path():
     # bf16 production dtype: sub-0.1% error in the signal region
     sig = ref > 0.01 * ref.max()
     assert float(np.max(np.abs(got - ref)[sig])) < 2e-3 * float(ref.max())
+
+
+def test_pss_fused_detect_matches_full_reductions():
+    """r5 fused in-kernel PSS detect (pss_detect_pallas + combine) must
+    reproduce the full-array reduction results exactly: same n_id_2, same
+    first-argmax index, bit-equal peak."""
+    import jax
+    import jax.numpy as jnp
+    from lteax.kernels.pss import (pss_corr_mag_pallas, pss_detect_pallas,
+                                   pss_reduce_combine)
+    from lteax.phy.sync import pss_time_filters
+    from lteax.phy.config import PhyConfig
+
+    cfg = PhyConfig(n_rb_dl=100)
+    filt = np.asarray(pss_time_filters(cfg))
+    rng = np.random.default_rng(2)
+    c, l = 2, 2 * cfg.n_samps_subframe
+    x = (rng.standard_normal((c, l))
+         + 1j * rng.standard_normal((c, l))).astype(np.complex64)
+    p = np.asarray(pss_corr_mag_pallas(jnp.asarray(x), filt, interpret=True))
+    nid2, idx, peak, mean = pss_reduce_combine(
+        *pss_detect_pallas(jnp.asarray(x), filt, interpret=True))
+    nid_ref = p.max(-1).argmax(-1)
+    pr = np.take_along_axis(p, nid_ref[:, None, None], axis=1)[:, 0, :]
+    assert np.array_equal(np.asarray(nid2), nid_ref)
+    assert np.array_equal(np.asarray(idx), pr.argmax(-1))
+    np.testing.assert_array_equal(np.asarray(peak), pr.max(-1))
+    np.testing.assert_allclose(np.asarray(mean), p.mean(axis=(1, 2)),
+                               rtol=1e-5)

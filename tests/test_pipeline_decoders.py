@@ -322,21 +322,15 @@ def test_layout_fixed_iteration_bf16_f32store_traces():
     assert np.array_equal(out, bits)
 
 
-def test_b576_fault_zone_guard(monkeypatch):
-    """KNOWN_ISSUES B≈576 layout fault: the factory must refuse the layout
-    path for the crashing C range on non-CPU backends (falling back to the
-    natural path) and keep it everywhere else."""
+def test_b576_fault_zone_guard_inactive():
+    """The r4 B≈576 layout fault EXPIRED r5 (C=7360/7424/7488 decode clean
+    under the r5 program on the real chip) — the construction guard must
+    stay inactive so no shape is silently demoted to the natural path.
+    The b576-layout-fault canary remains the regression probe."""
     from lteax.kernels import turbo_mlm
 
-    # on the CPU backend the zone never crashed -> guard inactive
-    assert not turbo_mlm._in_b576_fault_zone(7488)
-    monkeypatch.setattr(turbo_mlm.jax, "default_backend", lambda: "axon")
-    assert turbo_mlm._in_b576_fault_zone(7360)
-    assert turbo_mlm._in_b576_fault_zone(7488)
-    # bench shapes and the documented clean neighbours stay on the layout
-    # path
-    for c_ok in (4992, 8320, 9984, 12480, 14976, 1000, 4160):
-        assert not turbo_mlm._in_b576_fault_zone(c_ok)
+    for c in (7360, 7488, 4992, 8320, 14976):
+        assert not turbo_mlm._in_b576_fault_zone(c)
 
 
 @pytest.mark.mid
