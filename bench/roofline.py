@@ -71,7 +71,7 @@ def _timed_scan(fn, init, reps):
     return ((t1 - t0) - (t3 - t2)) / (reps - 1)
 
 
-def turbo_kernel(reps):
+def turbo_kernel(reps, unroll=4, combine_bf16=False):
     """Blane half-iteration at the DL bench geometry (B=768)."""
     import jax.numpy as jnp
     from lteax.kernels.turbo_mlm import half_iteration_blane
@@ -87,7 +87,9 @@ def turbo_kernel(reps):
     def step(c):
         um_, a, b = c
         l, a2, b2 = half_iteration_blane(um_, vm, a, b, win, acq, n,
-                                         mdtype="bf16", pinpad=True)
+                                         mdtype="bf16", pinpad=True,
+                                         unroll=unroll,
+                                         combine_bf16=combine_bf16)
         return (l.astype(jnp.bfloat16), a2, b2)
 
     s_call = _timed_scan(step, (um, ab, ab), reps)
@@ -205,13 +207,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--unroll", type=int, default=4,
+                    help="turbo kernel: trellis steps per loop body")
+    ap.add_argument("--combine-bf16", action="store_true",
+                    help="turbo kernel: bf16 grouped combine sums")
     a = ap.parse_args()
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/lteax_jax_cache")
     except Exception:
         pass
-    for name, fn in (("turbo", turbo_kernel), ("demap", demap_kernel),
+    for name, fn in (("turbo", lambda r: turbo_kernel(
+                          r, unroll=a.unroll, combine_bf16=a.combine_bf16)),
+                     ("demap", demap_kernel),
                      ("pss", pss_kernel), ("polyphase", polyphase_kernel)):
         if a.only and a.only != name:
             continue

@@ -38,8 +38,12 @@ def _make_kernel(scheme: str, ma: int, out_dtype):
                         [i for i in range(len(levels)) if bit1[j, i]]))
 
     def kernel(xr, xi, inv_nv, sgn, out):
-        scale = inv_nv[:, :]
-        for axis, y in ((0, xr[:, :]), (1, xi[:, :])):
+        # distances/LLRs compute in f32 whatever the input staging dtype:
+        # bf16 inputs (DecoderTuning.demap_in) halve the HBM boundary (the
+        # kernel is HBM-bound — roofline), the arithmetic is unchanged
+        f32 = jnp.float32
+        scale = inv_nv[:, :].astype(f32)
+        for axis, y in ((0, xr[:, :].astype(f32)), (1, xi[:, :].astype(f32))):
             # exact subset-min: d_k = (y - s_k)^2, same expression as the
             # XLA path (y^2 cancels in the difference but keeping it makes
             # the arithmetic bit-identical)

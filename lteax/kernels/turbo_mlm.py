@@ -375,7 +375,8 @@ def _make_kernel_fused(win: int, acq: int, n_w: int, n: int, tb: int,
 
 def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
                        mdtype=jnp.float32, sdtype=None,
-                       nofreeze: bool = False, pinpad: bool = False):
+                       nofreeze: bool = False, pinpad: bool = False,
+                       unroll: int = 4, combine_bf16: bool = False):
     """Fused-combine kernel with the FLIPPED tile: windows on SUBLANES,
     codeblocks on LANES — (n_w, tl) ops instead of (tb, n_w*gb).
 
@@ -391,6 +392,8 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
     fwd, bwd, out0, out1 = _wiring()
     half_w = win // 2
     assert win % 2 == 0 and acq <= half_w
+    if half_w % unroll != 0:
+        unroll = 4 if half_w % 4 == 0 else 2
 
     def kernel(lm_ref, la_ref, lb_ref, um, vm, ua, va, ub, vb, ainit, binit,
                l_ref, a_nii_ref, b_nii_ref, astore, bstore):
@@ -426,8 +429,17 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
         def combine(a_s, b_s, uu, vv):
             f32 = jnp.float32
             g = _gammas(uu.astype(f32), vv.astype(f32))
-            af = tuple(x.astype(f32) for x in a_s)
-            bf = tuple(x.astype(f32) for x in b_s)
+            if combine_bf16 and is_bf16:
+                # bf16 grouped sums/maxes, f32 only for the final gamma
+                # merge: 4 casts instead of 16.  The dangerous l0-l1
+                # cancellation stays f32; the bf16 rounding on the grouped
+                # path-metric sums is the same magnitude as the bf16 L
+                # store that already exists (A/B'd with iteration counts —
+                # see PERF r5)
+                af, bf = a_s, b_s
+            else:
+                af = tuple(x.astype(f32) for x in a_s)
+                bf = tuple(x.astype(f32) for x in b_s)
             m = [None] * 4
             for s in range(8):
                 ns0, g0 = out0[s]
@@ -436,6 +448,8 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
                 m[g0] = t0 if m[g0] is None else jnp.maximum(m[g0], t0)
                 t1 = af[s] + bf[ns1]
                 m[g1] = t1 if m[g1] is None else jnp.maximum(m[g1], t1)
+            if combine_bf16 and is_bf16:
+                m = [x.astype(f32) for x in m]
             l0 = jnp.maximum(m[0] + g[0], m[1] + g[1])
             l1 = jnp.maximum(m[2] + g[2], m[3] + g[3])
             return l0 - l1
@@ -452,7 +466,15 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
 
         a, b = jax.lax.fori_loop(0, acq, acq_body, (a, b))
 
-        unroll = 4 if half_w % 4 == 0 else 2
+        # bf16 renorm cadence is every 4 trellis steps INDEPENDENT of the
+        # unroll factor (metric growth past ~4 gammas rounds away the ACS
+        # margins — PERF "bf16 trellis" entry); deeper unrolls only amortize
+        # loop overhead, numerics identical to unroll=4
+        def _renorm_at(half, a, b):
+            if is_bf16 and (half % 4 == 3 or half == unroll - 1):
+                a = tuple(x - a[0] for x in a)
+                b = tuple(x - b[0] for x in b)
+            return a, b
 
         def store_body(tu, ab):
             a, b = ab
@@ -469,9 +491,7 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
                 else:
                     b = acs_bwd(b, um[j], vm[j],
                                 None if nofreeze else lm_ref[j])
-            if is_bf16:
-                a = tuple(x - a[0] for x in a)
-                b = tuple(x - b[0] for x in b)
+                a, b = _renorm_at(half, a, b)
             return (a, b)
 
         a, b = jax.lax.fori_loop(0, half_w // unroll, store_body, (a, b))
@@ -502,9 +522,7 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
                 else:
                     b = acs_bwd(b, um[j], vm[j],
                                 None if nofreeze else lm_ref[j])
-            if is_bf16:
-                a = tuple(x - a[0] for x in a)
-                b = tuple(x - b[0] for x in b)
+                a, b = _renorm_at(half, a, b)
             return (a, b)
 
         jax.lax.fori_loop(0, half_w // unroll, comb_body, (a, b))
@@ -513,10 +531,12 @@ def _make_kernel_blane(win: int, acq: int, n_w: int, n: int, tl: int,
 
 
 @partial(jax.jit, static_argnames=("win", "acq", "n", "tl", "mdtype",
-                                   "nofreeze", "pinpad", "interpret"))
+                                   "nofreeze", "pinpad", "unroll",
+                                   "combine_bf16", "interpret"))
 def half_iteration_blane(um, vm, a_l, b_l, win: int, acq: int, n: int,
                          tl: int = 128, mdtype: str = "f32",
                          nofreeze: bool = False, pinpad: bool = False,
+                         unroll: int = 4, combine_bf16: bool = False,
                          interpret: bool = False):
     """Flipped-tile half-iteration: um/vm (win, n_w, cpad) metric-dtype
     arrays with codeblocks on the minor (lane) axis; a_l/b_l
@@ -566,7 +586,8 @@ def half_iteration_blane(um, vm, a_l, b_l, win: int, acq: int, n: int,
     lb = np.broadcast_to(lv_bacq[:, :, None], (acq, n_w, tl)).copy()
 
     kernel = _make_kernel_blane(win, acq, n_w, n, tl, mdtype=dt, sdtype=sdt,
-                                nofreeze=nofreeze, pinpad=pinpad)
+                                nofreeze=nofreeze, pinpad=pinpad,
+                                unroll=unroll, combine_bf16=combine_bf16)
 
     def bs3(t_len):
         return pl.BlockSpec((t_len, n_w, tl), lambda i: (0, 0, i),
@@ -1117,6 +1138,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               layout: bool | None = None,
                               planar: tuple | None = None,
                               flat_maps: bool | None = None,
+                              blane_unroll: int | None = None,
+                              combine_bf16: bool | None = None,
                               return_n_iter: bool = False,
                               interpret: bool = False):
     """Batched turbo decode with the Pallas half-iteration kernel.
@@ -1168,9 +1191,14 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         nofreeze = _t.nofreeze if nofreeze is None else nofreeze
         pinpad = _t.pinpad if pinpad is None else pinpad
         layout = _t.layout_glue if layout is None else layout
-    if flat_maps is None:
+    if flat_maps is None or blane_unroll is None or combine_bf16 is None:
         from lteax.phy.tuning import DecoderTuning
-        flat_maps = DecoderTuning.from_env().blane_flat
+        _tt = DecoderTuning.from_env()
+        flat_maps = _tt.blane_flat if flat_maps is None else flat_maps
+        blane_unroll = (_tt.blane_unroll if blane_unroll is None
+                        else blane_unroll)
+        combine_bf16 = (_tt.combine_bf16 if combine_bf16 is None
+                        else combine_bf16)
     # flat (1D-linearized, r5) vs 2D-start (r4) layout gathers — see
     # _bl_static_2d for the per-pipeline A/B that keeps both alive
     _st = _bl_static if flat_maps else _bl_static_2d
@@ -1321,13 +1349,15 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
             a1p, b1p = _pin_blane(a1, b1, lastw)
             l1, a1n, b1n = half_iteration_blane(
                 u1, v1l, a1p, b1p, win, acq, n, tl=tl, mdtype=mdtype,
-                nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
+                nofreeze=nofreeze, pinpad=pinpad, unroll=blane_unroll,
+                combine_bf16=combine_bf16, interpret=interpret)
             e12 = ext_scale * (l1.astype(dt_e) - u1)
             u2 = u2s + m01 * _ch(e12, maps.chain_pi)
             a2p, b2p = _pin_blane(a2, b2, lastw)
             l2, a2n, b2n = half_iteration_blane(
                 u2, v2l, a2p, b2p, win, acq, n, tl=tl, mdtype=mdtype,
-                nofreeze=nofreeze, pinpad=pinpad, interpret=interpret)
+                nofreeze=nofreeze, pinpad=pinpad, unroll=blane_unroll,
+                combine_bf16=combine_bf16, interpret=interpret)
             le21n = _ch(ext_scale * (l2.astype(dt_e) - u2),
                               maps.chain_inv)
             return le21n, a1n, b1n, a2n, b2n, l2

@@ -112,6 +112,27 @@ class DecoderTuning:
     # (824 vs 961) — per-pipeline override, same pattern as retry_m_mimo.
     blane_flat: bool = True
     blane_flat_mimo: bool = False
+    # Blane kernel micro-knobs (r5 roofline-driven — the combine loop is
+    # ~63% of kernel ops): ``blane_unroll`` = trellis steps per fori_loop
+    # body (bf16 renorm cadence stays every 4 steps regardless, so
+    # numerics are unroll-invariant).  16 measured best in isolation
+    # (3.76 -> 3.56 ms/half-iteration; 32 regresses) and +0.8% on the DL
+    # bench; UL/MIMO neutral-to-positive within run spread.
+    # ``combine_bf16`` = grouped path-metric sums/maxes in bf16 with only
+    # the 4 gamma-merge casts in f32 (16 -> 4 casts per combine) —
+    # measured SLOWER in isolation (3.60 vs 3.56 at unroll 16; the casts
+    # were not the bottleneck), default off.
+    blane_unroll: int = 16
+    combine_bf16: bool = False
+    # Demap kernel input staging dtype ("f32"/"bf16"): bf16 halves the
+    # front->demap HBM boundary (the kernel computes distances in f32
+    # either way; the demap roofline is HBM-bound at 23%).  DL bench
+    # 1657 -> 1694 (+2.2%), 768/768 CRC, iterations 2/6 unchanged;
+    # UL/MIMO neutral (their demap operands are per-subframe width).
+    # Threshold cost ~0.05 dB-class (TM4 stressed weak-layer config:
+    # MMSE 312/384 vs 324 at f32; BLER gates pass) — "f32" restores
+    # exact staging.
+    demap_in: str = "bf16"
     # SC-FDMA transform (de)precoding implementation (phy/channels/pusch.py
     # ``_ul_dft``): "fft" (XLA FFT; Bluestein for non-pow2 on TPU),
     # "factored" (Cooley–Tukey N1·N2 MXU matmuls), "matmul" (dense unitary
@@ -145,6 +166,9 @@ class DecoderTuning:
         "LTEAX_UL_DFT": ("ul_dft", str),
         "LTEAX_BLANE_FLAT": ("blane_flat", lambda s: s == "1"),
         "LTEAX_BLANE_FLAT_MIMO": ("blane_flat_mimo", lambda s: s == "1"),
+        "LTEAX_BLANE_UNROLL": ("blane_unroll", int),
+        "LTEAX_COMBINE_BF16": ("combine_bf16", lambda s: s == "1"),
+        "LTEAX_DEMAP_IN": ("demap_in", str),
     }
 
     @classmethod

@@ -221,8 +221,16 @@ def _pdsch_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
             x = x / jnp.maximum(p / (p + nv), 1e-12)
             return jnp.real(x), jnp.imag(x), p / nv   # full grid, no extract
 
+        # bf16 input staging (r5, DecoderTuning.demap_in): the three (B, N)
+        # f32 demap operands are the front program's HBM boundary; bf16
+        # halves that write+read (the kernel casts back to f32 internally)
+        ddt = jnp.bfloat16 if t.demap_in == "bf16" else jnp.float32
+
         def demap_planar(samples_iq):
             xr, xi, invnv = jax.vmap(front)(samples_iq)
+            if ddt != jnp.float32:
+                xr, xi, invnv = (xr.astype(ddt), xi.astype(ddt),
+                                 invnv.astype(ddt))
             llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp_g, scheme,
                                             out_dtype=ldt,
                                             interpret=interpret)
@@ -433,9 +441,13 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
         # DL full-grid geometry wins from deferring the de-match into the
         # decode's static gathers
         ul_inv = jnp.asarray(_ul_rm_inv_planar(geom, alloc.qm, m_sc, npad))
+        ddt = jnp.bfloat16 if t.demap_in == "bf16" else jnp.float32
 
         def stage_front(batch_iq):
             xr, xi, invnv = jax.vmap(front)(batch_iq)  # (B, 12*m_sc)
+            if ddt != jnp.float32:
+                xr, xi, invnv = (xr.astype(ddt), xi.astype(ddt),
+                                 invnv.astype(ddt))
             llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp,
                                             alloc.scheme, out_dtype=ldt,
                                             interpret=interpret)
@@ -554,8 +566,13 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         # NOTE r4: the DL-style planar stage boundary LOSES here too
         # (766 vs 976 Mbit/s) — see the UL note; keep the composed
         # planar de-match gather
+        ddt = jnp.bfloat16 if t.demap_in == "bf16" else jnp.float32
+
         def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
             xr, xi, invnv = jax.vmap(front, in_axes=1)(batch_iq)  # (B,2,M)
+            if ddt != jnp.float32:
+                xr, xi, invnv = (xr.astype(ddt), xi.astype(ddt),
+                                 invnv.astype(ddt))
             llr = jnp.stack(
                 [demap_descr_planar_pallas(xr[:, q], xi[:, q], invnv[:, q],
                                            sgnp[q], scheme, out_dtype=ldt,
