@@ -71,7 +71,7 @@ def _timed_scan(fn, init, reps):
     return ((t1 - t0) - (t3 - t2)) / (reps - 1)
 
 
-def turbo_kernel(reps, unroll=4, combine_bf16=False):
+def turbo_kernel(reps, unroll=16, combine_bf16=False):
     """Blane half-iteration at the DL bench geometry (B=768)."""
     import jax.numpy as jnp
     from lteax.kernels.turbo_mlm import half_iteration_blane
@@ -108,25 +108,28 @@ def turbo_kernel(reps, unroll=4, combine_bf16=False):
                 utilization_pct=100 * light / s_call)
 
 
-def demap_kernel(reps):
-    """Fused demap+descramble at the DL full-grid geometry (B=768)."""
+def demap_kernel(reps, in_dtype="bf16"):
+    """Fused demap+descramble at the DL full-grid geometry (B=768) with
+    the production input staging dtype (DecoderTuning.demap_in)."""
     import jax.numpy as jnp
     from lteax.kernels.demap import demap_descr_planar_pallas
 
     b, npad = 768, 16896
+    dt = jnp.bfloat16 if in_dtype == "bf16" else jnp.float32
+    in_bytes = 2 if in_dtype == "bf16" else 4
     rng = np.random.default_rng(0)
-    xr = jnp.asarray(rng.standard_normal((b, npad)), jnp.float32)
-    xi = jnp.asarray(rng.standard_normal((b, npad)), jnp.float32)
-    inv = jnp.ones((b, npad), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((b, npad)), dt)
+    xi = jnp.asarray(rng.standard_normal((b, npad)), dt)
+    inv = jnp.ones((b, npad), dt)
     sgn = jnp.ones((6, npad), jnp.float32)
 
     def step(c):
         out = demap_descr_planar_pallas(c, xi, inv, sgn, "64qam")
-        return out[:, 0, :].astype(jnp.float32)      # feed back same shape
+        return out[:, 0, :].astype(dt)               # feed back same shape
 
     s_call = _timed_scan(step, xr, reps)
-    # HBM-bound: 3 f32 inputs + 6-plane bf16 output
-    bytes_moved = b * npad * (3 * 4 + 6 * 2)
+    # HBM-bound: 3 staged inputs + 6-plane bf16 output
+    bytes_moved = b * npad * (3 * in_bytes + 6 * 2)
     light = bytes_moved / HBM_BPS
     ops = b * npad * 92                       # 8 sq-dists + 6x subset mins
     light_vpu = ops / VPU_F32

@@ -548,6 +548,13 @@ def half_iteration_blane(um, vm, a_l, b_l, win: int, acq: int, n: int,
     """
     dt = jnp.bfloat16 if mdtype.startswith("bf16") else jnp.float32
     sdt = jnp.float32 if mdtype == "bf16_f32store" else dt
+    if interpret:
+        # unroll only restructures the fori_loop body (bf16 renorm cadence
+        # is fixed at every 4 steps, so numerics are unroll-invariant —
+        # pinned by test_pipeline_decoders unroll-equality); deep unrolls
+        # quadruple the interpret-mode trace and slow CPU CI ~2x for zero
+        # benefit there, so clamp them to the r4 body size
+        unroll = min(unroll, 4)
     # n_w comes from the operand shape: callers may sublane-pad the window
     # axis with dead windows (r5 — makes the statics' flat gather output a
     # true bitcast of this kernel's 3D operand); _live_masks marks them

@@ -232,6 +232,31 @@ def probe_int8_ingest():
                     "ratio": round(ratio, 2)}
 
 
+def probe_unroll_equality():
+    """r5 gate (not a workaround expiry): interpret-mode runs clamp
+    blane_unroll to 4 (deep unrolls quadruple the CPU CI trace for zero
+    benefit), so the production unroll=16 kernel body is only exercised
+    on the real chip.  Decode the same batch at unroll 4 and 16 — the
+    bf16 renorm cadence is fixed at every 4 steps, so outputs must be
+    BIT-IDENTICAL; any divergence is a kernel/Mosaic regression."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
+    rng = np.random.default_rng(0)
+    k, c = 512, 8
+    llr = jnp.asarray(rng.standard_normal((c, 3, k + 4)), jnp.float32)
+    kw = dict(n_iter=3, win=128, acq=16, early_crc="24B", mdtype="bf16",
+              fused=True, pinpad=True, layout=True, retry_m=4)
+    f = jax.jit(lambda d, u: turbo_decode_batch_pallas(
+        d, k, blane_unroll=u, **kw), static_argnums=1)
+    a4 = np.asarray(f(llr, 4))
+    a16 = np.asarray(f(llr, 16))
+    if (a4 == a16).all():
+        return "gate-ok", {}
+    return "REGRESSION", {"n_diff": int((a4 != a16).sum())}
+
+
 def probe_b576_layout_fault(timeout_s=600):
     """KNOWN_ISSUES (r4): the layout-glue decode at C=7488 codeblocks
     (B=576-class) deterministically crashes the TPU worker, though every
@@ -315,6 +340,8 @@ def main():
          "simplify the acquisition loop (pin-pad it like the main sweeps)"),
         ("int8-ingest", probe_int8_ingest,
          "accept sc8 captures at the device boundary (drop host conversion)"),
+        ("blane-unroll-equality", probe_unroll_equality,
+         "n/a (regression gate for the interpret-clamped unroll-16 body)"),
     ]
     if a.include_crashers:
         probes.append(("struct-dematch+turbo-kernel", probe_struct_dematch_crash,

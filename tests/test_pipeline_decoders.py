@@ -278,6 +278,7 @@ def test_layout_glue_matches_natural_path():
     assert np.array_equal(res[True][2:], bits[2:])
 
 
+@pytest.mark.mid
 def test_layout_glue_fixed_iteration_path():
     """layout=True with early_crc=None (fixed-iteration scan) matches the
     natural fixed path."""
@@ -301,6 +302,7 @@ def test_layout_glue_fixed_iteration_path():
     assert np.array_equal(outs[1], bits)
 
 
+@pytest.mark.mid
 def test_layout_fixed_iteration_bf16_f32store_traces():
     """Advisor r4 (medium): the fixed-iteration layout scan carried the
     kernel-dtype l2 into a dt_e-typed carry slot, so layout=True +

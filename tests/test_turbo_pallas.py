@@ -8,7 +8,8 @@ from lteax.phy.fec.turbo import turbo_encode_batch, turbo_decode_batch
 from lteax.kernels.turbo_mlm import turbo_decode_batch_pallas
 
 
-@pytest.mark.parametrize("k", [40, 232, 1024])
+@pytest.mark.parametrize(
+    "k", [40, 232, pytest.param(1024, marks=pytest.mark.mid)])
 def test_pallas_matches_xla_noisy(k):
     rng = np.random.default_rng(0)
     c = 4
@@ -41,7 +42,8 @@ def test_pallas_high_rate():
     np.testing.assert_array_equal(got, bits)
 
 
-@pytest.mark.parametrize("gb", [2, 4])
+@pytest.mark.parametrize(
+    "gb", [2, pytest.param(4, marks=pytest.mark.mid)])
 def test_lane_fold_invariance(gb):
     """gb>1 folds codeblocks into the lane axis; output must be identical
     to gb=1 (windows of different blocks are independent chains)."""
