@@ -107,11 +107,13 @@ class DecoderTuning:
     # Layout-glue gather style (kernels/turbo_mlm.py): flat 1D-linearized
     # index maps (r5) vs 2D-start gathers (r4).  Flat kills the 4D tile-pad
     # reshape + relayout copies at DL/UL geometries (DL 1431->1501 at
-    # B=768, UL 1028->1059 at B=384, same-session A/Bs) but LOSES ~14% at
-    # the MIMO dual-codeword geometry via an XLA fusion interaction
-    # (824 vs 961) — per-pipeline override, same pattern as retry_m_mimo.
+    # B=768, UL 1028->1059 at B=384, same-session A/Bs).  The early-r5
+    # MIMO loss (824 vs 961, an XLA fusion interaction) EXPIRED under the
+    # final r5 program (sublane-padded maps + zero-fold statics): flat now
+    # WINS on MIMO too — TM3 1007/1012 -> 1025/1037, TM4 SIC 591 -> 619,
+    # two A/B pairs each, 384/384 CRC — so both default on.
     blane_flat: bool = True
-    blane_flat_mimo: bool = False
+    blane_flat_mimo: bool = True
     # Blane kernel micro-knobs (r5 roofline-driven — the combine loop is
     # ~63% of kernel ops): ``blane_unroll`` = trellis steps per fori_loop
     # body (bf16 renorm cadence stays every 4 steps regardless, so
