@@ -53,10 +53,12 @@ def main():
     re_idx = pdsch_flat_idx(cfg, cid, cfi, prbs, sf)
     geom = pdsch_mod.pdsch_geometry(tbs, len(re_idx), 6, 0)
 
-    # default batch 768 since r4: the flipped-tile layout glue halved device
-    # time, so dispatch amortization dominates — 768 (1184) > 384 (1097) >
-    # 960 > 1152~768 measured same-session; B=576 faults (KNOWN_ISSUES)
-    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "768"))
+    # default batch 2304 since the r5 close-out B re-sweep (the PERF lesson:
+    # re-sweep B after any big kernel/glue win): 768 (1690) < 1152 (1717) <
+    # 1536 (1772) > 1920 (1743, dip) < 2304 (1781, best x2) > 3072 (1714);
+    # 2304/2304 CRC, 2/6 iterations, compile 47 s.  The old B=576-class
+    # fault EXPIRED under the r5 layout program (KNOWN_ISSUES)
+    b = int(__import__("os").environ.get("LTEAX_BENCH_BATCH", "2304"))
     n_iter = int(__import__("os").environ.get("LTEAX_BENCH_TURBO_ITERS", "6"))
     reps = int(__import__("os").environ.get("LTEAX_BENCH_REPS", "10"))
 

@@ -25,7 +25,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=192)
+    # r5 close-out B re-sweep: 192 (1037) < 256 (1078-1080, peak) >
+    # 320 (910) > 384 (843)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--mcs", type=int, default=28)

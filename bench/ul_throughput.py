@@ -22,7 +22,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    # r5 close-out B re-sweep: 384 (1114) < 512 (1435) < 640 (1510-1514,
+    # peak) > 704 (1227) > 768 (1078 - the wide-operand gather cliff,
+    # PERF r4 diagnosis, now starts past ~8300 codeblocks)
+    ap.add_argument("--batch", type=int, default=640)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
