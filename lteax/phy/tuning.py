@@ -135,6 +135,14 @@ class DecoderTuning:
     # MMSE 312/384 vs 324 at f32; BLER gates pass) — "f32" restores
     # exact staging.
     demap_in: str = "bf16"
+    # UL planar stage boundary (r5 close-out): defer the composed
+    # channel-de-interleave/de-match gather into the decode's static
+    # layout gathers, like DL's planar boundary.  Lost at B=384 under
+    # the r4 program (906 vs 1140); EXPIRED under the final r5 program
+    # at the new B=640 optimum — 3 interleaved A/B pairs: composed
+    # 1511/1507/1352 vs planar 1766/1655/1722 Mbit/s (+14% median),
+    # 640/640 CRC; also softens the B=768 cliff (1078 -> 1218).
+    ul_planar_boundary: bool = True
     # SC-FDMA transform (de)precoding implementation (phy/channels/pusch.py
     # ``_ul_dft``): "fft" (XLA FFT; Bluestein for non-pow2 on TPU),
     # "factored" (Cooley–Tukey N1·N2 MXU matmuls), "matmul" (dense unitary
@@ -166,6 +174,7 @@ class DecoderTuning:
         "LTEAX_PALLAS_DEMAP": ("pallas_demap", lambda s: s == "1"),
         "LTEAX_PRINT_ITERS": ("print_iters", lambda s: s == "1"),
         "LTEAX_UL_DFT": ("ul_dft", str),
+        "LTEAX_UL_PLANAR_BOUNDARY": ("ul_planar_boundary", lambda s: s == "1"),
         "LTEAX_BLANE_FLAT": ("blane_flat", lambda s: s == "1"),
         "LTEAX_BLANE_FLAT_MIMO": ("blane_flat_mimo", lambda s: s == "1"),
         "LTEAX_BLANE_UNROLL": ("blane_unroll", int),

@@ -436,21 +436,46 @@ def _pusch_stages(alloc, rnti, subframe, n_cell_id, n_iter, noise_var,
 
     if use_kernel:
         # NOTE r4: the DL-style planar stage boundary was A/B'd here and
-        # LOSES (906 vs 1140 Mbit/s) — at UL's per-subframe planar width
-        # the single composed gather below is already optimal; only the
-        # DL full-grid geometry wins from deferring the de-match into the
-        # decode's static gathers
-        ul_inv = jnp.asarray(_ul_rm_inv_planar(geom, alloc.qm, m_sc, npad))
+        # LOSES (906 vs 1140 Mbit/s) at B=384 — at UL's per-subframe
+        # planar width the single composed gather below is already
+        # optimal THERE.  r5 close-out: the B re-sweep moved UL's optimum
+        # to 640 with a wide-operand gather cliff past ~8300 codeblocks
+        # (the DL-diagnosed degradation class), which is exactly what the
+        # planar boundary fixes on DL — so it is A/B-able again via
+        # DecoderTuning.ul_planar_boundary (default per measurement).
+        ul_inv_np = _ul_rm_inv_planar(geom, alloc.qm, m_sc, npad)
+        ul_inv = jnp.asarray(ul_inv_np)
         ddt = jnp.bfloat16 if t.demap_in == "bf16" else jnp.float32
 
-        def stage_front(batch_iq):
+        def demap_planar_ul(batch_iq):
             xr, xi, invnv = jax.vmap(front)(batch_iq)  # (B, 12*m_sc)
             if ddt != jnp.float32:
                 xr, xi, invnv = (xr.astype(ddt), xi.astype(ddt),
                                  invnv.astype(ddt))
-            llr = demap_descr_planar_pallas(xr, xi, invnv, sgnp,
-                                            alloc.scheme, out_dtype=ldt,
-                                            interpret=interpret)
+            return demap_descr_planar_pallas(xr, xi, invnv, sgnp,
+                                             alloc.scheme, out_dtype=ldt,
+                                             interpret=interpret)
+
+        if t.ul_planar_boundary and npad > 12 * m_sc:
+            # planar boundary: the de-match (ul_inv, which already
+            # composes the channel de-interleave) moves into the decode's
+            # static layout gathers.  The zero-fold target slot
+            # qm*npad - 1 is a pad column whose LLR is EXACT 0.0 (the
+            # demap kernel zero-pads inv_nv, so pad columns emit
+            # (d1-d0)*0); the npad > 12*m_sc guard keeps that invariant
+            # (full-PRB allocations always pad: 14400 -> 14464)
+            def stage_front(batch_iq):
+                llr = demap_planar_ul(batch_iq)
+                return llr.reshape(llr.shape[0], -1)
+
+            stage_front.mid_rank = 2
+            stage_turbo, _ = _make_turbo_stage(
+                geom, n_iter, t, interpret,
+                planar_spec=(ul_inv_np, geom.info.c, alloc.qm * npad))
+            return stage_front, stage_turbo
+
+        def stage_front(batch_iq):
+            llr = demap_planar_ul(batch_iq)
             lead = llr.shape[:-2]
             flat = llr.reshape(*lead, -1)
             ext = jnp.concatenate(
