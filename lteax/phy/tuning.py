@@ -143,6 +143,12 @@ class DecoderTuning:
     # 1511/1507/1352 vs planar 1766/1655/1722 Mbit/s (+14% median),
     # 640/640 CRC; also softens the B=768 cliff (1078 -> 1218).
     ul_planar_boundary: bool = True
+    # MIMO analogue of ul_planar_boundary (each codeword-subframe is one
+    # planar row).  The r4 "MIMO planar boundary LOSES" negative (766 vs
+    # 976) EXPIRED at the r5 close-out optimum like UL's: 3 interleaved
+    # A/B pairs at B=256 — composed 967/1054/1079 vs planar
+    # 1186/1140/1198 Mbit/s (+13% median), 512/512 CRC.
+    mimo_planar_boundary: bool = True
     # SC-FDMA transform (de)precoding implementation (phy/channels/pusch.py
     # ``_ul_dft``): "fft" (XLA FFT; Bluestein for non-pow2 on TPU),
     # "factored" (Cooley–Tukey N1·N2 MXU matmuls), "matmul" (dense unitary
@@ -175,6 +181,8 @@ class DecoderTuning:
         "LTEAX_PRINT_ITERS": ("print_iters", lambda s: s == "1"),
         "LTEAX_UL_DFT": ("ul_dft", str),
         "LTEAX_UL_PLANAR_BOUNDARY": ("ul_planar_boundary", lambda s: s == "1"),
+        "LTEAX_MIMO_PLANAR_BOUNDARY": ("mimo_planar_boundary",
+                                       lambda s: s == "1"),
         "LTEAX_BLANE_FLAT": ("blane_flat", lambda s: s == "1"),
         "LTEAX_BLANE_FLAT_MIMO": ("blane_flat_mimo", lambda s: s == "1"),
         "LTEAX_BLANE_UNROLL": ("blane_unroll", int),

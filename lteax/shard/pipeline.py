@@ -593,16 +593,39 @@ def _mimo_stages(cfg, n_cell_id, cfi, prbs, subframe, rnti, geom, scheme,
         # planar de-match gather
         ddt = jnp.bfloat16 if t.demap_in == "bf16" else jnp.float32
 
-        def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
+        def demap_planar_mimo(batch_iq):     # (2rx, B, n_samps, 2)
             xr, xi, invnv = jax.vmap(front, in_axes=1)(batch_iq)  # (B,2,M)
             if ddt != jnp.float32:
                 xr, xi, invnv = (xr.astype(ddt), xi.astype(ddt),
                                  invnv.astype(ddt))
-            llr = jnp.stack(
+            return jnp.stack(
                 [demap_descr_planar_pallas(xr[:, q], xi[:, q], invnv[:, q],
                                            sgnp[q], scheme, out_dtype=ldt,
                                            interpret=interpret)
                  for q in range(2)], axis=1)             # (B, 2, m, npad)
+
+        if t.mimo_planar_boundary and npad > geom.g // qm:
+            # planar boundary (r5 close-out, mirrors the UL flip): each
+            # codeword-subframe is one planar row (B_sf = B*2, matching
+            # the composed path's reshape(-1, qm, npad) order), and the
+            # per-codeword-subframe de-match map moves into the decode's
+            # static layout gathers.  Zero-fold slot qm*npad - 1 is exact
+            # 0.0 (demap zero-pads inv_nv); guard keeps a pad column.
+            from lteax.phy.channels.pdsch import _global_rm_inv_planar
+            mp_inv = np.asarray(_global_rm_inv_planar(geom, npad))
+
+            def stage_front(batch_iq):
+                llr = demap_planar_mimo(batch_iq)
+                return llr.reshape(llr.shape[0] * 2, -1)
+
+            stage_front.mid_rank = 2
+            stage_turbo, _ = _make_turbo_stage(
+                geom, n_iter, t, interpret,
+                planar_spec=(mp_inv, geom.info.c, qm * npad))
+            return stage_front, stage_turbo
+
+        def stage_front(batch_iq):           # (2rx, B, n_samps, 2)
+            llr = demap_planar_mimo(batch_iq)
             return pdsch_mod.soft_dematch_planar(
                 llr.reshape(-1, geom.qm, npad), geom, npad)
     else:
