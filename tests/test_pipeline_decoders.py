@@ -358,3 +358,64 @@ def test_blane_flat_and_2d_gathers_match():
         flat_maps=fm, interpret=True)) for fm in (True, False)]
     assert np.array_equal(outs[0], outs[1])
     assert np.array_equal(outs[0][1:], bits[1:])
+
+
+def test_ul_planar_boundary_matches_composed_path():
+    """r5: ul_planar_boundary defaults ON (UL 1507 -> 1722 at B=640), so
+    the composed-gather path lost its default coverage — pin that both
+    boundaries decode the same batch to the same bits (the planar_spec
+    statics compose exactly the ul_inv gather the composed path applies
+    at the stage boundary)."""
+    from lteax.phy.tuning import DecoderTuning
+    rng = np.random.default_rng(5)
+    cid, sf, rnti = 214, 4, 0x3D
+    alloc = pusch.PuschAlloc(n_prb=6, rb_start=0, mcs_tbs=504, qm=2)
+    geom = alloc.geom
+    b, nv = 3, 2e-2                      # noisy enough to exercise retries
+    tbs_bits = rng.integers(0, 2, size=(b, alloc.mcs_tbs)).astype(np.int32)
+    grids = []
+    for i in range(b):
+        cbs = jnp.asarray(pdsch_prepare_cbs(tbs_bits[i], geom))
+        g = pusch.pusch_encode_cbs(cbs, alloc, rnti, sf, cid)
+        grids.append(pusch.pusch_add_dmrs(np.asarray(g), alloc, cid, sf))
+    x = np.stack(grids)
+    x = x + (rng.standard_normal(x.shape)
+             + 1j * rng.standard_normal(x.shape)) * np.sqrt(nv / 2)
+    x_iq = jnp.asarray(np.stack([x.real, x.imag], -1).astype(np.float32))
+
+    outs = {}
+    for planar in (True, False):
+        t = DecoderTuning.from_env(DecoderTuning(ul_planar_boundary=planar))
+        dec = make_pusch_batch_decoder(alloc, rnti, sf, cid, n_iter=4,
+                                       noise_var=nv, tuning=t,
+                                       interpret=True)
+        tb, ok = dec(x_iq)
+        outs[planar] = (np.asarray(tb), np.asarray(ok))
+    assert np.all(outs[True][1]) and np.all(outs[False][1])
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][0], tbs_bits)
+
+
+def test_mimo_planar_boundary_matches_composed_path():
+    """MIMO analogue of the UL boundary-equality pin (r5:
+    mimo_planar_boundary defaults ON, 1054 -> 1186 at B=256)."""
+    from tests.test_shard_pallas import _make_mimo_samples
+    from lteax.phy.tuning import DecoderTuning
+
+    (cfg, cid, cfi, prbs, sf, rnti, geom, scheme, x_iq, tb_bits) = \
+        _make_mimo_samples(2, seed=9)
+    outs = {}
+    for planar in (True, False):
+        t = DecoderTuning.from_env(
+            DecoderTuning(mimo_planar_boundary=planar))
+        dec = make_mimo_batch_decoder(cfg, cid, cfi, prbs, sf, rnti, geom,
+                                      scheme, n_iter=4, tuning=t,
+                                      interpret=True)
+        tb, ok = dec(x_iq)
+        outs[planar] = (np.asarray(tb), np.asarray(ok))
+    assert np.all(outs[True][1]) and np.all(outs[False][1])
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    got = outs[True][0].reshape(2, 2, geom.tbs)
+    for i in range(2):
+        for q in range(2):
+            assert np.array_equal(got[i, q], tb_bits[q, i])
