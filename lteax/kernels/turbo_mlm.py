@@ -1145,6 +1145,7 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                               layout: bool | None = None,
                               planar: tuple | None = None,
                               flat_maps: bool | None = None,
+                              planar_int8: bool | None = None,
                               blane_unroll: int | None = None,
                               combine_bf16: bool | None = None,
                               return_n_iter: bool = False,
@@ -1198,7 +1199,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
         nofreeze = _t.nofreeze if nofreeze is None else nofreeze
         pinpad = _t.pinpad if pinpad is None else pinpad
         layout = _t.layout_glue if layout is None else layout
-    if flat_maps is None or blane_unroll is None or combine_bf16 is None:
+    if (flat_maps is None or blane_unroll is None or combine_bf16 is None
+            or planar_int8 is None):
         from lteax.phy.tuning import DecoderTuning
         _tt = DecoderTuning.from_env()
         flat_maps = _tt.blane_flat if flat_maps is None else flat_maps
@@ -1206,6 +1208,8 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
                         else blane_unroll)
         combine_bf16 = (_tt.combine_bf16 if combine_bf16 is None
                         else combine_bf16)
+        planar_int8 = (_tt.planar_int8 if planar_int8 is None
+                       else planar_int8)
     # flat (1D-linearized, r5) vs 2D-start (r4) layout gathers — see
     # _bl_static_2d for the per-pipeline A/B that keeps both alive
     _st = _bl_static if flat_maps else _bl_static_2d
@@ -1329,11 +1333,29 @@ def turbo_decode_batch_pallas(llr_d, k: int, n_iter: int = 6, win: int = 128,
 
         if planar is not None:
             p2t = p2.T        # one relayout; 4 contiguous-row gathers after
+            qs_e = None
+            if planar_int8:
+                # int8-quantized statics (r5 lever #1): one per-batch
+                # scale, gathers move half the bytes, dequant multiply
+                # fuses into the gather consumer.  The zero sentinel slot
+                # stays exactly zero in int8; the uniform scale commutes
+                # through the max-log decode up to quantization noise.
+                p2f = planar2.astype(jnp.float32)
+                qs = jnp.maximum(jnp.max(jnp.abs(p2f)), 1e-20) / 127.0
+                # quantize AFTER the transpose: the relayout runs in f32
+                # (int8 transposes hit narrow-dtype relayout packing)
+                p2t = jnp.clip(jnp.round(p2f.T / qs), -127,
+                               127).astype(jnp.int8)
+                qs_e = qs.astype(dt_e)
 
             def _mk_pl(name):
                 if _ZERO_FOLD:
-                    return _pad_lanes(_bl_static_planar(p2t, pm[name]))
-                return _pad_lanes(_bl_static_planar(p2t, *pm[name + "_w"]))
+                    g = _bl_static_planar(p2t, pm[name])
+                else:
+                    g = _bl_static_planar(p2t, *pm[name + "_w"])
+                if qs_e is not None:
+                    g = g.astype(dt_e) * qs_e
+                return _pad_lanes(g)
 
             u1s = _mk_pl("u1s")
             v1l = _mk_pl("v1s")

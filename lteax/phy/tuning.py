@@ -149,6 +149,16 @@ class DecoderTuning:
     # A/B pairs at B=256 — composed 967/1054/1079 vs planar
     # 1186/1140/1198 Mbit/s (+13% median), 512/512 CRC.
     mimo_planar_boundary: bool = True
+    # int8-quantized planar layout statics (r5 lever #1, NEXT.md): the 4
+    # static gathers that compose the rate de-match into the decode's
+    # layout are gather-random-access bound (~18% of the DL batch at the
+    # r5 trace).  Quantizing the planar demap output to int8 with one
+    # per-batch scale (qs = max|LLR|/127) halves the gather's operand
+    # reads and output writes; the dequant multiply fuses into the gather
+    # consumer.  int8 LLR input is standard in hardware turbo decoders;
+    # A/B'd at both operating points with the iteration counter before
+    # flipping the default.
+    planar_int8: bool = False
     # SC-FDMA transform (de)precoding implementation (phy/channels/pusch.py
     # ``_ul_dft``): "fft" (XLA FFT; Bluestein for non-pow2 on TPU),
     # "factored" (Cooley–Tukey N1·N2 MXU matmuls), "matmul" (dense unitary
@@ -188,6 +198,7 @@ class DecoderTuning:
         "LTEAX_BLANE_UNROLL": ("blane_unroll", int),
         "LTEAX_COMBINE_BF16": ("combine_bf16", lambda s: s == "1"),
         "LTEAX_DEMAP_IN": ("demap_in", str),
+        "LTEAX_PLANAR_INT8": ("planar_int8", lambda s: s == "1"),
     }
 
     @classmethod

@@ -117,6 +117,7 @@ def _make_turbo_stage(geom, n_iter, t: DecoderTuning, interpret,
             ext_scale=t.ext_scale, fused=t.fused, nofreeze=t.nofreeze,
             pinpad=t.pinpad, retry_m=t.retry_m, retry_levels=t.retry_levels,
             layout=t.layout_glue, planar=planar, flat_maps=t.blane_flat,
+            planar_int8=t.planar_int8,
             return_n_iter=print_iters, interpret=interpret)
         bits, n_it = out if print_iters else (out, None)
         return _crc_stage(bits, geom, print_iters, n_it)
