@@ -149,6 +149,16 @@ class DecoderTuning:
     # A/B pairs at B=256 — composed 967/1054/1079 vs planar
     # 1186/1140/1198 Mbit/s (+13% median), 512/512 CRC.
     mimo_planar_boundary: bool = True
+    # OFDM demod DFT implementation (phy/ofdm.py::samples_to_subframe):
+    # "fft" (XLA FFT), "factored" (Cooley–Tukey N1·N2 MXU matmuls with
+    # the sc-bin selection fused into the stage-B gather, single-pass
+    # bf16 contractions), "factored_hi" (HIGHEST-precision passes).
+    # Same-session A/Bs (r5 session 2): DL 1776 -> 1830, UL 1578 -> 1628,
+    # MIMO 1190 -> 1237 Mbit/s, CRC clean everywhere; threshold cost is
+    # the ~0.05 dB class (21.5 dB: 759 vs 758 of 768; 20.5 dB: 732 vs
+    # 737) — same class as the accepted bf16 demap staging.  "fft"
+    # restores the exact front.
+    ofdm_dft: str = "factored"
     # int8-quantized planar layout statics (r5 lever #1, NEXT.md): the 4
     # static gathers that compose the rate de-match into the decode's
     # layout are gather-random-access bound (~18% of the DL batch at the
@@ -199,6 +209,7 @@ class DecoderTuning:
         "LTEAX_COMBINE_BF16": ("combine_bf16", lambda s: s == "1"),
         "LTEAX_DEMAP_IN": ("demap_in", str),
         "LTEAX_PLANAR_INT8": ("planar_int8", lambda s: s == "1"),
+        "LTEAX_OFDM_DFT": ("ofdm_dft", str),
     }
 
     @classmethod
