@@ -109,9 +109,18 @@ def main():
         c = (cr + 1j * ci).astype(jnp.complex64)
         return c.reshape(*lead, n)[..., bmap] * scale
 
+    from lteax.phy.ofdm import _symbol_sample_gather, _ofdm_dft_factored
+    sym_idx = jnp.asarray(_symbol_sample_gather(cfg))
+
+    def f_bm_gather(s):
+        """factored DFT, but symbol blocks cut with ONE gather instead of
+        the 14 slice+stack copies (~5 ms/batch of copy.7x in the r5
+        session-2 trace)."""
+        return _ofdm_dft_factored(s[..., sym_idx], cfg)
+
     ref = None
     for name, fn in [("fft", f_fft), ("fac_bm", f_bm), ("fac_es", f_es),
-                     ("fac_4step", f_4step)]:
+                     ("fac_4step", f_4step), ("fac_gather", f_bm_gather)]:
         # complex outputs can't transfer on this backend: return IQ pairs
         j = jax.jit(lambda s, fn=fn: jnp.stack(
             [jnp.real(fn(to_c(s))), jnp.imag(fn(to_c(s)))], axis=-1))
